@@ -1,0 +1,205 @@
+package graft.index
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.codec.{PostingEntry, PostingsCodec, SmallFloat}
+
+/** Distributed inverted-index builder.
+  *
+  * Restates the reference's write path (/root/repo/SURVEY.md §3.1) as three
+  * Spark stages, each independently resumable:
+  *
+  *  1. '''stage''': deterministic docId assignment. Documents are hashed into
+  *     `numSegments` buckets; within a bucket docIds are the rank over
+  *     (repo, path). Bucket offsets make per-bucket id spaces contiguous, so
+  *     a segment ≙ a contiguous docId range (the reference's per-DWPT docBase,
+  *     /root/reference/core/index/segments.go:26-89). Ids are a pure function
+  *     of the input — stable across task retries AND job reruns (the
+  *     north-star checkpoint requirement; `monotonically_increasing_id` would
+  *     violate it).
+  *  2. '''invert + flush''' (per segment, skippable when its `_SUCCESS`
+  *     exists): tokenize → per-doc term freq/positions (no shuffle — the
+  *     reference's whole in-RAM hash,
+  *     /root/reference/core/index/termsHashConsumerPerField.go:288-369, is
+  *     local to a row here) → ONE shuffle keyed (field, term, rangeId) →
+  *     sorted, delta+FOR-packed posting rows. The rangeId key range-splits
+  *     hot terms (`import`, `func`, df≈N) into bounded groups: no shuffle
+  *     group ever exceeds docsPerRange docs, at any corpus size.
+  *  3. '''publish''': global term dictionary + per-field stats + manifest
+  *     (two-phase: parquet dirs first, then a commit marker — SegmentInfos
+  *     semantics, /root/reference/core/index/segmentInfos.go:747-851).
+  */
+final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig()) {
+  import spark.implicits._
+
+  private def fs(path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(path: String): Boolean = fs(path).exists(new Path(path))
+
+  def build(corpus: DataFrame, indexPath: String, resume: Boolean = true): IndexManifest = {
+    val stagedPath = s"$indexPath/staged"
+    val docsPath = s"$indexPath/docs"
+    val postingsRoot = s"$indexPath/postings"
+    val termsPath = s"$indexPath/terms"
+    val statsPath = s"$indexPath/fieldstats"
+    val segmentsPath = s"$indexPath/segments"
+
+    // ---- stage 1: deterministic docIds -------------------------------
+    if (!resume || !exists(s"$stagedPath/_SUCCESS")) {
+      val bucketed = corpus
+        .withColumn("segId", pmod(xxhash64(col("repo"), col("path")), lit(config.numSegments)).cast("int"))
+      val counts = bucketed.groupBy("segId").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until config.numSegments)
+        .scanLeft(0L)((acc, s) => acc + counts.getOrElse(s, 0L))
+      val offsetMap = spark.sparkContext.broadcast(offsets.toArray)
+      val offsetUdf = udf((segId: Int, rn: Long) => offsetMap.value(segId) + rn - 1)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("segId").orderBy("repo", "path")
+      bucketed
+        .withColumn("docId", offsetUdf(col("segId"), row_number().over(w).cast("long")))
+        .repartition(col("segId"))
+        .write.mode("overwrite").partitionBy("segId").parquet(stagedPath)
+    }
+
+    val analyzerB = spark.sparkContext.broadcast(config.analyzer)
+    val fieldName = config.field
+    val withPositions = config.withPositions
+    val docsPerRange = config.docsPerRange
+
+    // ---- stage 2: invert + flush, in resumable waves of segments ------
+    val segIds = fs(stagedPath).listStatus(new Path(stagedPath))
+      .filter(_.getPath.getName.startsWith("segId="))
+      .map(_.getPath.getName.stripPrefix("segId=").toInt).sorted
+
+    for ((waveSegs, wave) <- segIds.grouped(config.segmentsPerWave).zipWithIndex) {
+      val wavePostings = s"$postingsRoot/wave=$wave"
+      val waveDocs = s"$docsPath/wave=$wave"
+      if (!resume || !exists(s"$wavePostings/_SUCCESS") || !exists(s"$waveDocs/_SUCCESS")) {
+        val staged = spark.read.parquet(stagedPath)
+          .where(col("segId").isin(waveSegs.map(Integer.valueOf): _*)) // partition-pruned
+          .select("docId", "segId", "repo", "path", "commit", "lang", "content")
+          .as[(Long, Int, String, String, String, String, String)]
+
+        // docs (stored fields + per-row sha256 invariant + dl/norm)
+        staged.map { case (docId, segId, repo, path0, commit, lang, content) =>
+          val a = analyzerB.value(content)
+          val dl = a.length - a.numOverlap
+          DocRow(docId, segId, repo, path0, commit, lang,
+            sha256Hex(content), dl, SmallFloat.encodeNorm(a.length, a.numOverlap))
+        }.write.mode("overwrite").parquet(waveDocs)
+
+        // postings: invert per doc (no shuffle), then one bounded shuffle
+        val termDocs: Dataset[TermDocRow] = staged.flatMap {
+          case (docId, _, _, _, _, _, content) =>
+            val a = analyzerB.value(content)
+            val dl = a.length - a.numOverlap
+            val norm = SmallFloat.encodeNorm(a.length, a.numOverlap)
+            // local hash-agg: term -> positions (the reference's in-RAM
+            // BytesRefHash, collapsed to a per-row map)
+            val m = scala.collection.mutable.LinkedHashMap
+              .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+            a.tokens.foreach { t =>
+              m.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty[Int]) += t.pos
+            }
+            m.iterator.map { case (term, ps) =>
+              TermDocRow(fieldName, term, docId / docsPerRange, docId,
+                ps.length, dl, norm, if (withPositions) ps.toArray else Array.emptyIntArray)
+            }
+        }
+
+        termDocs
+          .groupByKey(r => (r.field, r.term, r.rangeId))
+          .mapGroups { (key: (String, String, Long), it: Iterator[TermDocRow]) =>
+            val (field, term, rangeId) = key
+            val entries = it.map(r => PostingEntry(r.docId, r.freq, r.dl, r.norm, r.positions))
+              .toArray.sortBy(_.docId)
+            val enc = PostingsCodec.encode(entries, withPositions)
+            PostingRow(wave, field, term, rangeId, enc.firstDocId, enc.lastDocId,
+              enc.count, enc.ttf, enc.maxFreq, enc.minDl,
+              enc.payload, enc.positions.orNull,
+              enc.skip.lastDoc, enc.skip.offset, enc.skip.posOffset,
+              enc.skip.maxFreq, enc.skip.minDl)
+          }
+          // term-sorted files → tight parquet row-group min/max stats on
+          // `term`, so query-time isin(queryTerms) prunes row groups
+          .sortWithinPartitions("term", "rangeId")
+          .write.mode("overwrite").parquet(wavePostings)
+      }
+    }
+
+    // ---- stage 3: publish (terms dict, stats, manifest) ----------------
+    val postings = spark.read.parquet(postingsRoot)
+    postings
+      .groupBy("field", "term")
+      .agg(
+        sum("docFreq").as("docFreq"),
+        sum("ttf").as("totalTermFreq"),
+        when(sum("docFreq") === 1L, max("firstDocId")).otherwise(-1L).as("singletonDocId"))
+      .write.mode("overwrite").parquet(termsPath)
+
+    val docs = spark.read.parquet(docsPath)
+    val terms = spark.read.parquet(termsPath)
+    val fieldStats = terms.groupBy("field").agg(
+      sum("totalTermFreq").as("sumTotalTermFreq"),
+      sum("docFreq").as("sumDocFreq"),
+      count(lit(1)).as("termCount"))
+    val docAgg = docs.agg(
+      count(lit(1)).as("maxDoc"),
+      sum(when(col("dl") > 0, 1L).otherwise(0L)).as("docCount"),
+      min("docId").as("minDocId"), max("docId").as("maxDocId")).collect()(0)
+
+    fieldStats
+      .withColumn("maxDoc", lit(docAgg.getLong(0)))
+      .withColumn("docCount", lit(docAgg.getLong(1)))
+      .write.mode("overwrite").parquet(statsPath)
+
+    val segMeta = docs.groupBy("segId")
+      .agg(min("docId").as("docLo"), max("docId").as("docHi"), count(lit(1)).as("docCount"))
+      .withColumn("generation", lit(1))
+      .withColumn("lineage", concat(lit(s"$stagedPath/segId="), col("segId")))
+      .select("segId", "docLo", "docHi", "docCount", "generation", "lineage")
+    segMeta.write.mode("overwrite").parquet(segmentsPath)
+
+    // two-phase commit: all data dirs are durable; the marker makes it live
+    val m = IndexManifest(indexPath, docAgg.getLong(0), docAgg.getLong(1), config.docsPerRange)
+    IndexManifest.commit(spark, m)
+    m
+  }
+
+  private def sha256Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+}
+
+/** Commit-point summary. Heavyweight metadata lives in parquet
+  * (segments/fieldstats/terms); this marker is the `segments_N` analogue.
+  */
+final case class IndexManifest(indexPath: String, maxDoc: Long, docCount: Long, docsPerRange: Int)
+
+object IndexManifest {
+  def commit(spark: SparkSession, m: IndexManifest): Unit = {
+    val p = new Path(s"${m.indexPath}/commit.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(
+      s"""{"maxDoc":${m.maxDoc},"docCount":${m.docCount},"docsPerRange":${m.docsPerRange}}"""
+        .getBytes("UTF-8"))
+    out.close()
+  }
+
+  def load(spark: SparkSession, indexPath: String): IndexManifest = {
+    val p = new Path(s"$indexPath/commit.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    def extract(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    IndexManifest(indexPath, extract("maxDoc"), extract("docCount"), extract("docsPerRange").toInt)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.index
+
+import graft.analysis.{Analyzer, StandardCodeAnalyzer}
+
+/** Input row shape (BASELINE.json input_hint): an Iceberg/Parquet table of
+  * source files.
+  */
+final case class CodeFile(repo: String, path: String, commit: String, lang: String, content: String)
+
+/** Stored-fields row: one per document. `contentSha` carries the per-row
+  * invariant (sha256 equality vs the corpus); `dl`/`norm` are the BM25
+  * document length and its byte315 quantization.
+  */
+final case class DocRow(
+    docId: Long,
+    segId: Int,
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    contentSha: String,
+    dl: Int,
+    norm: Byte)
+
+/** Intermediate per-(doc, term) row produced by the per-document invert step
+  * — created WITHOUT any shuffle (the whole in-RAM inverted index of the
+  * reference, /root/reference/core/index/termsHashConsumerPerField.go:288-369,
+  * collapses to per-row local aggregation because one document is one row).
+  */
+final case class TermDocRow(
+    field: String,
+    term: String,
+    rangeId: Long,
+    docId: Long,
+    freq: Int,
+    dl: Int,
+    norm: Byte,
+    positions: Array[Int])
+
+/** One posting-list slice: all docs of `term` within docId range `rangeId`
+  * (rangeId = docId / docsPerRange). Hot terms (df≈N) are thereby range-split
+  * across many bounded rows — the "salted shuffle with hot-term range
+  * splitting" of the north star, with a deterministic range salt instead of a
+  * random one so ranges stay docId-sorted and merge-free at read time.
+  */
+final case class PostingRow(
+    segId: Int,
+    field: String,
+    term: String,
+    rangeId: Long,
+    firstDocId: Long,
+    lastDocId: Long,
+    docFreq: Int,
+    ttf: Long,
+    maxFreq: Int,
+    minDl: Int,
+    payload: Array[Byte],
+    posPayload: Array[Byte], // null when positions disabled
+    skipLastDoc: Array[Long],
+    skipOffset: Array[Int],
+    skipPosOffset: Array[Int],
+    skipMaxFreq: Array[Int],
+    skipMinDl: Array[Int])
+
+/** Global term-dictionary row (the BlockTree terms dict of the reference,
+  * /root/reference/core/codec/blocktree/termsWriter.go, reduced to a Parquet
+  * table — query-time term seek is a broadcast join of the few query terms).
+  * `singletonDocId` >= 0 iff docFreq == 1 (singleton pulsing,
+  * /root/reference/core/codec/lucene41/postingsWriter.go:412-417).
+  */
+final case class TermRow(
+    field: String,
+    term: String,
+    docFreq: Long,
+    totalTermFreq: Long,
+    singletonDocId: Long)
+
+/** Per-segment, per-field statistics (reference computes these at flush:
+  * /root/reference/core/index/termsHashConsumerPerField.go:513-516,657-668).
+  */
+final case class FieldStatsRow(
+    segId: Int,
+    field: String,
+    docCount: Long,
+    sumTotalTermFreq: Long,
+    sumDocFreq: Long,
+    termCount: Long)
+
+/** Segment metadata for the manifest (SegmentInfos analogue,
+  * /root/reference/core/index/segmentInfos.go:297-340). A segment is a
+  * contiguous docId range [docLo, docHi] built by one resumable job.
+  */
+final case class SegmentMeta(
+    segId: Int,
+    docLo: Long,
+    docHi: Long,
+    docCount: Long,
+    generation: Int,
+    lineage: String)
+
+final case class IndexConfig(
+    field: String = "content",
+    analyzer: Analyzer = new StandardCodeAnalyzer(),
+    withPositions: Boolean = true,
+    /** posting-row docId range width: bounds every build/query shuffle group */
+    docsPerRange: Int = 8192,
+    /** number of hash buckets = segments (contiguous docId ranges) */
+    numSegments: Int = 32,
+    /** segments built per resumable wave job (checkpoint granularity) */
+    segmentsPerWave: Int = 8,
+    /** shuffle parallelism for the postings aggregation */
+    buildPartitions: Int = 32)

@@ -1,0 +1,94 @@
+package graft.search
+
+/** Query AST — the subset the reference implements and tests
+  * (/root/repo/SURVEY.md §2.4): term, exact phrase (slop=0), and boolean
+  * combinations with MUST/SHOULD/MUST_NOT and minNrShouldMatch. All leaves
+  * target the single configured indexed field.
+  */
+sealed trait Query
+
+final case class TermQuery(term: String, boost: Float = 1.0f) extends Query
+
+/** Exact phrase, slop=0 (/root/reference/core/search/exactPhraseScorer.go). */
+final case class PhraseQuery(terms: Seq[String], boost: Float = 1.0f) extends Query
+
+sealed trait Occur
+object Occur {
+  case object MUST extends Occur
+  case object SHOULD extends Occur
+  case object MUST_NOT extends Occur
+}
+
+final case class BooleanClause(occur: Occur, query: Query)
+
+final case class BooleanQuery(
+    clauses: Seq[BooleanClause],
+    minShouldMatch: Int = 0,
+    boost: Float = 1.0f) extends Query
+
+object Query {
+  /** All distinct leaf terms, in first-appearance order (the canonical
+    * float32 summation order — /root/repo/SURVEY.md §7.3).
+    */
+  def leafTerms(q: Query): Seq[String] = {
+    val buf = scala.collection.mutable.LinkedHashSet.empty[String]
+    def walk(q: Query): Unit = q match {
+      case TermQuery(t, _) => buf += t
+      case PhraseQuery(ts, _) => buf ++= ts
+      case BooleanQuery(cs, _, _) => cs.foreach(c => walk(c.query))
+    }
+    walk(q)
+    buf.toSeq
+  }
+
+  /** Terms that need positions decoded (phrase members). */
+  def phraseTerms(q: Query): Set[String] = q match {
+    case PhraseQuery(ts, _) => ts.toSet
+    case BooleanQuery(cs, _, _) => cs.flatMap(c => phraseTerms(c.query)).toSet
+    case _ => Set.empty
+  }
+
+  /** Reference rewrite fixpoint (/root/reference/core/search/search.go:171-179):
+    * 1-clause non-prohibited boolean → the clause with folded boost
+    * (boolean.go:351-389); 1-term phrase → term (phrase.go:237-248);
+    * optional==minShouldMatch → promote to required (boolean.go:164-169).
+    */
+  def rewrite(q: Query): Query = q match {
+    case PhraseQuery(Seq(t), boost) => TermQuery(t, boost)
+    case bq @ BooleanQuery(cs, msm, boost) =>
+      val rewritten = cs.map(c => c.copy(query = rewrite(c.query)))
+      val nShould = rewritten.count(_.occur == Occur.SHOULD)
+      val promoted =
+        if (msm > 0 && nShould == msm)
+          BooleanQuery(rewritten.map(c =>
+            if (c.occur == Occur.SHOULD) c.copy(occur = Occur.MUST) else c), 0, boost)
+        else BooleanQuery(rewritten, msm, boost)
+      promoted match {
+        case BooleanQuery(Seq(BooleanClause(o, inner)), 0, b) if o != Occur.MUST_NOT =>
+          foldBoost(inner, b)
+        case other => if (other == bq) bq else rewrite(other)
+      }
+    case other => other
+  }
+
+  private def foldBoost(q: Query, b: Float): Query = q match {
+    case TermQuery(t, b0) => TermQuery(t, b0 * b)
+    case PhraseQuery(ts, b0) => PhraseQuery(ts, b0 * b)
+    case BooleanQuery(cs, m, b0) => BooleanQuery(cs, m, b0 * b)
+  }
+}
+
+/** Search result envelope (/root/reference/core/search/collect.go:53-57):
+  * totalHits counts ALL matching docs, not just the returned k.
+  */
+final case class TopDocs(totalHits: Long, scoreDocs: Array[ScoredDoc])
+final case class ScoredDoc(docId: Long, score: Double)
+
+/** Scoring arithmetic mode — see [[Bm25]]. */
+sealed trait ScoreMode extends Serializable
+object ScoreMode {
+  /** float32 + byte-quantized norms: rank/score parity with the reference. */
+  case object Ref32 extends ScoreMode
+  /** float64 + exact doc lengths: reproducible by an ANSI-SQL oracle. */
+  case object ExactDouble extends ScoreMode
+}

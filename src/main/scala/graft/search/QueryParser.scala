@@ -1,0 +1,131 @@
+package graft.search
+
+import graft.analysis.Analyzer
+
+/** Classic query-parser subset actually implemented by the reference
+  * (/root/reference/queryparser/classic/queryParser.go:118-244 — the
+  * productions that do NOT panic): `AND OR NOT + - ( ) field: "quoted" term`,
+  * default operator OR. Bare text is re-analyzed with the index analyzer
+  * (/root/reference/queryparser/classic/queryBuilder.go:23-130): one token →
+  * TermQuery, n tokens → BooleanQuery of SHOULD clauses, quoted → PhraseQuery.
+  */
+final class QueryParser(analyzer: Analyzer, defaultField: String = "content") {
+
+  private sealed trait Tok
+  private case object LParen extends Tok
+  private case object RParen extends Tok
+  private case object Plus extends Tok
+  private case object Minus extends Tok
+  private case object AndTok extends Tok
+  private case object OrTok extends Tok
+  private case object NotTok extends Tok
+  private final case class Quoted(s: String) extends Tok
+  private final case class Word(s: String) extends Tok
+
+  private def lex(s: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case c if c.isWhitespace => i += 1
+        case '(' => out += LParen; i += 1
+        case ')' => out += RParen; i += 1
+        case '+' => out += Plus; i += 1
+        case '-' => out += Minus; i += 1
+        case '"' =>
+          val end = s.indexOf('"', i + 1)
+          val stop = if (end < 0) s.length else end
+          out += Quoted(s.substring(i + 1, stop))
+          i = stop + 1
+        case _ =>
+          val start = i
+          while (i < s.length && !s.charAt(i).isWhitespace &&
+            !"()+-\"".contains(s.charAt(i))) i += 1
+          s.substring(start, i) match {
+            case "AND" | "&&" => out += AndTok
+            case "OR" | "||" => out += OrTok
+            case "NOT" | "!" => out += NotTok
+            case w => out += Word(w)
+          }
+      }
+    }
+    out.toList
+  }
+
+  def parse(input: String): Query = {
+    val (q, rest) = parseBoolean(lex(input))
+    require(rest.isEmpty, s"unconsumed query tokens: $rest")
+    q
+  }
+
+  private def parseBoolean(toks0: List[Tok]): (Query, List[Tok]) = {
+    var toks = toks0
+    val clauses = scala.collection.mutable.ArrayBuffer.empty[BooleanClause]
+    var conj: Option[Tok] = None
+    var mod: Option[Tok] = None
+    var done = false
+    while (!done && toks.nonEmpty) {
+      toks.head match {
+        case RParen => done = true
+        case AndTok | OrTok => conj = Some(toks.head); toks = toks.tail
+        case Plus => mod = Some(Plus); toks = toks.tail
+        case Minus | NotTok => mod = Some(Minus); toks = toks.tail
+        case _ =>
+          val (subOpt, rest) = parseClause(toks)
+          toks = rest
+          subOpt.foreach { sub =>
+            // reference addClause semantics: CONJ_AND promotes the previous
+            // non-prohibited clause to MUST (queryParserBase.go addClause)
+            if (conj.contains(AndTok) && clauses.nonEmpty &&
+              clauses.last.occur != Occur.MUST_NOT)
+              clauses(clauses.length - 1) = clauses.last.copy(occur = Occur.MUST)
+            val occur = mod match {
+              case Some(Minus) => Occur.MUST_NOT
+              case Some(Plus) => Occur.MUST
+              case _ => if (conj.contains(AndTok)) Occur.MUST else Occur.SHOULD
+            }
+            clauses += BooleanClause(occur, sub)
+          }
+          conj = None
+          mod = None
+      }
+    }
+    val q = clauses.toList match {
+      case Nil => BooleanQuery(Nil)
+      case List(BooleanClause(Occur.SHOULD, single)) => single
+      case cs => BooleanQuery(cs)
+    }
+    (q, toks)
+  }
+
+  /** One clause: group, quoted phrase, or bare term (with optional field:). */
+  private def parseClause(toks: List[Tok]): (Option[Query], List[Tok]) = toks match {
+    case LParen :: rest =>
+      val (q, rest2) = parseBoolean(rest)
+      val rest3 = rest2 match {
+        case RParen :: r => r
+        case r => r
+      }
+      (Some(q), rest3)
+    case Quoted(s) :: rest =>
+      val terms = analyzer(s).tokens.map(_.term).toSeq
+      terms match {
+        case Seq() => (None, rest)
+        case Seq(t) => (Some(TermQuery(t)), rest)
+        case ts => (Some(PhraseQuery(ts)), rest)
+      }
+    case Word(w) :: rest =>
+      // strip an optional field: prefix (single-field engine)
+      val text = {
+        val ci = w.indexOf(':')
+        if (ci > 0 && ci < w.length - 1) w.substring(ci + 1) else w
+      }
+      val terms = analyzer(text).tokens.map(_.term).toSeq
+      terms match {
+        case Seq() => (None, rest)
+        case Seq(t) => (Some(TermQuery(t)), rest)
+        case ts => (Some(BooleanQuery(ts.map(t => BooleanClause(Occur.SHOULD, TermQuery(t))).toList)), rest)
+      }
+    case other => (None, if (other.isEmpty) Nil else other.tail)
+  }
+}

@@ -1,0 +1,351 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.codec.PostingsCodec
+import graft.index.IndexManifest
+
+/** Compiled, serializable query plan: per-leaf scorers bound to term indexes
+  * within the query's term universe (≤64 distinct terms → bitmask ops).
+  */
+private[search] sealed trait CNode extends Serializable
+private[search] final case class CLeafTerm(
+    idx: Int, ref: Bm25.RefScorer, exact: Bm25.ExactScorer) extends CNode
+private[search] final case class CLeafPhrase(
+    idxs: Array[Int], ref: Bm25.RefScorer, exact: Bm25.ExactScorer) extends CNode
+private[search] final case class CBool(
+    must: Array[CNode], should: Array[CNode], mustNot: Array[CNode], msm: Int) extends CNode
+
+/** Per-doc leaf data assembled from decoded postings for one docId range. */
+private[search] final class RangeAccum(
+    val base: Long,
+    val width: Int,
+    val numTerms: Int,
+    needPositions: Array[Boolean]) {
+  val masks = new Array[Long](width)
+  val dls = new Array[Int](width)
+  val norms = new Array[Byte](width)
+  val freqs: Array[Array[Int]] = Array.tabulate(numTerms)(_ => new Array[Int](width))
+  val positions: Array[Array[Array[Int]]] =
+    needPositions.map(n => if (n) new Array[Array[Int]](width) else null)
+}
+
+private[search] object Eval {
+  /** Exact-arithmetic (float64) evaluation; NaN = no match.
+    * Boolean semantics follow the reference planner
+    * (/root/reference/core/search/boolean.go:133-252): all MUST match, no
+    * MUST_NOT matches, ≥minShouldMatch SHOULD match, at least one scoring
+    * clause matches; score = sum of matching clause scores (BM25 coord = 1,
+    * /root/reference/core/search/similarities/similarity.go:34-36).
+    */
+  def evalD(node: CNode, acc: RangeAccum, slot: Int): Double = node match {
+    case CLeafTerm(idx, _, exact) =>
+      if (idx >= 0 && (acc.masks(slot) & (1L << idx)) != 0)
+        exact.score(acc.freqs(idx)(slot).toDouble, acc.dls(slot).toDouble)
+      else Double.NaN
+    case CLeafPhrase(idxs, _, exact) =>
+      val pf = phraseFreq(idxs, acc, slot)
+      if (pf > 0) exact.score(pf.toDouble, acc.dls(slot).toDouble) else Double.NaN
+    case CBool(must, should, mustNot, msm) =>
+      var score = 0.0
+      var i = 0
+      while (i < mustNot.length) {
+        if (!evalD(mustNot(i), acc, slot).isNaN) return Double.NaN
+        i += 1
+      }
+      i = 0
+      while (i < must.length) {
+        val s = evalD(must(i), acc, slot)
+        if (s.isNaN) return Double.NaN
+        score += s
+        i += 1
+      }
+      var matched = 0
+      i = 0
+      while (i < should.length) {
+        val s = evalD(should(i), acc, slot)
+        if (!s.isNaN) { matched += 1; score += s }
+        i += 1
+      }
+      if (matched < msm) return Double.NaN
+      if (must.isEmpty && matched == 0) return Double.NaN
+      score
+  }
+
+  /** float32 evaluation (reference score parity: float32 sums of float32
+    * leaf scores in clause order).
+    */
+  def evalF(node: CNode, acc: RangeAccum, slot: Int): Float = node match {
+    case CLeafTerm(idx, ref, _) =>
+      if (idx >= 0 && (acc.masks(slot) & (1L << idx)) != 0)
+        ref.score(acc.freqs(idx)(slot).toFloat, acc.norms(slot))
+      else Float.NaN
+    case CLeafPhrase(idxs, ref, _) =>
+      val pf = phraseFreq(idxs, acc, slot)
+      if (pf > 0) ref.score(pf.toFloat, acc.norms(slot)) else Float.NaN
+    case CBool(must, should, mustNot, msm) =>
+      var score = 0.0f
+      var i = 0
+      while (i < mustNot.length) {
+        if (!evalF(mustNot(i), acc, slot).isNaN) return Float.NaN
+        i += 1
+      }
+      i = 0
+      while (i < must.length) {
+        val s = evalF(must(i), acc, slot)
+        if (s.isNaN) return Float.NaN
+        score += s
+        i += 1
+      }
+      var matched = 0
+      i = 0
+      while (i < should.length) {
+        val s = evalF(should(i), acc, slot)
+        if (!s.isNaN) { matched += 1; score += s }
+        i += 1
+      }
+      if (matched < msm) return Float.NaN
+      if (must.isEmpty && matched == 0) return Float.NaN
+      score
+  }
+
+  /** Exact-phrase occurrence count: #positions p of term0 such that term i
+    * sits at p+i for all i (semantics of
+    * /root/reference/core/search/exactPhraseScorer.go:141-279, without the
+    * 4096-chunking — position arrays here are per-doc and small).
+    */
+  def phraseFreq(idxs: Array[Int], acc: RangeAccum, slot: Int): Int = {
+    var i = 0
+    while (i < idxs.length) {
+      val idx = idxs(i)
+      if (idx < 0 || (acc.masks(slot) & (1L << idx)) == 0) return 0
+      if (acc.positions(idx) == null || acc.positions(idx)(slot) == null) return 0
+      i += 1
+    }
+    val first = acc.positions(idxs(0))(slot)
+    var count = 0
+    var j = 0
+    while (j < first.length) {
+      val p = first(j)
+      var ok = true
+      var k = 1
+      while (ok && k < idxs.length) {
+        ok = java.util.Arrays.binarySearch(acc.positions(idxs(k))(slot), p + k) >= 0
+        k += 1
+      }
+      if (ok) count += 1
+      j += 1
+    }
+    count
+  }
+}
+
+/** Distributed BM25 top-k search over a built index.
+  *
+  * Read-path plan (restating /root/repo/SURVEY.md §3.2 Spark-first):
+  * query-term stats resolve from the terms dictionary via a driver-side
+  * lookup broadcast into the compiled plan (the "broadcast query-term
+  * dictionary"); postings rows of the query terms are scanned with
+  * parquet predicate pushdown on `term`, grouped by their docId range —
+  * every boolean/phrase combination completes WITHIN a range group (all
+  * terms' rows for a range meet there), so no per-document shuffle ever
+  * happens; per-partition top-k heaps then merge on the driver
+  * (treeAggregate pattern, reference collector semantics
+  * /root/reference/core/search/collect.go:193-346 incl. tie-break:
+  * score desc, docId asc).
+  */
+final class IndexSearcher(
+    spark: SparkSession,
+    indexPath: String,
+    val field: String = "content") extends Serializable {
+  import spark.implicits._
+
+  val manifest: IndexManifest = IndexManifest.load(spark, indexPath)
+
+  private lazy val termsDF: DataFrame = spark.read.parquet(s"$indexPath/terms")
+  private lazy val postingsDF: DataFrame = spark.read.parquet(s"$indexPath/postings")
+  private lazy val fieldStatsRow = spark.read.parquet(s"$indexPath/fieldstats")
+    .where(col("field") === field).collect()(0)
+
+  lazy val collectionStats: CollectionStats = CollectionStats(
+    field,
+    maxDoc = fieldStatsRow.getAs[Long]("maxDoc"),
+    docCount = fieldStatsRow.getAs[Long]("docCount"),
+    sumTotalTermFreq = fieldStatsRow.getAs[Long]("sumTotalTermFreq"),
+    sumDocFreq = fieldStatsRow.getAs[Long]("sumDocFreq"))
+
+  /** Driver-side stats lookup for the query's few terms (broadcast-join
+    * equivalent; the terms table never ships anywhere).
+    */
+  def termStats(terms: Seq[String]): Map[String, TermStats] =
+    termsDF
+      .where(col("field") === field && col("term").isin(terms: _*))
+      .select("term", "docFreq", "totalTermFreq")
+      .collect()
+      .map(r => r.getString(0) -> TermStats(field, r.getString(0), r.getLong(1), r.getLong(2)))
+      .toMap
+
+  private def compile(
+      q0: Query,
+      stats: Map[String, TermStats],
+      termIdx: Map[String, Int]): CNode = {
+    val cs = collectionStats
+    def node(q: Query, topBoost: Float): CNode = q match {
+      case TermQuery(t, boost) =>
+        stats.get(t) match {
+          case Some(ts) =>
+            CLeafTerm(termIdx(t),
+              Bm25.refScorer(ts, cs, boost = boost * topBoost),
+              Bm25.exactScorer(ts, cs, boost = (boost * topBoost).toDouble))
+          case None => CLeafTerm(-1, null, null)
+        }
+      case PhraseQuery(ts, boost) =>
+        if (ts.forall(stats.contains)) {
+          // phrase weight = sum of member idfs (bm25.go idfExplainPhrase)
+          val idfF = ts.map(t => Bm25.idfRef(stats(t).docFreq, cs.maxDoc)).sum
+          val idfD = ts.map(t => Bm25.idfExact(stats(t).docFreq, cs.maxDoc)).sum
+          CLeafPhrase(ts.map(termIdx).toArray,
+            new Bm25.RefScorer(idfF * boost * topBoost, Bm25.avgdlRef(cs), Bm25.DefaultK1, Bm25.DefaultB),
+            new Bm25.ExactScorer(idfD * boost * topBoost, Bm25.avgdlExact(cs), 1.2, 0.75))
+        } else CLeafTerm(-1, null, null)
+      case BooleanQuery(clauses, msm, boost) =>
+        val b = boost * topBoost
+        CBool(
+          clauses.filter(_.occur == Occur.MUST).map(c => node(c.query, b)).toArray,
+          clauses.filter(_.occur == Occur.SHOULD).map(c => node(c.query, b)).toArray,
+          clauses.filter(_.occur == Occur.MUST_NOT).map(c => node(c.query, 1.0f)).toArray,
+          msm)
+    }
+    node(Query.rewrite(q0), 1.0f)
+  }
+
+  /** All matching docs with scores — the full scored result set as a Dataset
+    * (top-k and TotalHits both derive from it in one pass).
+    */
+  def scoredDocs(q0: Query, mode: ScoreMode): Dataset[ScoredDoc] = {
+    val q = Query.rewrite(q0)
+    val terms = Query.leafTerms(q)
+    require(terms.size <= 64, s"more than 64 distinct query terms: ${terms.size}")
+    val termIdx = terms.zipWithIndex.toMap
+    val stats = termStats(terms)
+    val plan = compile(q, stats, termIdx)
+    val needPos = {
+      val pts = Query.phraseTerms(q)
+      terms.map(pts.contains).toArray
+    }
+    val anyPos = needPos.exists(identity)
+    val width = manifest.docsPerRange
+    val nTerms = terms.size
+    val termIdxB = spark.sparkContext.broadcast(termIdx)
+    val planB = spark.sparkContext.broadcast(plan)
+
+    val cols = Seq("term", "rangeId", "firstDocId", "payload") ++
+      (if (anyPos) Seq("posPayload") else Nil)
+    val rows = postingsDF
+      .where(col("field") === field && col("term").isin(terms: _*))
+      .select(cols.map(col): _*)
+
+    val ds =
+      if (anyPos)
+        rows.as[(String, Long, Long, Array[Byte], Array[Byte])]
+      else
+        rows.as[(String, Long, Long, Array[Byte])]
+          .map { case (t, r, f, p) => (t, r, f, p, null: Array[Byte]) }
+
+    ds.groupByKey(_._2).flatMapGroups { (rangeId, it) =>
+      val acc = new RangeAccum(rangeId * width, width, nTerms, needPos)
+      val idxOf = termIdxB.value
+      // a (term, rangeId) can span two build waves → concat sorted slices
+      it.toArray.sortBy(_._3).foreach { case (term, _, _, payload, posPayload) =>
+        val ti = idxOf(term)
+        val dec = PostingsCodec.decode(payload)
+        val poss =
+          if (needPos(ti) && posPayload != null)
+            PostingsCodec.decodePositions(posPayload, dec.freqs)
+          else null
+        var i = 0
+        val bit = 1L << ti
+        while (i < dec.length) {
+          val slot = (dec.docIds(i) - acc.base).toInt
+          acc.masks(slot) |= bit
+          acc.dls(slot) = dec.dls(i)
+          acc.norms(slot) = dec.norms(i)
+          acc.freqs(ti)(slot) = dec.freqs(i)
+          if (poss != null) acc.positions(ti)(slot) = poss(i)
+          i += 1
+        }
+      }
+      val out = Array.newBuilder[ScoredDoc]
+      val p = planB.value
+      var slot = 0
+      mode match {
+        case ScoreMode.ExactDouble =>
+          while (slot < width) {
+            if (acc.masks(slot) != 0) {
+              val s = Eval.evalD(p, acc, slot)
+              if (!s.isNaN) out += ScoredDoc(acc.base + slot, s)
+            }
+            slot += 1
+          }
+        case ScoreMode.Ref32 =>
+          while (slot < width) {
+            if (acc.masks(slot) != 0) {
+              val s = Eval.evalF(p, acc, slot)
+              if (!s.isNaN) out += ScoredDoc(acc.base + slot, s.toDouble)
+            }
+            slot += 1
+          }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Top-k with reference tie-break + TotalHits, in ONE distributed pass:
+    * per-partition bounded heaps merge on the driver.
+    */
+  def search(q: Query, k: Int, mode: ScoreMode = ScoreMode.Ref32): TopDocs = {
+    val partials = scoredDocs(q, mode).mapPartitions { it =>
+      val heap = new BoundedHitQueue(k)
+      var count = 0L
+      it.foreach { sd => count += 1; heap.insert(sd.docId, sd.score) }
+      Iterator.single((count, heap.toSortedArray))
+    }.collect()
+    val heap = new BoundedHitQueue(k)
+    var total = 0L
+    partials.foreach { case (c, hits) =>
+      total += c
+      hits.foreach(h => heap.insert(h.docId, h.score))
+    }
+    TopDocs(total, heap.toSortedArray)
+  }
+}
+
+/** Size-bounded hit queue with the reference collector's ordering: keep the
+  * k best by (score desc, docId asc)
+  * (/root/reference/core/search/collect.go:206-213,293-298).
+  */
+final class BoundedHitQueue(k: Int) extends Serializable {
+  private val pq = new java.util.PriorityQueue[ScoredDoc](
+    math.max(1, k),
+    // head = WORST kept hit: lower score first; on equal score, larger docId first
+    (a: ScoredDoc, b: ScoredDoc) =>
+      if (a.score != b.score) java.lang.Double.compare(a.score, b.score)
+      else java.lang.Long.compare(b.docId, a.docId))
+
+  def insert(docId: Long, score: Double): Unit = {
+    if (pq.size < k) pq.add(ScoredDoc(docId, score))
+    else {
+      val worst = pq.peek()
+      val better = score > worst.score || (score == worst.score && docId < worst.docId)
+      if (better) { pq.poll(); pq.add(ScoredDoc(docId, score)) }
+    }
+  }
+
+  def toSortedArray: Array[ScoredDoc] = {
+    val arr = pq.toArray(new Array[ScoredDoc](pq.size))
+    scala.util.Sorting.stableSort(arr, (a: ScoredDoc, b: ScoredDoc) =>
+      a.score > b.score || (a.score == b.score && a.docId < b.docId))
+    arr
+  }
+}
