@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.analysis.StandardCodeAnalyzer
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search.{IndexSearcher, QueryParser, ScoreMode}
+
+/** Command-line surface of the engine.
+  *
+  * {{{
+  * sbt "runMain graft.Cli build <corpusParquet> <indexDir>"   # corpus: (repo,path,commit,lang,content) or documents.parquet
+  * sbt "runMain graft.Cli search <indexDir> <k> <query...>"   # classic query syntax
+  * }}}
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  private def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "build" :: corpus :: indexDir :: Nil =>
+      val raw = spark.read.parquet(corpus)
+      // accept either the CodeFile shape or the documents.parquet shape
+      val df =
+        if (raw.columns.contains("content")) raw
+        else raw.select(
+          col("source").as("repo"),
+          col("doc_id").cast("string").as("path"),
+          lit("").as("commit"),
+          col("lang"),
+          col("text").as("content"))
+      val m = new IndexBuilder(spark, IndexConfig(analyzer = new StandardCodeAnalyzer()))
+        .build(df.select("repo", "path", "commit", "lang", "content"), indexDir)
+      println(s"BUILT index at $indexDir: maxDoc=${m.maxDoc} docCount=${m.docCount}")
+    case "search" :: indexDir :: k :: rest if rest.nonEmpty =>
+      val searcher = new IndexSearcher(spark, indexDir)
+      val q = new QueryParser(new StandardCodeAnalyzer()).parse(rest.mkString(" "))
+      println(s"QUERY: $q")
+      val top = searcher.search(q, k.toInt, ScoreMode.Ref32)
+      println(s"totalHits=${top.totalHits}")
+      top.scoreDocs.foreach(d => println(f"  doc=${d.docId}%6d score=${d.score}%.4f"))
+    case other =>
+      System.err.println(s"usage: build <corpusParquet> <indexDir> | search <indexDir> <k> <query...> (got: $other)")
+      sys.exit(2)
+  }
+}

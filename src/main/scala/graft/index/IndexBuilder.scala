@@ -89,7 +89,7 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
           val a = analyzerB.value(content)
           val dl = a.length - a.numOverlap
           DocRow(docId, segId, repo, path0, commit, lang,
-            sha256Hex(content), dl, SmallFloat.encodeNorm(a.length, a.numOverlap))
+            Hashing.sha256Hex(content), dl, SmallFloat.encodeNorm(a.length, a.numOverlap))
         }.write.mode("overwrite").parquet(waveDocs)
 
         // postings: invert per doc (no shuffle), then one bounded shuffle
@@ -170,7 +170,10 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
     m
   }
 
-  private def sha256Hex(s: String): String = {
+}
+
+object Hashing {
+  def sha256Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
