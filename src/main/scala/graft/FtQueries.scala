@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.StandardCodeAnalyzer
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search._
+
+/** Driver-verified full-text query surface: builds the inverted index over
+  * the `documents` table (once per JVM per scale dir, resumable on disk) and
+  * answers queries through the real engine; every query has an ANSI-SQL
+  * twin in [[SparkEntry.oracleSql]] computed by DuckDB over the same parquet.
+  *
+  * Scoring uses [[ScoreMode.ExactDouble]] (float64 + exact doc lengths) so
+  * the SQL oracle can reproduce scores bit-for-bit before round(_, 4);
+  * reference float32 parity is asserted separately in `sbt test`
+  * (EndToEndSpec).
+  */
+object FtQueries {
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  val analyzer = new StandardCodeAnalyzer()
+
+  def indexPath(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(sfDir, {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_" +
+        graft.index.Hashing.sha256Hex(sfDir).take(12)
+      val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(
+          col("doc_id"),
+          col("source").as("repo"),
+          col("doc_id").cast("string").as("path"),
+          lit("").as("commit"),
+          col("lang"),
+          col("text").as("content"))
+      new IndexBuilder(spark, IndexConfig(
+        analyzer = analyzer,
+        docsPerRange = 1024,
+        numSegments = 8,
+        segmentsPerWave = 4,
+        explicitDocIdCol = Some("doc_id")))
+        .build(corpus, dir, resume = true)
+      dir
+    })
+
+  def searcher(spark: SparkSession, sfDir: String): IndexSearcher =
+    new IndexSearcher(spark, indexPath(spark, sfDir))
+
+  /** Matching docs with round(score, 4), ordered by docId. */
+  def matches(spark: SparkSession, sfDir: String, q: Query): DataFrame =
+    searcher(spark, sfDir).scoredDocs(q, ScoreMode.ExactDouble)
+      .toDF("doc_id", "score")
+      .select(col("doc_id"), round(col("score"), 4).as("score_r"))
+      .orderBy("doc_id")
+
+  /** Top-k by rounded score (rounding first keeps ordering identical to the
+    * SQL oracle), tie-break ascending docId.
+    */
+  def topK(spark: SparkSession, sfDir: String, q: Query, k: Int): DataFrame =
+    searcher(spark, sfDir).scoredDocs(q, ScoreMode.ExactDouble)
+      .toDF("doc_id", "score")
+      .select(col("doc_id"), round(col("score"), 4).as("score_r"))
+      .orderBy(col("score_r").desc, col("doc_id").asc)
+      .limit(k)
+
+  def termStatsDF(spark: SparkSession, sfDir: String, terms: Seq[String]): DataFrame =
+    spark.read.parquet(s"${indexPath(spark, sfDir)}/terms")
+      .where(col("term").isin(terms: _*))
+      .select(col("term"), col("docFreq").as("df"), col("totalTermFreq").as("ttf"))
+      .orderBy("term")
+
+  def totalHitsDF(spark: SparkSession, sfDir: String, qs: Seq[(String, Query)]): DataFrame = {
+    import spark.implicits._
+    val s = searcher(spark, sfDir)
+    qs.map { case (name, q) => (name, s.search(q, 1, ScoreMode.ExactDouble).totalHits) }
+      .toDF("qname", "hits")
+      .orderBy("qname")
+  }
+
+  // ---------- ANSI-SQL oracle fragments (DuckDB dialect) ----------
+
+  private val stopSql = TextOpsOracle.stopSql
+
+  /** Shared prelude: per-doc raw tokens, stop-filtered tokens, dl, avgdl. */
+  def prelude: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk_all
+       |  FROM documents
+       |), docs AS (
+       |  SELECT doc_id, tk_all, list_filter(tk_all, x -> x NOT IN ($stopSql)) AS tk
+       |  FROM raw
+       |), g AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         CAST(sum(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM docs
+       |)""".stripMargin
+
+  /** Per-term frequency column over the stop-filtered token list. */
+  def freqCol(t: String): String = s"len(list_filter(tk, x -> x = '$t'))"
+
+  /** idf scalar subquery for term t (float64, engine-identical expression). */
+  def idfSql(t: String): String =
+    s"""ln(1 + ((SELECT n FROM g) - (SELECT CAST(count(*) AS DOUBLE) FROM docs WHERE ${freqCol(t)} > 0) + 0.5)
+       | / ((SELECT CAST(count(*) AS DOUBLE) FROM docs WHERE ${freqCol(t)} > 0) + 0.5))""".stripMargin.replace("\n", "")
+
+  /** BM25 term score with the engine's exact double expression shape:
+    * idf * ((f*(1.2+1)) / (f + 1.2*((1-0.75) + (0.75*dl)/avgdl))).
+    */
+  def scoreSql(fExpr: String, idfExpr: String): String =
+    s"($idfExpr * ((CAST($fExpr AS DOUBLE) * (1.2 + 1)) / " +
+      s"(CAST($fExpr AS DOUBLE) + 1.2 * ((1 - 0.75) + (0.75 * CAST(len(tk) AS DOUBLE)) / (SELECT avgdl FROM g)))))"
+}
+
+object TextOpsOracle {
+  val stopSql: String =
+    graft.pipeline.TextOps.StopList.map(w => s"'$w'").mkString(", ")
+}

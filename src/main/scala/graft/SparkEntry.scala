@@ -1,13 +1,325 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
+import graft.search._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] runs through the real engine (full-text
+  * queries build and search the inverted index; pipeline ops are Catalyst
+  * column programs); [[oracleSql]] holds the ANSI-SQL twin DuckDB executes
+  * over the same parquet tables. Column names and row orderings match
+  * pairwise.
+  */
 object SparkEntry {
+  import FtQueries.{freqCol, idfSql, scoreSql, prelude}
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    FtQueries.topK(spark, "/root/testdata/sf0.001",
+      BooleanQuery(Seq(
+        BooleanClause(Occur.MUST, TermQuery("merge")),
+        BooleanClause(Occur.MUST, TermQuery("sort")))), 10)
+
+  // fixed term sets used by the verified queries
+  private val statTerms = Seq("batch", "data", "merge", "sort", "spark", "window")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- full-text engine (inverted index + BM25) ----
+    "ft_term_stats" -> ((s, d) => FtQueries.termStatsDF(s, d, statTerms)),
+    "ft_term_topk" -> ((s, d) => FtQueries.topK(s, d, TermQuery("merge"), 10)),
+    "ft_bool_and" -> ((s, d) => FtQueries.matches(s, d, BooleanQuery(Seq(
+      BooleanClause(Occur.MUST, TermQuery("merge")),
+      BooleanClause(Occur.MUST, TermQuery("sort")))))),
+    "ft_bool_or_topk" -> ((s, d) => FtQueries.topK(s, d, BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("merge")),
+      BooleanClause(Occur.SHOULD, TermQuery("spark")),
+      BooleanClause(Occur.SHOULD, TermQuery("window")))), 10)),
+    "ft_req_excl" -> ((s, d) => FtQueries.matches(s, d, BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("merge")),
+      BooleanClause(Occur.MUST_NOT, TermQuery("spark")))))),
+    "ft_msm" -> ((s, d) => FtQueries.matches(s, d, BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("merge")),
+      BooleanClause(Occur.SHOULD, TermQuery("sort")),
+      BooleanClause(Occur.SHOULD, TermQuery("window"))), minShouldMatch = 2))),
+    "ft_phrase" -> ((s, d) => FtQueries.matches(s, d, PhraseQuery(Seq("batch", "batch")))),
+    "ft_parsed" -> ((s, d) => FtQueries.topK(s, d,
+      new QueryParser(FtQueries.analyzer).parse("spark OR (merge AND sort)"), 10)),
+    "ft_total_hits" -> ((s, d) => FtQueries.totalHitsDF(s, d, Seq(
+      "and_merge_sort" -> BooleanQuery(Seq(
+        BooleanClause(Occur.MUST, TermQuery("merge")),
+        BooleanClause(Occur.MUST, TermQuery("sort")))),
+      "or_merge_spark" -> BooleanQuery(Seq(
+        BooleanClause(Occur.SHOULD, TermQuery("merge")),
+        BooleanClause(Occur.SHOULD, TermQuery("spark")))),
+      "phrase_batch_batch" -> PhraseQuery(Seq("batch", "batch"))))),
+
+    // ---- deduplication ----
+    "dd_exact" -> ((s, d) => Dedup.exactDupGroups(docs(s, d), "text", "doc_id")
+      .orderBy("content_md5").limit(20)),
+    "dd_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(docs(s, d).where(col("doc_id") < 20), "text", "doc_id")
+        .orderBy("doc_id", "seed")),
+    "dd_lsh_pairs" -> ((s, d) =>
+      Dedup.minhashLshPairs(docs(s, d), "text", "doc_id", tau = 0.05)
+        .orderBy("id_a", "id_b")),
+    "dd_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id", tau = 0.01, maxId = 40L)
+        .orderBy("id_a", "id_b")),
+    "dd_simhash" -> ((s, d) => Dedup.simhash32(docs(s, d), "text", "doc_id")
+      .orderBy("doc_id")),
+
+    // ---- similarity search over embeddings ----
+    "ann_cosine_topk" -> ((s, d) =>
+      Ann.cosineTopK(s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
+        queryMaxId = 5L, k = 5).orderBy("query_id", "rank")),
+    "ann_lsh_topk" -> ((s, d) => // scale path; no SQL oracle (xxhash64 buckets)
+      Ann.lshCosineTopK(s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
+        queryMaxId = 5L, k = 5).orderBy("query_id", "rank")),
+
+    // ---- text analysis ----
+    "ta_quality" -> ((s, d) => TextOps.quality(docs(s, d), "text", "doc_id").orderBy("doc_id")),
+    "ta_langid" -> ((s, d) => TextOps.langId(docs(s, d), "text", "doc_id").orderBy("doc_id")),
+    "ta_token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d), "text", "doc_id").orderBy("doc_id")),
+    "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d), "text", "doc_id").orderBy("doc_id")),
+
+    // ---- multimodal (binary columns; decode stubbed, plumbing real) ----
+    "mm_blob_stats" -> ((s, d) => Multimodal.blobStats(docs(s, d), "doc_id", "text")
+      .orderBy("doc_id")),
+    "mm_decode_meta" -> ((s, d) =>
+      Multimodal.decodeBlobs(s, Multimodal.toBlobTable(docs(s, d), "doc_id", "text"))
+        .toDF("id", "n_bytes", "sha256", "format", "width", "height", "n_frames")
+        .orderBy("id")))
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  // ---------------- DuckDB oracle SQL ----------------
+
+  private def termScore(t: String): String = scoreSql(s"f_$t", s"idf_$t")
+
+  /** CTE computing per-doc freq + idf columns for the given terms. */
+  private def ftBase(terms: Seq[String]): String = {
+    val fCols = terms.map(t => s"${freqCol(t)} AS f_$t").mkString(", ")
+    val idfCols = terms.map(t => s"${idfSql(t)} AS idf_$t").mkString(", ")
+    s"""$prelude, base AS (
+       |  SELECT doc_id, tk, tk_all, $fCols, $idfCols
+       |  FROM docs
+       |)""".stripMargin
+  }
+
+  private val pipelinePrelude =
+    s"""WITH raw AS (
+       |  SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+       |  FROM documents
+       |)""".stripMargin
+
+  private val shinglesCte =
+    s"""shing AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(tk) >= 3
+       |      THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |      ELSE CAST([] AS VARCHAR[]) END) AS shs
+       |  FROM raw
+       |)""".stripMargin
+
+  private val sigCte =
+    s"""sig AS (
+       |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS minhash
+       |  FROM (SELECT doc_id, unnest(shs) AS sh FROM shing),
+       |       (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed)
+       |  GROUP BY doc_id, seed
+       |)""".stripMargin
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+
+  def oracleSql: Map[String, String] = Map(
+    "ft_term_stats" ->
+      s"""$prelude
+         |SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(f) AS BIGINT) AS ttf
+         |FROM (SELECT doc_id, tok AS term, count(*) AS f
+         |      FROM (SELECT doc_id, unnest(tk) AS tok FROM docs)
+         |      WHERE tok IN (${statTerms.map(t => s"'$t'").mkString(",")})
+         |      GROUP BY doc_id, tok)
+         |GROUP BY term ORDER BY term""".stripMargin,
+    "ft_term_topk" ->
+      s"""${ftBase(Seq("merge"))}
+         |SELECT doc_id, round(${termScore("merge")}, 4) AS score_r
+         |FROM base WHERE f_merge > 0
+         |ORDER BY score_r DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_bool_and" ->
+      s"""${ftBase(Seq("merge", "sort"))}
+         |SELECT doc_id, round(${termScore("merge")} + ${termScore("sort")}, 4) AS score_r
+         |FROM base WHERE f_merge > 0 AND f_sort > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_bool_or_topk" ->
+      s"""${ftBase(Seq("merge", "spark", "window"))}
+         |SELECT doc_id, round(
+         |  CASE WHEN f_merge > 0 THEN ${termScore("merge")} ELSE 0 END
+         |  + CASE WHEN f_spark > 0 THEN ${termScore("spark")} ELSE 0 END
+         |  + CASE WHEN f_window > 0 THEN ${termScore("window")} ELSE 0 END, 4) AS score_r
+         |FROM base WHERE f_merge > 0 OR f_spark > 0 OR f_window > 0
+         |ORDER BY score_r DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_req_excl" ->
+      s"""${ftBase(Seq("merge", "spark"))}
+         |SELECT doc_id, round(${termScore("merge")}, 4) AS score_r
+         |FROM base WHERE f_merge > 0 AND f_spark = 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_msm" ->
+      s"""${ftBase(Seq("merge", "sort", "window"))}
+         |SELECT doc_id, round(
+         |  CASE WHEN f_merge > 0 THEN ${termScore("merge")} ELSE 0 END
+         |  + CASE WHEN f_sort > 0 THEN ${termScore("sort")} ELSE 0 END
+         |  + CASE WHEN f_window > 0 THEN ${termScore("window")} ELSE 0 END, 4) AS score_r
+         |FROM base
+         |WHERE (CASE WHEN f_merge > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN f_sort > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN f_window > 0 THEN 1 ELSE 0 END) >= 2
+         |ORDER BY doc_id""".stripMargin,
+    "ft_phrase" ->
+      s"""${ftBase(Seq("batch"))}, ph AS (
+         |  SELECT doc_id, tk,
+         |    len(list_filter(range(1, len(tk_all)), i -> tk_all[i] = 'batch' AND tk_all[i+1] = 'batch')) AS pf,
+         |    idf_batch
+         |  FROM base
+         |)
+         |SELECT doc_id, round(${scoreSql("pf", "(idf_batch + idf_batch)")}, 4) AS score_r
+         |FROM ph WHERE pf > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_parsed" ->
+      s"""${ftBase(Seq("spark", "merge", "sort"))}
+         |SELECT doc_id, round(
+         |  CASE WHEN f_spark > 0 THEN ${termScore("spark")} ELSE 0 END
+         |  + CASE WHEN f_merge > 0 AND f_sort > 0 THEN (${termScore("merge")} + ${termScore("sort")}) ELSE 0 END, 4) AS score_r
+         |FROM base WHERE f_spark > 0 OR (f_merge > 0 AND f_sort > 0)
+         |ORDER BY score_r DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_total_hits" ->
+      s"""${ftBase(Seq("merge", "sort", "spark", "batch"))}
+         |SELECT qname, CAST(hits AS BIGINT) AS hits FROM (
+         |  SELECT 'and_merge_sort' AS qname, count(*) AS hits FROM base WHERE f_merge > 0 AND f_sort > 0
+         |  UNION ALL
+         |  SELECT 'or_merge_spark', count(*) FROM base WHERE f_merge > 0 OR f_spark > 0
+         |  UNION ALL
+         |  SELECT 'phrase_batch_batch', count(*) FROM base
+         |  WHERE len(list_filter(range(1, len(tk_all)), i -> tk_all[i] = 'batch' AND tk_all[i+1] = 'batch')) > 0
+         |) ORDER BY qname""".stripMargin,
+
+    "dd_exact" ->
+      """SELECT md5(text) AS content_md5, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS min_id
+        |FROM documents GROUP BY 1 ORDER BY content_md5 LIMIT 20""".stripMargin,
+    "dd_minhash_sig" ->
+      s"""$pipelinePrelude, $shinglesCte, $sigCte
+         |SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM sig
+         |WHERE doc_id < 20 ORDER BY doc_id, seed""".stripMargin,
+    "dd_lsh_pairs" ->
+      s"""$pipelinePrelude, $shinglesCte, $sigCte, bands AS (
+         |  SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
+         |         string_agg(minhash, ',' ORDER BY seed) AS band_key
+         |  FROM sig GROUP BY doc_id, band
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band, band_key)
+         |  WHERE a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b,
+         |  round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE), 4) AS jaccard
+         |FROM cand JOIN shing sa ON sa.doc_id = id_a JOIN shing sb ON sb.doc_id = id_b
+         |WHERE round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE), 4) >= 0.05
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dd_ngram_jaccard" ->
+      s"""$pipelinePrelude, $shinglesCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.shs, b.shs))) AS DOUBLE), 4) AS jaccard
+         |FROM (SELECT * FROM shing WHERE doc_id < 40) a,
+         |     (SELECT * FROM shing WHERE doc_id < 40) b
+         |WHERE a.doc_id < b.doc_id
+         |  AND round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.shs, b.shs))) AS DOUBLE), 4) >= 0.01
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dd_simhash" ->
+      s"""$pipelinePrelude
+         |SELECT doc_id, CAST(sum(CASE WHEN votes >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32
+         |FROM (
+         |  SELECT doc_id, j, sum(vote) AS votes FROM (
+         |    SELECT doc_id, j,
+         |      CASE WHEN substr(md5(tok), CAST(j+1 AS INT), 1) IN ('8','9','a','b','c','d','e','f')
+         |           THEN 1 ELSE -1 END AS vote
+         |    FROM (SELECT doc_id, unnest(tk) AS tok FROM raw),
+         |         (SELECT unnest(range(0, 32)) AS j))
+         |  GROUP BY doc_id, j)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ann_cosine_topk" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cosine
+         |  FROM (SELECT * FROM n WHERE vec_id < 5) a, n b
+         |  WHERE a.vec_id <> b.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ta_quality" ->
+      s"""$pipelinePrelude
+         |SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |  round(CAST(len(list_filter(tk, x -> x IN (${TextOpsOracle.stopSql}))) AS DOUBLE) / CAST(len(tk) AS DOUBLE), 4) AS stop_ratio,
+         |  round(CAST(list_reduce(list_transform(tk, x -> CAST(len(x) AS BIGINT)), (a,b) -> a+b) AS DOUBLE) / CAST(len(tk) AS DOUBLE), 4) AS avg_token_len,
+         |  round((CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))
+         |      * (1.0 - CAST(len(list_filter(tk, x -> x IN (${TextOpsOracle.stopSql}))) AS DOUBLE) / CAST(len(tk) AS DOUBLE))
+         |      * least(1.0, CAST(len(tk) AS DOUBLE) / 50.0), 4) AS quality
+         |FROM raw WHERE len(tk) > 0 ORDER BY doc_id""".stripMargin,
+    "ta_langid" ->
+      s"""$pipelinePrelude, ls AS (
+         |  SELECT doc_id, text,
+         |    ${TextOps.LangMarkers.map { case (l, ms) =>
+               s"len(list_filter(tk, x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS s_$l"
+             }.mkString(",\n    ")}
+         |  FROM raw
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang
+         |FROM ls ORDER BY doc_id""".stripMargin,
+    "ta_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_fingerprint" ->
+      s"""$pipelinePrelude
+         |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint
+         |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "mm_blob_stats" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, sha256(text) AS sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode_meta" ->
+      """WITH s AS (SELECT doc_id AS id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS sha FROM documents)
+        |SELECT id, CAST(n_bytes AS BIGINT) AS n_bytes, sha AS sha256,
+        |  CASE ascii(substr(sha,1,1)) % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+        |  CAST(64 + (ascii(substr(sha,2,1)) % 8) * 16 AS INT) AS width,
+        |  CAST(64 + (ascii(substr(sha,3,1)) % 8) * 16 AS INT) AS height,
+        |  CAST(1 + (ascii(substr(sha,4,1)) % 30) AS INT) AS n_frames
+        |FROM s ORDER BY id""".stripMargin)
 }

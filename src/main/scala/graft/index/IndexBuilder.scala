@@ -49,18 +49,30 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
 
     // ---- stage 1: deterministic docIds -------------------------------
     if (!resume || !exists(s"$stagedPath/_SUCCESS")) {
-      val bucketed = corpus
-        .withColumn("segId", pmod(xxhash64(col("repo"), col("path")), lit(config.numSegments)).cast("int"))
-      val counts = bucketed.groupBy("segId").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val offsets = (0 until config.numSegments)
-        .scanLeft(0L)((acc, s) => acc + counts.getOrElse(s, 0L))
-      val offsetMap = spark.sparkContext.broadcast(offsets.toArray)
-      val offsetUdf = udf((segId: Int, rn: Long) => offsetMap.value(segId) + rn - 1)
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("segId").orderBy("repo", "path")
-      bucketed
-        .withColumn("docId", offsetUdf(col("segId"), row_number().over(w).cast("long")))
+      val staged = config.explicitDocIdCol match {
+        case Some(idCol) =>
+          // caller-supplied ids: segment by docId range (stays contiguous)
+          val maxId = corpus.agg(max(col(idCol).cast("long"))).collect()(0).getLong(0)
+          val perSeg = math.max(1L, (maxId + config.numSegments.toLong) / config.numSegments)
+          corpus
+            .withColumn("docId", col(idCol).cast("long"))
+            .withColumn("segId", (col("docId") / perSeg).cast("int"))
+        case None =>
+          val bucketed = corpus
+            .withColumn("segId", pmod(xxhash64(col("repo"), col("path")), lit(config.numSegments)).cast("int"))
+          val counts = bucketed.groupBy("segId").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val offsets = (0 until config.numSegments)
+            .scanLeft(0L)((acc, s) => acc + counts.getOrElse(s, 0L))
+          val offsetMap = spark.sparkContext.broadcast(offsets.toArray)
+          val offsetUdf = udf((segId: Int, rn: Long) => offsetMap.value(segId) + rn - 1)
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy("segId").orderBy("repo", "path")
+          bucketed
+            .withColumn("docId", offsetUdf(col("segId"), row_number().over(w).cast("long")))
+      }
+      staged
+        .select("docId", "segId", "repo", "path", "commit", "lang", "content")
         .repartition(col("segId"))
         .write.mode("overwrite").partitionBy("segId").parquet(stagedPath)
     }

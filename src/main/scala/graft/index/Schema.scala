@@ -109,4 +109,7 @@ final case class IndexConfig(
     /** segments built per resumable wave job (checkpoint granularity) */
     segmentsPerWave: Int = 8,
     /** shuffle parallelism for the postings aggregation */
-    buildPartitions: Int = 32)
+    buildPartitions: Int = 32,
+    /** when set, take docIds from this input column (must be unique,
+      * non-negative longs) instead of assigning rank-based ids */
+    explicitDocIdCol: Option[String] = None)

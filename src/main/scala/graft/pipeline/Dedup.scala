@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale notes (the point of each design):
+  *  - exact: one hash-groupBy; the shuffle key is the digest, so group sizes
+  *    are bounded by true duplicate multiplicity.
+  *  - minhash+LSH: signatures are a narrow (id, seed, hash) table; the
+  *    candidate join is a self-join on band keys — only docs sharing a band
+  *    bucket ever meet, never an O(n²) cross join.
+  *  - simhash: per-(doc, bit) vote aggregation — linear in token count.
+  *  - n-gram Jaccard: exact pairwise verification, meant to run AFTER an LSH
+  *    candidate filter (exposed standalone for small scopes/oracles).
+  *
+  * Hash portability: md5 hex (identical in Spark and ANSI-SQL oracles) so
+  * every operator is verifiable end-to-end.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest. */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_id"))
+
+  /** Word n-gram shingles (distinct set) of the token array. */
+  private def shingleExpr(textCol: String, n: Int) = {
+    val toks = TextOps.tokens(col(textCol))
+    // transform(sequence(1, size-n+1)): 1-based element_at over token windows
+    val sh = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    array_distinct(when(size(toks) >= n, sh).otherwise(array().cast("array<string>")))
+  }
+
+  /** MinHash signatures: for each seed s, min over shingles of
+    * md5(s || '|' || shingle). k seeds → k rows per doc.
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 8, shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol), explode(shingleExpr(textCol, shingleSize)).as("sh"))
+      .select(col(idCol), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"), col("sh"))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("minhash"))
+
+  /** LSH banding over minhash signatures → candidate pairs → exact Jaccard
+    * verification. Returns (id_a, id_b, jaccard) for verified pairs ≥ tau.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2, shingleSize: Int = 3,
+      tau: Double = 0.3): DataFrame = {
+    val sig = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
+    val bands = sig
+      .withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
+        p => p.getField("minhash")), ",").as("band_key"))
+    val a = bands.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val b = bands.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    val candidates = a.join(b, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = df.select(col(idCol).as("id"), shingleExpr(textCol, shingleSize).as("shs"))
+    candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .where(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact pairwise n-gram Jaccard within an id-bounded scope (verification
+    * primitive; pair the LSH filter above for full-corpus runs).
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, tau: Double = 0.1, maxId: Long = Long.MaxValue): DataFrame = {
+    val scoped = df.where(col(idCol) < maxId)
+      .select(col(idCol).as("id"), shingleExpr(textCol, shingleSize).as("shs"))
+    val a = scoped.select(col("id").as("id_a"), col("shs").as("sh_a"))
+    val b = scoped.select(col("id").as("id_b"), col("shs").as("sh_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .where(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash-32: per-token md5, bit j = high bit of hex nibble j; per-doc
+    * majority vote per bit (ties → 1), packed into a long. Hamming-close
+    * simhashes ⇒ near-duplicate docs.
+    */
+  def simhash32(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), md5(col("tok")).as("h"),
+        explode(sequence(lit(0), lit(31))).as("j"))
+      .withColumn("vote",
+        when(col("h").substr(col("j") + 1, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+          lit(1)).otherwise(lit(-1)))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("vote")).as("votes"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("votes") >= 0,
+        pow(lit(2.0), col("j")).cast("long")).otherwise(lit(0L))).as("simhash32"))
+}
