@@ -62,6 +62,12 @@ object PostingsCodec {
 
   def encode(entries: Array[PostingEntry], withPositions: Boolean): EncodedPostings = {
     require(entries.nonEmpty, "empty posting run")
+    var v = 1
+    while (v < entries.length) {
+      require(entries(v).docId > entries(v - 1).docId,
+        s"unsorted/duplicate docIds at $v: ${entries(v - 1).docId} -> ${entries(v).docId}")
+      v += 1
+    }
     val n = entries.length
     val out = new GrowableBytes(n * 3 + 16)
     val posOut = if (withPositions) new GrowableBytes(n * 2) else null

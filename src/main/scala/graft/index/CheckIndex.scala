@@ -1,0 +1,89 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.codec.PostingsCodec
+
+/** Offline index validator (reference CheckIndex,
+  * /root/reference/core/index/checkIndex.go:17-509): recomputes doc/term
+  * counts and stats from the raw postings and cross-checks the published
+  * manifest/terms/fieldstats — the "doc-count/term-count metrics" leg of the
+  * north-star checkpoint story.
+  */
+object CheckIndex {
+  final case class Report(
+      maxDoc: Long,
+      docCount: Long,
+      termCount: Long,
+      sumDocFreq: Long,
+      sumTotalTermFreq: Long,
+      postingRows: Long,
+      problems: Seq[String]) {
+    def ok: Boolean = problems.isEmpty
+  }
+
+  def run(spark: SparkSession, indexPath: String): Report = {
+    import spark.implicits._
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    val manifest = IndexManifest.load(spark, indexPath)
+    val docs = spark.read.parquet(s"$indexPath/docs")
+    val postings = spark.read.parquet(s"$indexPath/postings")
+    val terms = spark.read.parquet(s"$indexPath/terms")
+    val stats = spark.read.parquet(s"$indexPath/fieldstats")
+
+    val nDocs = docs.count()
+    if (nDocs != manifest.maxDoc)
+      problems += s"docs count $nDocs != manifest.maxDoc ${manifest.maxDoc}"
+    val dupIds = docs.groupBy("docId").count().where(col("count") > 1).count()
+    if (dupIds > 0) problems += s"$dupIds duplicate docIds"
+
+    // decode-level invariants, distributed: every posting row re-decoded
+    val rowChecks = postings
+      .select("field", "term", "rangeId", "firstDocId", "lastDocId", "docFreq", "ttf", "payload")
+      .as[(String, String, Long, Long, Long, Int, Long, Array[Byte])]
+      .map { case (field, term, rangeId, first, last, df, ttf, payload) =>
+        val dec = PostingsCodec.decode(payload)
+        var bad: String = null
+        if (dec.length != df) bad = s"docFreq mismatch $field:$term@$rangeId"
+        else if (dec.docIds.head != first || dec.docIds.last != last)
+          bad = s"first/last docId mismatch $field:$term@$rangeId"
+        else if (dec.freqs.map(_.toLong).sum != ttf) bad = s"ttf mismatch $field:$term@$rangeId"
+        else {
+          var i = 1
+          while (bad == null && i < dec.length) {
+            if (dec.docIds(i) <= dec.docIds(i - 1)) bad = s"unsorted docIds $field:$term@$rangeId"
+            i += 1
+          }
+        }
+        (if (bad == null) "" else bad, dec.length.toLong, dec.freqs.map(_.toLong).sum, 1L)
+      }
+    val agg = rowChecks.toDF("bad", "df", "ttf", "rows")
+      .agg(
+        sum(when(col("bad") =!= "", 1L).otherwise(0L)).as("badRows"),
+        sum("df").as("sumDf"), sum("ttf").as("sumTtf"), sum("rows").as("rows"),
+        max("bad").as("sampleBad"))
+      .collect()(0)
+    if (agg.getLong(0) > 0)
+      problems += s"${agg.getLong(0)} bad posting rows (e.g. ${agg.getString(4)})"
+
+    // terms dict vs postings aggregate
+    val t = terms.agg(sum("docFreq"), sum("totalTermFreq"), count(lit(1))).collect()(0)
+    if (t.getLong(0) != agg.getLong(1))
+      problems += s"terms.sumDocFreq ${t.getLong(0)} != postings ${agg.getLong(1)}"
+    if (t.getLong(1) != agg.getLong(2))
+      problems += s"terms.sumTtf ${t.getLong(1)} != postings ${agg.getLong(2)}"
+
+    // published field stats vs recomputation
+    val fs = stats.select("sumTotalTermFreq", "sumDocFreq", "termCount", "maxDoc", "docCount")
+      .collect()(0)
+    if (fs.getLong(0) != agg.getLong(2)) problems += "fieldstats.sumTtf stale"
+    if (fs.getLong(1) != agg.getLong(1)) problems += "fieldstats.sumDocFreq stale"
+    if (fs.getLong(2) != t.getLong(2)) problems += "fieldstats.termCount stale"
+    if (fs.getLong(3) != nDocs) problems += "fieldstats.maxDoc stale"
+
+    Report(nDocs, fs.getLong(4), t.getLong(2), t.getLong(0), t.getLong(1),
+      agg.getLong(3), problems.toSeq)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.index
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.codec.{PostingEntry, PostingsCodec}
+
+/** Tiered merge over build waves.
+  *
+  * Policy: the budget math of the reference's TieredMergePolicy
+  * (/root/reference/core/index/merge.go:355-380,496-643 — segsPerTier=10,
+  * maxMergeAtOnce=10, 2MB size floor, tiers by log_mergeFactor of size): when
+  * a tier holds more than segsPerTier members, its smallest maxMergeAtOnce
+  * members merge into one. The reference's merge *execution* is a stub
+  * (writer.go:1420-1422 panics), so execution here is designed from scratch
+  * per the north star: a salted-shuffle merge — the shuffle key
+  * (field, term, rangeId) carries the deterministic range salt assigned at
+  * build time, so a hot term's postings (df ≈ N) merge as many independent
+  * bounded groups instead of one multi-GB group, and no executor ever
+  * materializes a full hot-term posting list.
+  *
+  * Invariant (property-tested): merge(build waves) ≡ build(union of docs) on
+  * decoded postings and stats.
+  */
+object TieredMerge {
+  final case class WaveInfo(wave: Int, bytes: Long, path: String)
+
+  def waves(spark: SparkSession, indexPath: String): Seq[WaveInfo] = {
+    val root = new Path(s"$indexPath/postings")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("wave="))
+      .map { s =>
+        val size = fs.getContentSummary(s.getPath).getLength
+        WaveInfo(s.getPath.getName.stripPrefix("wave=").toInt, size, s.getPath.toString)
+      }
+      .sortBy(_.wave)
+  }
+
+  /** Reference budget math, reduced to the append-only case. */
+  def plan(segs: Seq[WaveInfo], segsPerTier: Int = 10, maxMergeAtOnce: Int = 10,
+      floorBytes: Long = 2L << 20, maxMergedBytes: Long = 5L << 30): Seq[Seq[WaveInfo]] = {
+    // tier = floor(log_10(max(size, floor)))  (mergeFactor-base log buckets)
+    def tier(b: Long): Int =
+      math.floor(math.log10(math.max(b, floorBytes).toDouble)).toInt
+    segs.groupBy(s => tier(s.bytes)).values.toSeq.flatMap { members =>
+      if (members.size <= segsPerTier) Nil
+      else {
+        val sorted = members.sortBy(_.bytes)
+        val cand = sorted.take(maxMergeAtOnce)
+        if (cand.map(_.bytes).sum > maxMergedBytes) Nil else Seq(cand)
+      }
+    }
+  }
+
+  /** Execute one merge: bounded-group re-encode of the selected waves into a
+    * new wave dir, then atomically retire the sources.
+    */
+  def execute(spark: SparkSession, indexPath: String, group: Seq[WaveInfo]): Int = {
+    import spark.implicits._
+    val all = waves(spark, indexPath)
+    val newWave = all.map(_.wave).max + 1
+    val target = s"$indexPath/postings/wave=$newWave"
+
+    val rows = spark.read.parquet(group.map(_.path): _*).as[PostingRow]
+    rows
+      .groupByKey(r => (r.field, r.term, r.rangeId))
+      .mapGroups { (key: (String, String, Long), it: Iterator[PostingRow]) =>
+        val (field, term, rangeId) = key
+        val sorted = it.toArray.sortBy(_.firstDocId)
+        // rows of later merge generations cover non-contiguous doc ranges
+        // (tier selection is by size, not adjacency) → a full entry sort,
+        // not just a row-order concat
+        val entries = sorted.flatMap { r =>
+          val dec = PostingsCodec.decode(r.payload)
+          val poss =
+            if (r.posPayload != null) PostingsCodec.decodePositions(r.posPayload, dec.freqs)
+            else null
+          (0 until dec.length).map { i =>
+            PostingEntry(dec.docIds(i), dec.freqs(i), dec.dls(i), dec.norms(i),
+              if (poss != null) poss(i) else Array.emptyIntArray)
+          }
+        }.sortBy(_.docId)
+        val withPos = sorted.head.posPayload != null
+        val enc = PostingsCodec.encode(entries, withPos)
+        PostingRow(newWave, field, term, rangeId, enc.firstDocId, enc.lastDocId,
+          enc.count, enc.ttf, enc.maxFreq, enc.minDl,
+          enc.payload, enc.positions.orNull,
+          enc.skip.lastDoc, enc.skip.offset, enc.skip.posOffset,
+          enc.skip.maxFreq, enc.skip.minDl)
+      }
+      .sortWithinPartitions("term", "rangeId")
+      .write.mode("overwrite").parquet(target)
+
+    // retire sources only after the merged wave is durable (_SUCCESS)
+    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    group.foreach(w => fs.delete(new Path(w.path), true))
+    val log = fs.create(new Path(s"$indexPath/merges_$newWave.json"), true)
+    log.write(
+      s"""{"merged":[${group.map(_.wave).mkString(",")}],"into":$newWave,"bytes":${group.map(_.bytes).sum}}"""
+        .getBytes("UTF-8"))
+    log.close()
+    newWave
+  }
+
+  /** Merge driver loop: plan + execute until the tier budget is satisfied. */
+  def maybeMerge(spark: SparkSession, indexPath: String,
+      segsPerTier: Int = 10, maxMergeAtOnce: Int = 10): Seq[Int] = {
+    val done = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var continue = true
+    while (continue) {
+      val p = plan(waves(spark, indexPath), segsPerTier, maxMergeAtOnce)
+      if (p.isEmpty) continue = false
+      else p.foreach(g => done += execute(spark, indexPath, g))
+    }
+    done.toSeq
+  }
+}

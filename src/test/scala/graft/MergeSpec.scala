@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.analysis.StandardCodeAnalyzer
+import graft.index._
+import graft.search._
+
+/** Merge invariant (FIXTURES.md §5): merge(build waves) ≡ build(union) on
+  * posting lists and stats — the reference's merge execution is a stub, so
+  * equivalence to a single-shot build IS the correctness definition.
+  */
+class MergeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val N = 600
+  private val analyzer = new StandardCodeAnalyzer()
+
+  private def build(dir: String, wavesOf: Int): Unit = {
+    val cfg = IndexConfig(analyzer = analyzer, docsPerRange = 128,
+      numSegments = 12, segmentsPerWave = wavesOf, buildPartitions = 8)
+    new IndexBuilder(spark, cfg).build(TestCorpus.corpus(N).toDF(), dir)
+  }
+
+  private def decodedPostings(dir: String): Map[(String, String, Long), Seq[(Long, Int, Int)]] =
+    spark.read.parquet(s"$dir/postings")
+      .select("field", "term", "rangeId", "payload")
+      .as[(String, String, Long, Array[Byte])]
+      .collect()
+      .groupBy(r => (r._1, r._2, r._3))
+      .map { case (k, rows) =>
+        val entries = rows.flatMap { r =>
+          val d = graft.codec.PostingsCodec.decode(r._4)
+          (0 until d.length).map(i => (d.docIds(i), d.freqs(i), d.dls(i)))
+        }.sortBy(_._1)
+        k -> entries.toSeq
+      }
+
+  test("tiered merge preserves posting lists, stats, and query results") {
+    val single = java.nio.file.Files.createTempDirectory("graft-single").toString
+    val waved = java.nio.file.Files.createTempDirectory("graft-waved").toString
+    build(single, wavesOf = 12) // one wave
+    build(waved, wavesOf = 1) // 12 waves
+
+    val preWaves = TieredMerge.waves(spark, waved)
+    assert(preWaves.size == 12)
+
+    // aggressive policy to force merging in-test
+    val merged = TieredMerge.maybeMerge(spark, waved, segsPerTier = 1, maxMergeAtOnce = 10)
+    assert(merged.nonEmpty)
+    val postWaves = TieredMerge.waves(spark, waved)
+    assert(postWaves.size < preWaves.size)
+
+    // posting-level equivalence with the single-shot build
+    val dw = decodedPostings(waved)
+    val ds = decodedPostings(single)
+    val onlyW = dw.keySet -- ds.keySet
+    val onlyS = ds.keySet -- dw.keySet
+    assert(onlyW.isEmpty && onlyS.isEmpty,
+      s"keys only in waved: ${onlyW.take(5)}; only in single: ${onlyS.take(5)}")
+    val diffs = dw.keys.filter(k => dw(k) != ds(k)).take(3)
+    assert(diffs.isEmpty, diffs.map(k => s"$k:\n waved=${dw(k)}\n single=${ds(k)}").mkString("\n"))
+
+    // query-level equivalence
+    val qs = Seq[Query](
+      TermQuery("import"),
+      new QueryParser(analyzer).parse("parser OR buffer"),
+      PhraseQuery(Seq("posting", "list")),
+      new QueryParser(analyzer).parse("+import +parser -uniqtoken_3"))
+    val sW = new IndexSearcher(spark, waved)
+    val sS = new IndexSearcher(spark, single)
+    for (q <- qs) {
+      val a = sW.search(q, 10, ScoreMode.Ref32)
+      val b = sS.search(q, 10, ScoreMode.Ref32)
+      assert(a.totalHits == b.totalHits, s"totalHits $q")
+      assert(a.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        b.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"topk $q")
+    }
+
+    // validator passes on the merged index
+    val report = CheckIndex.run(spark, waved)
+    assert(report.ok, report.problems.mkString("; "))
+    assert(report.maxDoc == N)
+  }
+
+  test("CheckIndex catches a broken manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chk").toString
+    build(dir, wavesOf = 12)
+    assert(CheckIndex.run(spark, dir).ok)
+    // corrupt the commit marker
+    IndexManifest.commit(spark, IndexManifest(dir, 999999L, 1L, 128))
+    val r = CheckIndex.run(spark, dir)
+    assert(!r.ok && r.problems.exists(_.contains("maxDoc")))
+  }
+}
