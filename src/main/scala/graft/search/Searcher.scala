@@ -11,11 +11,13 @@ import graft.index.IndexManifest
   */
 private[search] sealed trait CNode extends Serializable
 private[search] final case class CLeafTerm(
-    idx: Int, ref: Bm25.RefScorer, exact: Bm25.ExactScorer) extends CNode
+    idx: Int, ref: Similarity.Scorer, exact: Bm25.ExactScorer) extends CNode
 private[search] final case class CLeafPhrase(
-    idxs: Array[Int], ref: Bm25.RefScorer, exact: Bm25.ExactScorer) extends CNode
+    idxs: Array[Int], ref: Similarity.Scorer, exact: Bm25.ExactScorer) extends CNode
+/** coords(i) = similarity.coord(i, maxOverlap) — 1.0 for BM25-family. */
 private[search] final case class CBool(
-    must: Array[CNode], should: Array[CNode], mustNot: Array[CNode], msm: Int) extends CNode
+    must: Array[CNode], should: Array[CNode], mustNot: Array[CNode], msm: Int,
+    coords: Array[Float]) extends CNode
 
 /** Per-doc leaf data assembled from decoded postings for one docId range. */
 private[search] final class RangeAccum(
@@ -47,7 +49,7 @@ private[search] object Eval {
     case CLeafPhrase(idxs, _, exact) =>
       val pf = phraseFreq(idxs, acc, slot)
       if (pf > 0) exact.score(pf.toDouble, acc.dls(slot).toDouble) else Double.NaN
-    case CBool(must, should, mustNot, msm) =>
+    case CBool(must, should, mustNot, msm, _) =>
       var score = 0.0
       var i = 0
       while (i < mustNot.length) {
@@ -84,7 +86,7 @@ private[search] object Eval {
     case CLeafPhrase(idxs, ref, _) =>
       val pf = phraseFreq(idxs, acc, slot)
       if (pf > 0) ref.score(pf.toFloat, acc.norms(slot)) else Float.NaN
-    case CBool(must, should, mustNot, msm) =>
+    case CBool(must, should, mustNot, msm, coords) =>
       var score = 0.0f
       var i = 0
       while (i < mustNot.length) {
@@ -107,7 +109,7 @@ private[search] object Eval {
       }
       if (matched < msm) return Float.NaN
       if (must.isEmpty && matched == 0) return Float.NaN
-      score
+      score * coords(must.length + matched)
   }
 
   /** Exact-phrase occurrence count: #positions p of term0 such that term i
@@ -158,7 +160,8 @@ private[search] object Eval {
 final class IndexSearcher(
     spark: SparkSession,
     indexPath: String,
-    val field: String = "content") extends Serializable {
+    val field: String = "content",
+    val similarity: Similarity = new Bm25Similarity()) extends Serializable {
   import spark.implicits._
 
   val manifest: IndexManifest = IndexManifest.load(spark, indexPath)
@@ -191,31 +194,52 @@ final class IndexSearcher(
       stats: Map[String, TermStats],
       termIdx: Map[String, Int]): CNode = {
     val cs = collectionStats
+    val sim = similarity
+    // queryNorm two-phase (search.go:152-169): v = Σ leaf weight², qn = f(v).
+    // 1 for every model except TF-IDF.
+    def v(q: Query, topBoost: Float): Float = q match {
+      case TermQuery(t, boost) =>
+        stats.get(t).map(ts => sim.valueForNormalization(ts, cs, boost * topBoost)).getOrElse(0f)
+      case PhraseQuery(ts, boost) =>
+        if (ts.forall(stats.contains))
+          sim.valueForNormalization(
+            TermStats(field, ts.mkString(" "),
+              ts.map(t => stats(t).docFreq).min, ts.map(t => stats(t).totalTermFreq).sum),
+            cs, boost * topBoost)
+        else 0f
+      case BooleanQuery(clauses, _, boost) =>
+        clauses.filter(_.occur != Occur.MUST_NOT)
+          .map(c => v(c.query, boost * topBoost)).sum
+    }
+    val qn = sim.queryNorm(math.max(v(Query.rewrite(q0), 1.0f), Float.MinPositiveValue))
+
     def node(q: Query, topBoost: Float): CNode = q match {
       case TermQuery(t, boost) =>
         stats.get(t) match {
           case Some(ts) =>
             CLeafTerm(termIdx(t),
-              Bm25.refScorer(ts, cs, boost = boost * topBoost),
+              sim.termScorer(ts, cs, boost * topBoost).normalize(qn),
               Bm25.exactScorer(ts, cs, boost = (boost * topBoost).toDouble))
           case None => CLeafTerm(-1, null, null)
         }
       case PhraseQuery(ts, boost) =>
         if (ts.forall(stats.contains)) {
           // phrase weight = sum of member idfs (bm25.go idfExplainPhrase)
-          val idfF = ts.map(t => Bm25.idfRef(stats(t).docFreq, cs.maxDoc)).sum
           val idfD = ts.map(t => Bm25.idfExact(stats(t).docFreq, cs.maxDoc)).sum
           CLeafPhrase(ts.map(termIdx).toArray,
-            new Bm25.RefScorer(idfF * boost * topBoost, Bm25.avgdlRef(cs), Bm25.DefaultK1, Bm25.DefaultB),
+            sim.phraseScorer(ts.map(stats), cs, boost * topBoost).normalize(qn),
             new Bm25.ExactScorer(idfD * boost * topBoost, Bm25.avgdlExact(cs), 1.2, 0.75))
         } else CLeafTerm(-1, null, null)
       case BooleanQuery(clauses, msm, boost) =>
         val b = boost * topBoost
+        val must = clauses.filter(_.occur == Occur.MUST).map(c => node(c.query, b)).toArray
+        val should = clauses.filter(_.occur == Occur.SHOULD).map(c => node(c.query, b)).toArray
+        val maxOverlap = must.length + should.length
         CBool(
-          clauses.filter(_.occur == Occur.MUST).map(c => node(c.query, b)).toArray,
-          clauses.filter(_.occur == Occur.SHOULD).map(c => node(c.query, b)).toArray,
+          must, should,
           clauses.filter(_.occur == Occur.MUST_NOT).map(c => node(c.query, 1.0f)).toArray,
-          msm)
+          msm,
+          Array.tabulate(maxOverlap + 1)(i => sim.coord(i, math.max(maxOverlap, 1))))
     }
     node(Query.rewrite(q0), 1.0f)
   }

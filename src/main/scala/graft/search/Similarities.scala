@@ -1,0 +1,307 @@
+package graft.search
+
+import graft.codec.SmallFloat
+
+/** Pluggable ranking models (reference inventory: /root/repo/SURVEY.md §2.5).
+  *
+  * A [[Similarity]] builds per-term [[Similarity.Scorer]]s on the driver from
+  * broadcast-able statistics; scorers are pure `(freq, normByte) => Float`
+  * float32 functions evaluated inside the range-grouped scoring stage.
+  * `coord`/`queryNorm` default to 1 (as in the reference's base similarity,
+  * /root/reference/core/search/similarities/similarity.go:34-40); only
+  * TF-IDF overrides them.
+  */
+trait Similarity extends Serializable {
+  def name: String
+  def termScorer(ts: TermStats, cs: CollectionStats, boost: Float): Similarity.Scorer
+  /** Multi-term (phrase) scorer fed with phraseFreq. */
+  def phraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Float): Similarity.Scorer
+  def coord(overlap: Int, maxOverlap: Int): Float = 1.0f
+  def queryNorm(valueForNormalization: Float): Float = 1.0f
+  /** (idf-ish weight)^2 used for queryNorm accumulation; 0 unless TF-IDF. */
+  def valueForNormalization(ts: TermStats, cs: CollectionStats, boost: Float): Float = 0.0f
+}
+
+object Similarity {
+  trait Scorer extends Serializable {
+    def score(freq: Float, normByte: Byte): Float
+    /** multiplied in after queryNorm is known (TF-IDF two-phase weighting) */
+    def normalize(queryNorm: Float): Scorer = this
+  }
+
+  /** norm byte → decoded doc length 1/f² (shared by BM25 + SimilarityBase). */
+  val docLenTable: Array[Float] =
+    Array.tabulate(256)(i => SmallFloat.decodeNormToDocLen(i.toByte))
+}
+
+/** Reference-default BM25 (k1=1.2, b=0.75), float32 parity
+  * (/root/reference/core/search/similarities/bm25.go). Variant hooks for
+  * BM25L / BM25+ / ATIRE / modBM25 (bm25l.go:30, bm25plus.go:25,
+  * atireBM25.go:23, modBM25.go:23).
+  */
+class Bm25Similarity(k1: Float = 1.2f, b: Float = 0.75f) extends Similarity {
+  def name = "BM25"
+
+  protected def idf(df: Long, n: Long): Float = Bm25.idfRef(df, n)
+  protected def tfNorm(freq: Float, norm: Float): Float = {
+    val num = freq * (k1 + 1)
+    val denom = freq + k1 * (1 - b + b * norm)
+    num / denom
+  }
+
+  private final class S(weight: Float, avgdl: Float) extends Similarity.Scorer {
+    private val cache = Array.tabulate(256)(i => Similarity.docLenTable(i) / avgdl)
+    def score(freq: Float, normByte: Byte): Float =
+      weight * tfNorm(freq, cache(normByte & 0xff))
+  }
+
+  override def termScorer(ts: TermStats, cs: CollectionStats, boost: Float): Similarity.Scorer =
+    new S(idf(ts.docFreq, cs.maxDoc) * boost, Bm25.avgdlRef(cs))
+
+  override def phraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Float): Similarity.Scorer =
+    new S(tss.map(t => idf(t.docFreq, cs.maxDoc)).sum * boost, Bm25.avgdlRef(cs))
+}
+
+/** BM25L (bm25l.go): idf = ln((N+1)/(df+0.5)); shifted tf normalization. */
+class Bm25LSimilarity(k1: Float = 1.2f, b: Float = 0.75f, d: Float = 0.5f)
+    extends Bm25Similarity(k1, b) {
+  override def name = "BM25L"
+  override protected def idf(df: Long, n: Long): Float =
+    math.log((n.toDouble + 1) / (df.toDouble + 0.5)).toFloat
+  override protected def tfNorm(freq: Float, norm: Float): Float = {
+    val c = freq / (1 - b + b * norm)
+    ((k1 + 1) * (c + d)) / (k1 + (c + d))
+  }
+}
+
+/** BM25+ (bm25plus.go): BM25 tf-norm + 1 (lower-bounding). */
+class Bm25PlusSimilarity(k1: Float = 1.2f, b: Float = 0.75f)
+    extends Bm25Similarity(k1, b) {
+  override def name = "BM25+"
+  override protected def tfNorm(freq: Float, norm: Float): Float =
+    super.tfNorm(freq, norm) + 1
+}
+
+/** ATIRE BM25 (atireBM25.go): idf = ln(N/df). */
+class AtireBm25Similarity(k1: Float = 1.2f, b: Float = 0.75f)
+    extends Bm25Similarity(k1, b) {
+  override def name = "ATIRE-BM25"
+  override protected def idf(df: Long, n: Long): Float =
+    math.log(n.toDouble / df.toDouble).toFloat
+}
+
+/** modBM25 (modBM25.go): idf = ln((N+1)/df). */
+class ModBm25Similarity(k1: Float = 1.2f, b: Float = 0.75f)
+    extends Bm25Similarity(k1, b) {
+  override def name = "modBM25"
+  override protected def idf(df: Long, n: Long): Float =
+    math.log((n.toDouble + 1) / df.toDouble).toFloat
+}
+
+/** Base for the SimilarityBase family (similarityBase.go:39-211): one pure
+  * `score(stats, freq, docLen)`; phrase = sum of per-term scorers at the same
+  * freq (multiSimScorer semantics); coord = queryNorm = 1.
+  */
+final case class BasicStats(
+    numberOfDocuments: Long, numberOfFieldTokens: Long, avgFieldLength: Float,
+    docFreq: Long, totalTermFreq: Long, totalBoost: Float)
+
+abstract class SimilarityBase extends Similarity {
+  protected def score(stats: BasicStats, freq: Float, docLen: Float): Float
+
+  private def stats(ts: TermStats, cs: CollectionStats, boost: Float) =
+    BasicStats(cs.maxDoc, cs.sumTotalTermFreq,
+      if (cs.sumTotalTermFreq <= 0) 1.0f else cs.sumTotalTermFreq.toFloat / cs.maxDoc.toFloat,
+      ts.docFreq, ts.totalTermFreq, boost)
+
+  private final class S(st: BasicStats, self: SimilarityBase) extends Similarity.Scorer {
+    def score(freq: Float, normByte: Byte): Float =
+      self.score(st, freq, Similarity.docLenTable(normByte & 0xff))
+  }
+
+  override def termScorer(ts: TermStats, cs: CollectionStats, boost: Float): Similarity.Scorer =
+    new S(stats(ts, cs, boost), this)
+
+  override def phraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Float): Similarity.Scorer = {
+    val subs = tss.map(t => termScorer(t, cs, boost))
+    new Similarity.Scorer {
+      def score(freq: Float, normByte: Byte): Float =
+        subs.map(_.score(freq, normByte)).sum
+    }
+  }
+}
+
+/** LM-Dirichlet, μ=2000 (lmDirichlet.go:33-47); collection model
+  * p = (ttf+1)/(fieldTokens+1) (lm.go:101-103). Negative scores clamp to 0.
+  */
+class LMDirichletSimilarity(mu: Float = 2000f) extends SimilarityBase {
+  def name = "LMDirichlet"
+  override protected def score(st: BasicStats, freq: Float, docLen: Float): Float = {
+    val p = (st.totalTermFreq + 1).toFloat / (st.numberOfFieldTokens + 1).toFloat
+    val s = st.totalBoost * (math.log(1 + (freq / (mu * p)).toDouble) +
+      math.log((mu / (docLen + mu)).toDouble)).toFloat
+    if (s > 0) s else 0
+  }
+}
+
+/** LM Jelinek-Mercer (lmJelinek.go:30-44). */
+class LMJelinekMercerSimilarity(lambda: Float = 0.1f) extends SimilarityBase {
+  def name = "LMJelinekMercer"
+  override protected def score(st: BasicStats, freq: Float, docLen: Float): Float = {
+    val p = (st.totalTermFreq + 1).toFloat / (st.numberOfFieldTokens + 1).toFloat
+    st.totalBoost * (math.log(1 + ((1 - lambda.toDouble) * freq / docLen) / (lambda.toDouble * p)) +
+      math.log(lambda.toDouble)).toFloat
+  }
+}
+
+/** DFI — divergence from independence (dfi.go:39); independence measures
+  * ChiSquared / Saturated / Standardized (independence.go).
+  */
+class DFISimilarity(measure: String = "chi") extends SimilarityBase {
+  def name = s"DFI($measure)"
+  override protected def score(st: BasicStats, freq: Float, docLen: Float): Float = {
+    val expected = (st.totalTermFreq + 1).toFloat * docLen / (st.numberOfFieldTokens + 1).toFloat
+    if (freq <= expected) return 0
+    val m = measure match {
+      case "chi" => (freq - expected) * (freq - expected) / expected
+      case "saturated" => (freq - expected) / expected
+      case _ => (freq - expected) / math.sqrt(expected.toDouble).toFloat
+    }
+    st.totalBoost * (math.log(m.toDouble + 1) / math.log(2)).toFloat
+  }
+}
+
+/** DFR framework (dfr.go:76): basicModel × afterEffect × tf-normalization.
+  * Basic models G / I(n) / I(ne) / I(F) / P (basicModel.go), after-effects
+  * B / L / none (afterEffect.go), normalizations H1 / H2 / H3 / Z / none
+  * (normalization.go).
+  */
+class DFRSimilarity(basicModel: String = "IF", afterEffect: String = "L",
+    normalization: String = "H2", c: Float = 1.0f) extends SimilarityBase {
+  def name = s"DFR($basicModel,$afterEffect,$normalization)"
+  private val LOG2 = math.log(2)
+  private def log2(x: Double): Double = math.log(x) / LOG2
+
+  private def tfn(st: BasicStats, tf: Float, len: Float): Float = normalization match {
+    case "H1" => tf * c * st.avgFieldLength / len
+    case "H2" => (tf * log2(1 + (c * st.avgFieldLength / len).toDouble)).toFloat
+    case "H3" => c * (tf + c * (st.totalTermFreq + 1).toFloat / (st.numberOfFieldTokens + 1).toFloat) / (len + c)
+    case "Z" => (tf * math.pow((st.avgFieldLength / len).toDouble, 0.30)).toFloat
+    case _ => tf
+  }
+
+  private def basic(st: BasicStats, tfn: Float): Float = basicModel match {
+    case "G" =>
+      val f = st.totalTermFreq.toDouble + 1
+      val n = st.numberOfDocuments.toDouble
+      val lambda = f / (n + f)
+      (log2(lambda + 1) + tfn * log2((1 + lambda) / lambda)).toFloat
+    case "In" =>
+      (tfn * log2((st.numberOfDocuments.toDouble + 1) / (st.docFreq.toDouble + 0.5))).toFloat
+    case "Ine" =>
+      val n = st.numberOfDocuments.toDouble
+      val f = st.totalTermFreq.toDouble
+      val ne = n * (1 - math.pow((n - 1) / n, f))
+      (tfn * log2((n + 1) / (ne + 0.5))).toFloat
+    case "P" =>
+      val lambda = (st.totalTermFreq + 1).toDouble / (st.numberOfDocuments + 1).toDouble
+      (tfn * log2(tfn / lambda) +
+        (lambda + 1 / (12 * tfn.toDouble) - tfn) * (1 / LOG2) +
+        0.5 * log2(2 * math.Pi * tfn)).toFloat
+    case _ => // "IF"
+      (tfn * log2(1 + (st.numberOfDocuments.toDouble + 1) / (st.totalTermFreq.toDouble + 0.5))).toFloat
+  }
+
+  private def after(st: BasicStats, tfn: Float): Float = afterEffect match {
+    case "B" => ((st.totalTermFreq + 1).toFloat + 1) / ((st.docFreq + 1).toFloat * (tfn + 1))
+    case "L" => 1 / (tfn + 1)
+    case _ => 1
+  }
+
+  override protected def score(st: BasicStats, freq: Float, docLen: Float): Float = {
+    val t = tfn(st, freq, docLen)
+    st.totalBoost * basic(st, t) * after(st, t)
+  }
+}
+
+/** Information-based models (ib.go:70): distribution LL/SPL × lambda DF/TTF
+  * × normalization (H2 default).
+  */
+class IBSimilarity(distribution: String = "LL", lambdaKind: String = "DF",
+    c: Float = 1.0f) extends SimilarityBase {
+  def name = s"IB($distribution,$lambdaKind)"
+  override protected def score(st: BasicStats, freq: Float, docLen: Float): Float = {
+    val tfn = (freq * (math.log(1 + (c * st.avgFieldLength / docLen).toDouble) / math.log(2))).toFloat
+    val lambda0 = lambdaKind match {
+      case "TTF" => (st.totalTermFreq.toFloat + 1) / (st.numberOfDocuments.toFloat + 1)
+      case _ => (st.docFreq.toFloat + 1) / (st.numberOfDocuments.toFloat + 1)
+    }
+    val d = distribution match {
+      case "SPL" =>
+        val l = if (lambda0 == 1) 0.99f else lambda0
+        (-math.log((math.pow(l.toDouble, (tfn / (tfn + 1)).toDouble) - l) / (1 - l))).toFloat
+      case _ => (-math.log((lambda0 / (tfn + lambda0)).toDouble)).toFloat
+    }
+    st.totalBoost * d
+  }
+}
+
+/** Classic TF-IDF (DefaultSimilarity, default.go:41-119 / tfidf.go):
+  * tf = √freq, idf = ln(N/(df+1)) + 1, norm = byte315 decode (not 1/f²),
+  * coord = overlap/maxOverlap, queryNorm = 1/√(Σ weights²).
+  */
+class TfIdfSimilarity extends Similarity {
+  def name = "TFIDF"
+
+  private def idf(df: Long, n: Long): Float =
+    (math.log(n.toDouble / (df.toDouble + 1)) + 1.0).toFloat
+
+  override def coord(overlap: Int, maxOverlap: Int): Float =
+    overlap.toFloat / maxOverlap.toFloat
+
+  override def queryNorm(v: Float): Float =
+    (1.0 / math.sqrt(v.toDouble)).toFloat
+
+  override def valueForNormalization(ts: TermStats, cs: CollectionStats, boost: Float): Float = {
+    val w = idf(ts.docFreq, cs.maxDoc) * boost
+    w * w
+  }
+
+  private final class S(idfVal: Float, boost: Float) extends Similarity.Scorer {
+    private var queryWeight = idfVal * boost
+    private var value = queryWeight * idfVal // weight*idf (normalize(1) default)
+    def score(freq: Float, normByte: Byte): Float =
+      value * math.sqrt(freq.toDouble).toFloat * SmallFloat.byte315ToFloat(normByte)
+    override def normalize(qn: Float): Similarity.Scorer = {
+      val s = new S(idfVal, boost)
+      s.queryWeight = idfVal * boost * qn
+      s.value = s.queryWeight * idfVal
+      s
+    }
+  }
+
+  override def termScorer(ts: TermStats, cs: CollectionStats, boost: Float): Similarity.Scorer =
+    new S(idf(ts.docFreq, cs.maxDoc), boost)
+
+  override def phraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Float): Similarity.Scorer =
+    new S(tss.map(t => idf(t.docFreq, cs.maxDoc)).sum, boost)
+}
+
+/** Arithmetic mean of sub-similarities (multiSimilarity.go:14). */
+class MultiSimilarity(subs: Seq[Similarity]) extends Similarity {
+  def name = s"Multi(${subs.map(_.name).mkString(",")})"
+  override def termScorer(ts: TermStats, cs: CollectionStats, boost: Float): Similarity.Scorer = {
+    val ss = subs.map(_.termScorer(ts, cs, boost))
+    new Similarity.Scorer {
+      def score(freq: Float, normByte: Byte): Float =
+        ss.map(_.score(freq, normByte)).sum / ss.size
+    }
+  }
+  override def phraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Float): Similarity.Scorer = {
+    val ss = subs.map(_.phraseScorer(tss, cs, boost))
+    new Similarity.Scorer {
+      def score(freq: Float, normByte: Byte): Float =
+        ss.map(_.score(freq, normByte)).sum / ss.size
+    }
+  }
+}

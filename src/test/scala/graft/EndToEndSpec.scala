@@ -172,6 +172,22 @@ class EndToEndSpec extends AnyFunSuite with SparkTestBase {
     assertParity(parser.parse("import OR zzz_not_a_term"))
   }
 
+  test("pluggable similarities run end-to-end and rank plausibly") {
+    for (sim <- Seq(new TfIdfSimilarity, new LMDirichletSimilarity(),
+      new DFRSimilarity(), new IBSimilarity(), new Bm25LSimilarity())) {
+      val s = new IndexSearcher(spark, indexPath, similarity = sim)
+      val top = s.search(parser.parse("parser buffer"), 10, ScoreMode.Ref32)
+      assert(top.totalHits > 0, sim.name)
+      assert(top.scoreDocs.nonEmpty && top.scoreDocs.forall(d => !d.score.isNaN), sim.name)
+      // descending scores with docId tie-break
+      top.scoreDocs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.score > b.score || (a.score == b.score && a.docId < b.docId), sim.name)
+        case _ =>
+      }
+    }
+  }
+
   test("resume: killing one wave and rebuilding reproduces identical results") {
     val before = searcher.search(TermQuery("parser"), 10, ScoreMode.Ref32)
     // simulate a failed build: remove one postings wave + commit marker
