@@ -44,8 +44,10 @@ object FtQueries {
       dir
     })
 
+  private val searcherCache = scala.collection.concurrent.TrieMap.empty[String, IndexSearcher]
+
   def searcher(spark: SparkSession, sfDir: String): IndexSearcher =
-    new IndexSearcher(spark, indexPath(spark, sfDir))
+    searcherCache.getOrElseUpdate(sfDir, new IndexSearcher(spark, indexPath(spark, sfDir)))
 
   /** Matching docs with round(score, 4), ordered by docId. */
   def matches(spark: SparkSession, sfDir: String, q: Query): DataFrame =

