@@ -111,13 +111,19 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
       .select("docId", "segId", "repo", "path", "commit", "lang", "content")
       .as[(Long, Int, String, String, String, String, String)]
 
-    // docs (stored fields + per-row sha256 invariant + dl/norm)
-    staged.map { case (docId, segId, repo, path0, commit, lang, content) =>
-      val a = analyzerB.value(content)
-      val dl = a.length - a.numOverlap
-      DocRow(docId, segId, repo, path0, commit, lang,
-        Hashing.sha256Hex(content), dl, SmallFloat.encodeNorm(a.length, a.numOverlap))
-    }.write.mode("overwrite").parquet(s"$indexPath/docs/wave=$wave")
+    // docs (stored fields + per-row sha256 invariant + dl/norm) — submitted
+    // concurrently with the postings job below: the two jobs' tasks backfill
+    // each other's stage tails, removing a serial stage boundary
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val docsJob = Future {
+      staged.map { case (docId, segId, repo, path0, commit, lang, content) =>
+        val a = analyzerB.value(content)
+        val dl = a.length - a.numOverlap
+        DocRow(docId, segId, repo, path0, commit, lang,
+          Hashing.sha256Hex(content), dl, SmallFloat.encodeNorm(a.length, a.numOverlap))
+      }.write.mode("overwrite").parquet(s"$indexPath/docs/wave=$wave")
+    }
 
     // postings: invert per doc (no shuffle), then one bounded shuffle
     val termDocs: Dataset[TermDocRow] = staged.flatMap {
@@ -156,6 +162,8 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
       // `term`, so query-time isin(queryTerms) prunes row groups
       .sortWithinPartitions("term", "rangeId")
       .write.mode("overwrite").parquet(s"$indexPath/postings/wave=$wave")
+
+    Await.result(docsJob, scala.concurrent.duration.Duration.Inf)
   }
 
   /** Stage 3: (re)publish terms dict, stats, segment metadata, commit. */

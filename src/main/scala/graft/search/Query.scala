@@ -80,8 +80,13 @@ object Query {
 
 /** Search result envelope (/root/reference/core/search/collect.go:53-57):
   * totalHits counts ALL matching docs, not just the returned k.
+  * `totalHitsIsLowerBound` is set by the WAND-pruned path (which skips
+  * ranges that provably cannot reach the top-k): top-k docs/scores remain
+  * exact, the hit count becomes a ≥ bound — the TotalHits.Relation idea of
+  * modern Lucene, absent in the 4.10 reference.
   */
-final case class TopDocs(totalHits: Long, scoreDocs: Array[ScoredDoc])
+final case class TopDocs(totalHits: Long, scoreDocs: Array[ScoredDoc],
+    totalHitsIsLowerBound: Boolean = false)
 final case class ScoredDoc(docId: Long, score: Double)
 
 /** Scoring arithmetic mode — see [[Bm25]]. */

@@ -274,19 +274,31 @@ final class IndexSearcher(
       new GroupEval(manifest.docsPerRange, terms.size, needPos, termIdx, plan, mode))
   }
 
+  def sparkSession: SparkSession = spark
+
+  /** Posting-row METADATA of the query terms (no payloads → Parquet column
+    * pruning): feeds WAND bound computation.
+    */
+  def postingRowsMeta(terms: Seq[String]): DataFrame =
+    postingsDF
+      .where(col("field") === field && col("term").isin(terms: _*))
+      .select("term", "rangeId", "docFreq", "maxFreq", "minDl")
+
   /** Posting rows of the query terms: (term, rangeId, firstDocId, payload,
     * posPayload|null). Parquet prunes on `term` (row-group min/max) and drops
     * `posPayload` unless a phrase needs it.
     */
-  private def rowsFor(p: Prepared): Dataset[(String, Long, Long, Array[Byte], Array[Byte])] = {
+  private def rowsFor(p: Prepared,
+      rangeFilter: Option[Seq[Long]] = None): Dataset[(String, Long, Long, Array[Byte], Array[Byte])] = {
     val anyPos = p.ge.needPos.exists(identity)
     val cols = Seq("term", "rangeId", "firstDocId", "payload") ++
       (if (anyPos) Seq("posPayload") else Nil)
-    val rows = postingsDF
+    var rows = postingsDF
       .where(col("field") === field && col("term").isin(p.terms: _*))
-      .select(cols.map(col): _*)
-    if (anyPos) rows.as[(String, Long, Long, Array[Byte], Array[Byte])]
-    else rows.as[(String, Long, Long, Array[Byte])]
+    rangeFilter.foreach(rs => rows = rows.where(col("rangeId").isin(rs: _*)))
+    val sel = rows.select(cols.map(col): _*)
+    if (anyPos) sel.as[(String, Long, Long, Array[Byte], Array[Byte])]
+    else sel.as[(String, Long, Long, Array[Byte])]
       .map { case (t, r, f, pl) => (t, r, f, pl, null: Array[Byte]) }
   }
 
@@ -318,12 +330,21 @@ final class IndexSearcher(
   /** Top-k with reference tie-break + TotalHits, in ONE distributed pass:
     * per-partition bounded heaps merge on the driver (treeAggregate shape).
     */
-  def search(q: Query, k: Int, mode: ScoreMode = ScoreMode.Ref32): TopDocs = {
+  def search(q: Query, k: Int, mode: ScoreMode = ScoreMode.Ref32): TopDocs =
+    searchFiltered(q, k, mode, None)
+
+  /** Evaluate only the given docId ranges (WAND phases). */
+  private[search] def evalRanges(q: Query, mode: ScoreMode,
+      ranges: Option[Seq[Long]], k: Int): TopDocs =
+    searchFiltered(q, k, mode, ranges)
+
+  private def searchFiltered(q: Query, k: Int, mode: ScoreMode,
+      rangeFilter: Option[Seq[Long]]): TopDocs = {
     val p = prepare(q, mode)
     val dfSum = p.terms.map(t => p.stats.get(t).map(_.docFreq).getOrElse(0L)).sum
-    if (dfSum <= localSearchMaxPostings) {
+    if (dfSum <= localSearchMaxPostings || rangeFilter.exists(_.size <= 256)) {
       // local fast path: fetch the (few) posting rows, evaluate on the driver
-      val rows = rowsFor(p).collect()
+      val rows = rowsFor(p, rangeFilter).collect()
       val heap = new BoundedHitQueue(k)
       var total = 0L
       rows.groupBy(_._2).foreach { case (rangeId, rs) =>
@@ -336,12 +357,12 @@ final class IndexSearcher(
       val geB = spark.sparkContext.broadcast(p.ge)
       val scored =
         if (p.terms.size <= 1)
-          rowsFor(p).mapPartitions { it =>
+          rowsFor(p, rangeFilter).mapPartitions { it =>
             val ge = geB.value
             it.flatMap(r => ge.eval(r._2, Iterator.single(r)))
           }
         else
-          rowsFor(p).groupByKey(_._2)
+          rowsFor(p, rangeFilter).groupByKey(_._2)
             .flatMapGroups((rangeId: Long, it: Iterator[(String, Long, Long, Array[Byte], Array[Byte])]) =>
               geB.value.eval(rangeId, it))
       val partials = scored.mapPartitions { it =>

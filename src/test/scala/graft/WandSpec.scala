@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.analysis.StandardCodeAnalyzer
+import graft.index._
+import graft.search._
+
+/** WAND pruning is score-safe: pruned top-k must equal exhaustive top-k
+  * exactly (docIds and scores), with totalHits degrading to a lower bound.
+  */
+class WandSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val N = 2000
+  private lazy val indexPath = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wand").toString
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 64, numSegments = 8, segmentsPerWave = 8)
+    new IndexBuilder(spark, cfg).build(TestCorpus.corpus(N).toDF(), dir)
+    dir
+  }
+  private lazy val searcher = new IndexSearcher(spark, indexPath)
+
+  private def assertSafe(q: Query, k: Int, phase1: Int): Unit = {
+    val exact = searcher.search(q, k, ScoreMode.Ref32)
+    val wand = Wand.searchTopK(searcher, q, k, ScoreMode.Ref32, phase1Ranges = phase1)
+    assert(wand.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+      exact.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"top-k parity for $q")
+    assert(wand.totalHits <= exact.totalHits)
+    assert(wand.scoreDocs.length == math.min(k.toLong, exact.totalHits))
+  }
+
+  test("single hot term: pruned == exhaustive with tiny phase-1 budget") {
+    assertSafe(TermQuery("import"), k = 10, phase1 = 4)
+    assertSafe(TermQuery("parser"), k = 10, phase1 = 4)
+  }
+
+  test("disjunction: pruned == exhaustive") {
+    val q = BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("parser")),
+      BooleanClause(Occur.SHOULD, TermQuery("buffer")),
+      BooleanClause(Occur.SHOULD, TermQuery("scorer"))))
+    assertSafe(q, k = 10, phase1 = 4)
+    assertSafe(q, k = 25, phase1 = 4)
+  }
+
+  test("pruning actually skips ranges (totalHits strictly lower-bounded)") {
+    // graded corpus: tf of "graded" grows with docId → low ranges provably
+    // below τ → phase 2 skips them
+    val dir = java.nio.file.Files.createTempDirectory("graft-wand-graded").toString
+    val docs = (0 until 1024).map { i =>
+      val tf = 1 + i / 64
+      CodeFile(s"r$i", f"p$i%05d", "", "scala",
+        ("graded " * tf) + s"filler uniq_$i " + ("pad " * 20))
+    }
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 64, numSegments = 4, segmentsPerWave = 4)
+    new IndexBuilder(spark, cfg).build(docs.toDF(), dir)
+    val s = new IndexSearcher(spark, dir)
+    val q = TermQuery("graded")
+    val exact = s.search(q, 10, ScoreMode.Ref32)
+    val wand = Wand.searchTopK(s, q, 10, ScoreMode.Ref32, phase1Ranges = 2)
+    assert(wand.totalHitsIsLowerBound)
+    assert(wand.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+      exact.scoreDocs.map(d => (d.docId, d.score)).toSeq)
+    assert(wand.totalHits < exact.totalHits, "expected pruned ranges on graded tf")
+  }
+
+  test("non-disjunctive shapes fall back to exact semantics") {
+    val q = BooleanQuery(Seq(
+      BooleanClause(Occur.MUST, TermQuery("import")),
+      BooleanClause(Occur.MUST, TermQuery("parser"))))
+    val exact = searcher.search(q, 10, ScoreMode.Ref32)
+    val wand = Wand.searchTopK(searcher, q, 10, ScoreMode.Ref32)
+    assert(!wand.totalHitsIsLowerBound)
+    assert(wand.totalHits == exact.totalHits)
+    assert(wand.scoreDocs.map(_.docId).toSeq == exact.scoreDocs.map(_.docId).toSeq)
+  }
+
+  test("missing terms: empty result, no crash") {
+    val r = Wand.searchTopK(searcher, TermQuery("zzz_none"), 10)
+    assert(r.totalHits == 0 && r.scoreDocs.isEmpty)
+  }
+}
