@@ -125,38 +125,44 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
       }.write.mode("overwrite").parquet(s"$indexPath/docs/wave=$wave")
     }
 
-    // postings: invert per doc (no shuffle), then one bounded shuffle
-    val termDocs: Dataset[TermDocRow] = staged.flatMap {
-      case (docId, _, _, _, _, _, content) =>
+    // postings, two-level (the reference's DWPT design restated):
+    //  map side — one in-RAM inverted index PER PARTITION, flushed as
+    //  encoded partial posting rows (delta+FOR packed). The shuffle then
+    //  moves COMPRESSED blocks (~2-4 B/posting), not raw term-doc tuples
+    //  (~70 B/posting): at 10^12 docs this is the difference between
+    //  shuffling ~3 TB and ~60 TB per build wave.
+    //  reduce side — merge the few partial rows per (term, rangeId)
+    //  (bounded: ranges span ≤ docsPerRange docs; a partition covers a
+    //  contiguous docId slice, so each range meets ~1-3 partitions).
+    val partial = staged.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[(String, Long), scala.collection.mutable.ArrayBuffer[PostingEntry]]
+      it.foreach { case (docId, _, _, _, _, _, content) =>
         val a = analyzerB.value(content)
         val dl = a.length - a.numOverlap
         val norm = SmallFloat.encodeNorm(a.length, a.numOverlap)
-        // local hash-agg: term -> positions (the reference's in-RAM
-        // BytesRefHash, collapsed to a per-row map)
         val m = scala.collection.mutable.LinkedHashMap
           .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
         a.tokens.foreach { t =>
           m.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty[Int]) += t.pos
         }
-        m.iterator.map { case (term, ps) =>
-          TermDocRow(term, docId / docsPerRange, docId,
-            ps.length, dl, norm, if (withPositions) ps.toArray else Array.emptyIntArray)
+        val rangeId = docId / docsPerRange
+        m.foreach { case (term, ps) =>
+          acc.getOrElseUpdate((term, rangeId), scala.collection.mutable.ArrayBuffer.empty) +=
+            PostingEntry(docId, ps.length, dl, norm,
+              if (withPositions) ps.toArray else Array.emptyIntArray)
         }
+      }
+      acc.iterator.map { case ((term, rangeId), entries) =>
+        PostingRows.fromEntries(entries.toArray.sortBy(_.docId), wave, fieldName,
+          term, rangeId, withPositions)
+      }
     }
 
-    termDocs
+    partial
       .groupByKey(r => (r.term, r.rangeId))
-      .mapGroups { (key: (String, Long), it: Iterator[TermDocRow]) =>
-        val (term, rangeId) = key
-        val field = fieldName
-        val entries = it.map(r => PostingEntry(r.docId, r.freq, r.dl, r.norm, r.positions))
-          .toArray.sortBy(_.docId)
-        val enc = PostingsCodec.encode(entries, withPositions)
-        PostingRow(wave, field, term, rangeId, enc.firstDocId, enc.lastDocId,
-          enc.count, enc.ttf, enc.maxFreq, enc.minDl,
-          enc.payload, enc.positions.orNull,
-          enc.skip.lastDoc, enc.skip.offset, enc.skip.posOffset,
-          enc.skip.maxFreq, enc.skip.minDl)
+      .mapGroups { (_: (String, Long), it: Iterator[PostingRow]) =>
+        PostingRows.merge(it.toArray, wave)
       }
       // term-sorted files → tight parquet row-group min/max stats on
       // `term`, so query-time isin(queryTerms) prunes row groups

@@ -66,29 +66,11 @@ object TieredMerge {
     val rows = spark.read.parquet(group.map(_.path): _*).as[PostingRow]
     rows
       .groupByKey(r => (r.field, r.term, r.rangeId))
-      .mapGroups { (key: (String, String, Long), it: Iterator[PostingRow]) =>
-        val (field, term, rangeId) = key
-        val sorted = it.toArray.sortBy(_.firstDocId)
+      .mapGroups { (_: (String, String, Long), it: Iterator[PostingRow]) =>
         // rows of later merge generations cover non-contiguous doc ranges
-        // (tier selection is by size, not adjacency) → a full entry sort,
-        // not just a row-order concat
-        val entries = sorted.flatMap { r =>
-          val dec = PostingsCodec.decode(r.payload)
-          val poss =
-            if (r.posPayload != null) PostingsCodec.decodePositions(r.posPayload, dec.freqs)
-            else null
-          (0 until dec.length).map { i =>
-            PostingEntry(dec.docIds(i), dec.freqs(i), dec.dls(i), dec.norms(i),
-              if (poss != null) poss(i) else Array.emptyIntArray)
-          }
-        }.sortBy(_.docId)
-        val withPos = sorted.head.posPayload != null
-        val enc = PostingsCodec.encode(entries, withPos)
-        PostingRow(newWave, field, term, rangeId, enc.firstDocId, enc.lastDocId,
-          enc.count, enc.ttf, enc.maxFreq, enc.minDl,
-          enc.payload, enc.positions.orNull,
-          enc.skip.lastDoc, enc.skip.offset, enc.skip.posOffset,
-          enc.skip.maxFreq, enc.skip.minDl)
+        // (tier selection is by size, not adjacency) → PostingRows.merge
+        // does a full entry sort, not just a row-order concat
+        PostingRows.merge(it.toArray, newWave)
       }
       .sortWithinPartitions("term", "rangeId")
       .write.mode("overwrite").parquet(target)

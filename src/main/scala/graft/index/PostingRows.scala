@@ -1,0 +1,43 @@
+package graft.index
+
+import graft.codec.{PostingEntry, PostingsCodec}
+
+/** Shared posting-row (re)construction: used by the build's reduce side and
+  * by tiered merge — both combine sorted partial runs of the same
+  * (field, term, rangeId) into one encoded row.
+  */
+object PostingRows {
+
+  def fromEntries(entries: Array[PostingEntry], wave: Int, field: String,
+      term: String, rangeId: Long, withPositions: Boolean): PostingRow = {
+    val enc = PostingsCodec.encode(entries, withPositions)
+    PostingRow(wave, field, term, rangeId, enc.firstDocId, enc.lastDocId,
+      enc.count, enc.ttf, enc.maxFreq, enc.minDl,
+      enc.payload, enc.positions.orNull,
+      enc.skip.lastDoc, enc.skip.offset, enc.skip.posOffset,
+      enc.skip.maxFreq, enc.skip.minDl)
+  }
+
+  /** Decode + concat + sort + re-encode a group of partial rows. */
+  def merge(rows: Array[PostingRow], wave: Int): PostingRow = {
+    if (rows.length == 1 && rows(0).segId == wave) return rows(0)
+    val head = rows(0)
+    val withPos = head.posPayload != null
+    val entries =
+      if (rows.length == 1) decodeEntries(head, withPos)
+      else rows.sortBy(_.firstDocId).flatMap(r => decodeEntries(r, withPos)).sortBy(_.docId)
+    fromEntries(entries, wave, head.field, head.term, head.rangeId, withPos)
+  }
+
+  def decodeEntries(r: PostingRow, withPos: Boolean): Array[PostingEntry] = {
+    val dec = PostingsCodec.decode(r.payload)
+    val poss =
+      if (withPos && r.posPayload != null)
+        PostingsCodec.decodePositions(r.posPayload, dec.freqs)
+      else null
+    Array.tabulate(dec.length) { i =>
+      PostingEntry(dec.docIds(i), dec.freqs(i), dec.dls(i), dec.norms(i),
+        if (poss != null) poss(i) else Array.emptyIntArray)
+    }
+  }
+}

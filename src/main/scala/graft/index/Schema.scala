@@ -22,20 +22,6 @@ final case class DocRow(
     dl: Int,
     norm: Byte)
 
-/** Intermediate per-(doc, term) row produced by the per-document invert step
-  * — created WITHOUT any shuffle (the whole in-RAM inverted index of the
-  * reference, /root/reference/core/index/termsHashConsumerPerField.go:288-369,
-  * collapses to per-row local aggregation because one document is one row).
-  */
-final case class TermDocRow(
-    term: String,
-    rangeId: Long,
-    docId: Long,
-    freq: Int,
-    dl: Int,
-    norm: Byte,
-    positions: Array[Int]) // `field` omitted: constant per build, re-attached at the posting row
-
 /** One posting-list slice: all docs of `term` within docId range `rangeId`
   * (rangeId = docId / docsPerRange). Hot terms (df≈N) are thereby range-split
   * across many bounded rows — the "salted shuffle with hot-term range
