@@ -135,8 +135,8 @@ object Bench {
     //         not the host's frequency curve. ----
     var scalingJson = ""
     if (doScaling) {
-      val scalingDocs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "500000").toLong
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt
+      val scalingDocs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "2000000").toLong
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
       val nLo = sys.env.getOrElse("SPARK_GRAFT_SCALING_N", "4")
       val nHi = (nLo.toInt * 4).toString
       spark.stop()

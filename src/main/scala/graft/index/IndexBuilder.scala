@@ -194,25 +194,32 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
       sum("totalTermFreq").as("sumTotalTermFreq"),
       sum("docFreq").as("sumDocFreq"),
       count(lit(1)).as("termCount"))
-    val docAgg = docs.agg(
-      count(lit(1)).as("maxDoc"),
-      sum(when(col("dl") > 0, 1L).otherwise(0L)).as("docCount"),
-      min("docId").as("minDocId"), max("docId").as("maxDocId")).collect()(0)
+
+    // one pass over docs: rollup gives per-segment rows AND the global
+    // totals row in a single shuffle (publish stays O(jobs)=3, not 4)
+    val docRoll = docs.rollup("segId")
+      .agg(min("docId").as("docLo"), max("docId").as("docHi"),
+        count(lit(1)).as("docCount"),
+        sum(when(col("dl") > 0, 1L).otherwise(0L)).as("nonEmpty"))
+      .collect()
+    val globalRow = docRoll.find(_.isNullAt(0)).get
+    val maxDoc = globalRow.getLong(3)
+    val docCount = globalRow.getLong(4)
+
+    import spark.implicits._
+    docRoll.filter(!_.isNullAt(0))
+      .map(r => SegmentMeta(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        generation = 1, lineage = s"$stagedPath/segId=${r.getInt(0)}"))
+      .toSeq.toDF()
+      .write.mode("overwrite").parquet(segmentsPath)
 
     fieldStats
-      .withColumn("maxDoc", lit(docAgg.getLong(0)))
-      .withColumn("docCount", lit(docAgg.getLong(1)))
+      .withColumn("maxDoc", lit(maxDoc))
+      .withColumn("docCount", lit(docCount))
       .write.mode("overwrite").parquet(statsPath)
 
-    val segMeta = docs.groupBy("segId")
-      .agg(min("docId").as("docLo"), max("docId").as("docHi"), count(lit(1)).as("docCount"))
-      .withColumn("generation", lit(1))
-      .withColumn("lineage", concat(lit(s"$stagedPath/segId="), col("segId")))
-      .select("segId", "docLo", "docHi", "docCount", "generation", "lineage")
-    segMeta.write.mode("overwrite").parquet(segmentsPath)
-
     // two-phase commit: all data dirs are durable; the marker makes it live
-    val m = IndexManifest(indexPath, docAgg.getLong(0), docAgg.getLong(1), config.docsPerRange)
+    val m = IndexManifest(indexPath, maxDoc, docCount, config.docsPerRange)
     IndexManifest.commit(spark, m)
     m
   }
