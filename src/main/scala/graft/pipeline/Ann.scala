@@ -35,7 +35,8 @@ object Ann {
     val q = all.where(col(idCol) < queryMaxId)
       .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = all.select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+    // broadcast the (small) QUERY side; the candidate corpus streams
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
