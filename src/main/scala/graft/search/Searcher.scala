@@ -276,6 +276,56 @@ final class IndexSearcher(
 
   def sparkSession: SparkSession = spark
 
+  private lazy val docsDF: DataFrame = spark.read.parquet(s"$indexPath/docs")
+
+  /** Stored-fields lookup (reference reader.Document(hit.Doc),
+    * /root/reference/core/document/document.go:75-133): docId-pushdown
+    * parquet point read.
+    */
+  def doc(docId: Long): Option[graft.index.DocRow] = docs(Seq(docId)).headOption
+
+  def docs(docIds: Seq[Long]): Seq[graft.index.DocRow] = {
+    import spark.implicits._
+    docsDF.where(col("docId").isin(docIds: _*))
+      .select("docId", "segId", "repo", "path", "commit", "lang", "contentSha", "dl", "norm")
+      .as[graft.index.DocRow].collect().toSeq
+  }
+
+  /** Score breakdown for one document (reference Explain,
+    * /root/reference/core/search/explanation.go, term.go:163-193) — the
+    * score-parity debugging tool: recomputes every leaf from that doc's
+    * posting entries and must reproduce search()'s score exactly.
+    */
+  def explain(q0: Query, docId: Long, mode: ScoreMode = ScoreMode.Ref32): String = {
+    val p = prepare(q0, mode)
+    val rangeId = docId / manifest.docsPerRange
+    val rows = rowsFor(p, Some(Seq(rangeId))).collect()
+    val sd = rows.groupBy(_._2).iterator.flatMap { case (rid, rs) =>
+      p.ge.eval(rid, rs.iterator)
+    }.find(_.docId == docId)
+    val sb = new StringBuilder
+    sb ++= s"doc=$docId mode=$mode score=${sd.map(_.score).getOrElse(Double.NaN)}\n"
+    val termRows = rows.groupBy(_._1)
+    for (t <- p.terms) {
+      termRows.get(t).flatMap { trs =>
+        trs.sortBy(_._3).iterator.map(r => PostingsCodec.decode(r._4))
+          .flatMap(d => d.docIds.indexOf(docId) match {
+            case -1 => None
+            case i => Some((d.freqs(i), d.dls(i), d.norms(i)))
+          }).toSeq.headOption
+      } match {
+        case Some((freq, dl, norm)) =>
+          val ts = p.stats(t)
+          sb ++= f"  term '$t': freq=$freq dl=$dl normByte=$norm " +
+            f"df=${ts.docFreq} ttf=${ts.totalTermFreq} " +
+            f"idf=${Bm25.idfExact(ts.docFreq, collectionStats.maxDoc)}%.6f\n"
+        case None =>
+          sb ++= s"  term '$t': no match in doc\n"
+      }
+    }
+    sb.toString
+  }
+
   /** Posting-row METADATA of the query terms (no payloads → Parquet column
     * pruning): feeds WAND bound computation.
     */

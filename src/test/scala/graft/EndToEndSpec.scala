@@ -172,6 +172,21 @@ class EndToEndSpec extends AnyFunSuite with SparkTestBase {
     assertParity(parser.parse("import OR zzz_not_a_term"))
   }
 
+  test("stored-field retrieval and explain reproduce the hit") {
+    val top = searcher.search(TermQuery("parser"), 3, ScoreMode.Ref32)
+    val hit = top.scoreDocs.head
+    val stored = searcher.doc(hit.docId)
+    assert(stored.isDefined && stored.get.docId == hit.docId)
+    // per-row invariant reachable through the read API too
+    val corpusByPath = TestCorpus.corpus(N).map(f => f.path -> f.content).toMap
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(corpusByPath(stored.get.path).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(stored.get.contentSha == sha)
+    val ex = searcher.explain(TermQuery("parser"), hit.docId)
+    assert(ex.contains(f"score=${hit.score}"))
+    assert(ex.contains("term 'parser'") && ex.contains("idf="))
+  }
+
   test("pluggable similarities run end-to-end and rank plausibly") {
     for (sim <- Seq(new TfIdfSimilarity, new LMDirichletSimilarity(),
       new DFRSimilarity(), new IBSimilarity(), new Bm25LSimilarity())) {
