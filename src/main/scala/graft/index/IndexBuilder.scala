@@ -111,13 +111,21 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
       .select("docId", "segId", "repo", "path", "commit", "lang", "content")
       .as[(Long, Int, String, String, String, String, String)]
 
-    // ONE analysis pass (tokenization is the dominant memory-bandwidth cost
-    // — running it twice for docs + postings measurably caps multi-core
-    // scaling). The pass emits a union of stored-field rows and partial
-    // posting rows, persisted serialized; the two writes below read the
-    // cache.
-    //
-    // Postings are two-level (the reference's DWPT design restated):
+    // docs (stored fields + per-row sha256 invariant + dl/norm) — submitted
+    // concurrently with the postings job below: the two jobs' tasks backfill
+    // each other's stage tails, removing a serial stage boundary
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val docsJob = Future {
+      staged.map { case (docId, segId, repo, path0, commit, lang, content) =>
+        val a = analyzerB.value(content)
+        val dl = a.length - a.numOverlap
+        DocRow(docId, segId, repo, path0, commit, lang,
+          Hashing.sha256Hex(content), dl, SmallFloat.encodeNorm(a.length, a.numOverlap))
+      }.write.mode("overwrite").parquet(s"$indexPath/docs/wave=$wave")
+    }
+
+    // postings, two-level (the reference's DWPT design restated):
     //  map side — one in-RAM inverted index PER PARTITION, flushed as
     //  encoded partial posting rows (delta+FOR packed). The shuffle then
     //  moves COMPRESSED blocks (~2-4 B/posting), not raw term-doc tuples
@@ -125,18 +133,14 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
     //  shuffling ~3 TB and ~60 TB per build wave.
     //  reduce side — merge the few partial rows per (term, rangeId)
     //  (bounded: ranges span ≤ docsPerRange docs; a partition covers a
-    //  contiguous docId slice, so each range meets ~1-3 partitions; 1-row
-    //  groups pass through without re-encode).
-    val out = staged.mapPartitions { it =>
+    //  contiguous docId slice, so each range meets ~1-3 partitions).
+    val partial = staged.mapPartitions { it =>
       val acc = scala.collection.mutable.HashMap
         .empty[(String, Long), scala.collection.mutable.ArrayBuffer[PostingEntry]]
-      val docRows = scala.collection.mutable.ArrayBuffer.empty[DocRow]
-      it.foreach { case (docId, segId, repo, path0, commit, lang, content) =>
+      it.foreach { case (docId, _, _, _, _, _, content) =>
         val a = analyzerB.value(content)
         val dl = a.length - a.numOverlap
         val norm = SmallFloat.encodeNorm(a.length, a.numOverlap)
-        docRows += DocRow(docId, segId, repo, path0, commit, lang,
-          Hashing.sha256Hex(content), dl, norm)
         val m = scala.collection.mutable.LinkedHashMap
           .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
         a.tokens.foreach { t =>
@@ -149,17 +153,13 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
               if (withPositions) ps.toArray else Array.emptyIntArray)
         }
       }
-      docRows.iterator.map(d => BuildOut(d, null)) ++
-        acc.iterator.map { case ((term, rangeId), entries) =>
-          BuildOut(null, PostingRows.fromEntries(entries.toArray.sortBy(_.docId), wave,
-            fieldName, term, rangeId, withPositions))
-        }
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      acc.iterator.map { case ((term, rangeId), entries) =>
+        PostingRows.fromEntries(entries.toArray.sortBy(_.docId), wave, fieldName,
+          term, rangeId, withPositions)
+      }
+    }
 
-    out.filter(_.doc != null).map(_.doc)
-      .write.mode("overwrite").parquet(s"$indexPath/docs/wave=$wave")
-
-    out.filter(_.post != null).map(_.post)
+    partial
       .groupByKey(r => (r.term, r.rangeId))
       .mapGroups { (_: (String, Long), it: Iterator[PostingRow]) =>
         PostingRows.merge(it.toArray, wave)
@@ -169,7 +169,7 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
       .sortWithinPartitions("term", "rangeId")
       .write.mode("overwrite").parquet(s"$indexPath/postings/wave=$wave")
 
-    out.unpersist(blocking = false)
+    Await.result(docsJob, scala.concurrent.duration.Duration.Inf)
   }
 
   /** Stage 3: (re)publish terms dict, stats, segment metadata, commit. */

@@ -98,8 +98,3 @@ final case class IndexConfig(
     /** when set, take docIds from this input column (must be unique,
       * non-negative longs) instead of assigning rank-based ids */
     explicitDocIdCol: Option[String] = None)
-
-/** Union row of the single-analysis invert pass: exactly one of the two
-  * fields is set (stored-field row or partial posting row).
-  */
-final case class BuildOut(doc: DocRow, post: PostingRow)
