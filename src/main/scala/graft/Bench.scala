@@ -29,6 +29,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", math.max(cpus.toInt, 8).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", s"$scratch/spark_local")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -156,15 +157,46 @@ object Bench {
       val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
       val nLo = sys.env.getOrElse("SPARK_GRAFT_SCALING_N", "4")
       val nHi = (nLo.toInt * 4).toString
+      // materialize the corpus once for both child JVMs
+      val corpusPath = corpusParquet(spark, scalingDocs, 128, 64)
       spark.stop()
-      def measure(cpus: String): (Double, Double) = {
-        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-        val s = session(cpus)
-        // warm JIT/codegen with a small run
-        fusedBuild(s, 20000, 32, freshDir(s"w$cpus"))
-        val runs = (1 to reps).map(r => fusedBuild(s, scalingDocs, 128, freshDir(s"s${cpus}_$r")))
-        s.stop()
-        runs.minBy(r => r._1 + r._2)
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+
+      // each level runs in its OWN JVM with -XX:ActiveProcessorCount=N —
+      // a faithful N-core node (GC/JIT/pool ergonomics included); switching
+      // local[N] inside one 32-core JVM lends the small level 32 cores of GC
+      def measure(cpusN: String): (Double, Double) = {
+        val java = s"${System.getProperty("java.home")}/bin/java"
+        val addOpens = Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar")
+          .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+        val cmd = Seq(java) ++ addOpens ++ Seq(
+          s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+          s"-XX:ActiveProcessorCount=$cpusN",
+          "-Dspark.ui.enabled=false",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.tools.ScalingChild",
+          cpusN, scalingDocs.toString, "128", corpusPath,
+          freshDir(s"child$cpusN"), reps.toString)
+        val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+        proc.waitFor()
+        out.find(_.startsWith("CHILD")) match {
+          case Some(line) =>
+            val kv = line.split(' ').collect { case s if s.contains('=') =>
+              val Array(k, v) = s.split('='); k -> v
+            }.toMap
+            (kv("invert").toDouble, kv("publish").toDouble)
+          case None =>
+            System.err.println(s"[bench] scaling child $cpusN failed:\n${out.takeRight(20).mkString("\n")}")
+            (Double.NaN, Double.NaN)
+        }
       }
       val (iLo, pLo) = measure(nLo)
       val (iHi, pHi) = measure(nHi)

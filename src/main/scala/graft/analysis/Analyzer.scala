@@ -21,6 +21,12 @@ final case class Analyzed(tokens: Array[Token], length: Int, numOverlap: Int)
   */
 trait Analyzer extends Serializable {
   def apply(text: String): Analyzed
+
+  /** Visitor fast path (no Token allocation); implementations may override
+    * with an allocation-lean native loop.
+    */
+  def tokenize(text: String)(emit: (String, Int) => Unit): Unit =
+    apply(text).tokens.foreach(t => emit(t.term, t.pos))
 }
 
 object Analyzer {
@@ -61,31 +67,49 @@ final class StandardCodeAnalyzer(stopWords: Set[String]) extends Analyzer {
   }
 
   override def apply(text: String): Analyzed = {
+    val tokens = Array.newBuilder[Token]
+    tokenize(text) { (term, pos) => tokens += Token(term, pos) }
+    val result = tokens.result()
+    Analyzed(result, result.length, numOverlap = 0)
+  }
+
+  /** Allocation-lean visitor path for the build hot loop: one String per
+    * emitted token (single-pass lowercase extraction, ASCII fast path),
+    * no Token objects.
+    */
+  override def tokenize(text: String)(emit: (String, Int) => Unit): Unit = {
     val bi = local.get()
     bi.setText(text)
-    val tokens = Array.newBuilder[Token]
     var pos = -1 // position of the last *conceptual* token slot
-    var length = 0
     var start = bi.first()
     var end = bi.next()
+    var buf = new Array[Char](64)
     while (end != BreakIterator.DONE) {
       // status of the rule that matched the segment ending at `end`
       val status = bi.getRuleStatus
       if (status >= 100) { // WORD_NUMBER(100+)/WORD_LETTER(200+)/KANA/IDEO
         pos += 1
-        if (end - start <= Analyzer.MaxTokenLength) {
-          val term = text.substring(start, end).toLowerCase(java.util.Locale.ROOT)
-          if (!stopWords.contains(term)) {
-            tokens += Token(term, pos)
-            length += 1
+        val n = end - start
+        if (n <= Analyzer.MaxTokenLength) {
+          if (buf.length < n) buf = new Array[Char](math.max(n, buf.length * 2))
+          var i = 0
+          var ascii = true
+          while (i < n) {
+            val c = text.charAt(start + i)
+            if (c < 128) buf(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+            else { ascii = false; buf(i) = c }
+            i += 1
           }
+          val term =
+            if (ascii) new String(buf, 0, n)
+            else new String(buf, 0, n).toLowerCase(java.util.Locale.ROOT)
+          if (!stopWords.contains(term)) emit(term, pos)
         }
         // over-long: skipped but position already advanced
       }
       start = end
       end = bi.next()
     }
-    Analyzed(tokens.result(), length, numOverlap = 0)
   }
 }
 

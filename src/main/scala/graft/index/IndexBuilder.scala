@@ -118,10 +118,10 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
     import scala.concurrent.ExecutionContext.Implicits.global
     val docsJob = Future {
       staged.map { case (docId, segId, repo, path0, commit, lang, content) =>
-        val a = analyzerB.value(content)
-        val dl = a.length - a.numOverlap
+        var dl = 0
+        analyzerB.value.tokenize(content)((_, _) => dl += 1)
         DocRow(docId, segId, repo, path0, commit, lang,
-          Hashing.sha256Hex(content), dl, SmallFloat.encodeNorm(a.length, a.numOverlap))
+          Hashing.sha256Hex(content), dl, SmallFloat.encodeNorm(dl, 0))
       }.write.mode("overwrite").parquet(s"$indexPath/docs/wave=$wave")
     }
 
@@ -137,20 +137,24 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
     val partial = staged.mapPartitions { it =>
       val acc = scala.collection.mutable.HashMap
         .empty[(String, Long), scala.collection.mutable.ArrayBuffer[PostingEntry]]
+      val m = new java.util.HashMap[String, IntsBuf]() // reused per doc
       it.foreach { case (docId, _, _, _, _, _, content) =>
-        val a = analyzerB.value(content)
-        val dl = a.length - a.numOverlap
-        val norm = SmallFloat.encodeNorm(a.length, a.numOverlap)
-        val m = scala.collection.mutable.LinkedHashMap
-          .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-        a.tokens.foreach { t =>
-          m.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty[Int]) += t.pos
+        m.clear()
+        var dl = 0
+        analyzerB.value.tokenize(content) { (term, p) =>
+          dl += 1
+          var b = m.get(term)
+          if (b == null) { b = new IntsBuf; m.put(term, b) }
+          b.add(p)
         }
+        val norm = SmallFloat.encodeNorm(dl, 0)
         val rangeId = docId / docsPerRange
-        m.foreach { case (term, ps) =>
-          acc.getOrElseUpdate((term, rangeId), scala.collection.mutable.ArrayBuffer.empty) +=
-            PostingEntry(docId, ps.length, dl, norm,
-              if (withPositions) ps.toArray else Array.emptyIntArray)
+        val mit = m.entrySet().iterator()
+        while (mit.hasNext) {
+          val e = mit.next()
+          acc.getOrElseUpdate((e.getKey, rangeId), scala.collection.mutable.ArrayBuffer.empty) +=
+            PostingEntry(docId, e.getValue.n, dl, norm,
+              if (withPositions) e.getValue.toArray else Array.emptyIntArray)
         }
       }
       acc.iterator.map { case ((term, rangeId), entries) =>
@@ -227,9 +231,24 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
 }
 
 object Hashing {
+  private val hex = "0123456789abcdef".toCharArray
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
   def sha256Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("SHA-256")
-    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hex((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 }
 

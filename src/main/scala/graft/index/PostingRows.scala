@@ -41,3 +41,15 @@ object PostingRows {
     }
   }
 }
+
+/** Minimal growable int buffer (position lists in the invert hot loop). */
+final class IntsBuf {
+  private var a = new Array[Int](4)
+  var n = 0
+  def add(v: Int): Unit = {
+    if (n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+    a(n) = v
+    n += 1
+  }
+  def toArray: Array[Int] = java.util.Arrays.copyOf(a, n)
+}

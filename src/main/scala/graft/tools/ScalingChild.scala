@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.analysis.StandardCodeAnalyzer
+import graft.index.{IndexBuilder, IndexConfig}
+
+/** One scaling measurement in its own JVM (launched by graft.Bench with
+  * -XX:ActiveProcessorCount=N): a faithful N-core-node emulation — GC
+  * threads, ForkJoinPool, and JIT ergonomics all see N cores, unlike
+  * switching local[N] inside one 32-core JVM.
+  *
+  * args: <cpus> <docs> <parts> <corpusPath> <outBase> <reps>
+  * prints: CHILD cpus=N invert=<min s> publish=<min s>
+  */
+object ScalingChild {
+  def main(args: Array[String]): Unit = {
+    val Array(cpus, docsS, partsS, corpusPath, outBase, repsS) = args
+    val reps = repsS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaling-child")
+      .config("spark.sql.shuffle.partitions", math.max(cpus.toInt, 8).toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", s"$outBase/spark_local")
+      .config("spark.sql.files.maxPartitionBytes", "32m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 8192, numSegments = 64, segmentsPerWave = 64)
+    val b = new IndexBuilder(spark, cfg)
+    val corpus = spark.read.parquet(corpusPath)
+
+    def once(out: String): (Double, Double) = {
+      val t0 = System.nanoTime()
+      b.invertWave(corpus, 0, out)
+      val t1 = System.nanoTime()
+      b.publish(out)
+      ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
+    }
+    // JIT/codegen warm-up on a slice
+    {
+      val slice = corpus.where(org.apache.spark.sql.functions.col("docId") < 20000)
+      b.invertWave(slice, 0, s"$outBase/warm")
+      b.publish(s"$outBase/warm")
+    }
+    val runs = (1 to reps).map(r => once(s"$outBase/run$r"))
+    val best = runs.minBy(r => r._1 + r._2)
+    println(f"CHILD cpus=$cpus invert=${best._1}%.3f publish=${best._2}%.3f")
+    spark.stop()
+  }
+}

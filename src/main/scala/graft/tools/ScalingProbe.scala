@@ -25,6 +25,7 @@ object ScalingProbe {
           sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "64"))
         .config("spark.ui.enabled", "false")
         .config("spark.local.dir", s"$scratch/spark_local")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       // stage-level telemetry: wall vs ideal(task-time/cores) exposes
@@ -70,10 +71,15 @@ object ScalingProbe {
         val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "256").toInt
         val nSegs = cfg.numSegments
         val perSeg = math.max(1L, (docs + nSegs) / nSegs)
-        val fusedCorpus = spark.range(0L, docs, 1L, parts).map { i =>
-          val f = SyntheticCorpus.file(i)
-          (i, (i / perSeg).toInt, f.repo, f.path, f.commit, f.lang, f.content)
-        }.toDF("docId", "segId", "repo", "path", "commit", "lang", "content")
+        val corpusPath = s"$scratch/corpus_${docs}_$parts"
+        if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
+          spark.range(0L, docs, 1L, parts).map { i =>
+            val f = SyntheticCorpus.file(i)
+            (i, (i / perSeg).toInt, f.repo, f.path, f.commit, f.lang, f.content)
+          }.toDF("docId", "segId", "repo", "path", "commit", "lang", "content")
+            .write.mode("overwrite").parquet(corpusPath)
+        }
+        val fusedCorpus = spark.read.parquet(corpusPath)
         val tInvert = t(b.invertWave(fusedCorpus, 0, dir))
         val tPublish = t(b.publish(dir))
         println(f"PROBE-FUSED cpus=$cpus docs=$docs parts=$parts total=${tInvert + tPublish}%.2f invert=$tInvert%.2f publish=$tPublish%.2f docs_per_sec=${docs / (tInvert + tPublish)}%.0f")
