@@ -153,8 +153,8 @@ object Bench {
     //         not the host's frequency curve. ----
     var scalingJson = ""
     if (doScaling) {
-      val scalingDocs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "2000000").toLong
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
+      val scalingDocs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "1000000").toLong
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "4").toInt
       val nLo = sys.env.getOrElse("SPARK_GRAFT_SCALING_N", "4")
       val nHi = (nLo.toInt * 4).toString
       // materialize the corpus once for both child JVMs
@@ -165,7 +165,7 @@ object Bench {
       // each level runs in its OWN JVM with -XX:ActiveProcessorCount=N —
       // a faithful N-core node (GC/JIT/pool ergonomics included); switching
       // local[N] inside one 32-core JVM lends the small level 32 cores of GC
-      def measure(cpusN: String): (Double, Double) = {
+      def measureOnce(cpusN: String): (Double, Double) = {
         val java = s"${System.getProperty("java.home")}/bin/java"
         val addOpens = Seq(
           "java.base/java.lang", "java.base/java.lang.invoke",
@@ -177,13 +177,13 @@ object Bench {
           "java.base/sun.security.action", "java.base/sun.util.calendar")
           .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
         val cmd = Seq(java) ++ addOpens ++ Seq(
-          s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+          s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "12g")}",
           s"-XX:ActiveProcessorCount=$cpusN",
           "-Dspark.ui.enabled=false",
           "-cp", System.getProperty("java.class.path"),
           "graft.tools.ScalingChild",
           cpusN, scalingDocs.toString, "128", corpusPath,
-          freshDir(s"child$cpusN"), reps.toString)
+          freshDir(s"child$cpusN"), "1")
         val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
         val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
         proc.waitFor()
@@ -198,8 +198,11 @@ object Bench {
             (Double.NaN, Double.NaN)
         }
       }
-      val (iLo, pLo) = measure(nLo)
-      val (iHi, pHi) = measure(nHi)
+      // interleave the two levels (L,H,L,H,…): host-load drift then biases
+      // both sides alike instead of whichever level ran later
+      val pairs = (1 to reps).map(_ => (measureOnce(nLo), measureOnce(nHi)))
+      val (iLo, pLo) = pairs.map(_._1).minBy(r => r._1 + r._2)
+      val (iHi, pHi) = pairs.map(_._2).minBy(r => r._1 + r._2)
       val tLo = iLo + pLo
       val tHi = iHi + pHi
       val eff = tLo / (4.0 * tHi)

@@ -73,6 +73,64 @@ final class StandardCodeAnalyzer(stopWords: Set[String]) extends Analyzer {
     Analyzed(result, result.length, numOverlap = 0)
   }
 
+  // stopwords bucketed by length as char arrays: zero-allocation membership
+  // test against the lowered char buffer
+  @transient private lazy val stopByLen: Array[Array[Array[Char]]] = {
+    val maxLen = if (stopWords.isEmpty) 0 else stopWords.map(_.length).max
+    Array.tabulate(maxLen + 1)(l => stopWords.filter(_.length == l).map(_.toCharArray).toArray)
+  }
+
+  private def isStop(buf: Array[Char], n: Int): Boolean = {
+    if (n >= stopByLen.length) return false
+    val cands = stopByLen(n)
+    var i = 0
+    while (i < cands.length) {
+      val w = cands(i)
+      var j = 0
+      while (j < n && w(j) == buf(j)) j += 1
+      if (j == n) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Token count (= BM25 dl for this analyzer) without ANY per-token
+    * allocation — the stored-fields pass needs only this.
+    */
+  def countTokens(text: String): Int = {
+    val bi = local.get()
+    bi.setText(text)
+    var count = 0
+    var buf = new Array[Char](64)
+    var start = bi.first()
+    var end = bi.next()
+    while (end != BreakIterator.DONE) {
+      if (bi.getRuleStatus >= 100) {
+        val n = end - start
+        if (n <= Analyzer.MaxTokenLength) {
+          if (buf.length < n) buf = new Array[Char](math.max(n, buf.length * 2))
+          var i = 0
+          var ascii = true
+          while (i < n) {
+            val c = text.charAt(start + i)
+            if (c < 128) buf(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+            else { ascii = false; buf(i) = c }
+            i += 1
+          }
+          if (ascii) { if (!isStop(buf, n)) count += 1 }
+          else {
+            // rare non-ASCII path falls back to string semantics
+            val term = new String(buf, 0, n).toLowerCase(java.util.Locale.ROOT)
+            if (!stopWords.contains(term)) count += 1
+          }
+        }
+      }
+      start = end
+      end = bi.next()
+    }
+    count
+  }
+
   /** Allocation-lean visitor path for the build hot loop: one String per
     * emitted token (single-pass lowercase extraction, ASCII fast path),
     * no Token objects.

@@ -118,8 +118,10 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
     import scala.concurrent.ExecutionContext.Implicits.global
     val docsJob = Future {
       staged.map { case (docId, segId, repo, path0, commit, lang, content) =>
-        var dl = 0
-        analyzerB.value.tokenize(content)((_, _) => dl += 1)
+        val dl = analyzerB.value match {
+          case std: graft.analysis.StandardCodeAnalyzer => std.countTokens(content)
+          case a => var c = 0; a.tokenize(content)((_, _) => c += 1); c
+        }
         DocRow(docId, segId, repo, path0, commit, lang,
           Hashing.sha256Hex(content), dl, SmallFloat.encodeNorm(dl, 0))
       }.write.mode("overwrite").parquet(s"$indexPath/docs/wave=$wave")
