@@ -198,15 +198,21 @@ object Bench {
             (Double.NaN, Double.NaN)
         }
       }
-      // interleave the two levels (L,H,L,H,…): host-load drift then biases
-      // both sides alike instead of whichever level ran later
+      // interleave the two levels (L,H,L,H,…) and compute efficiency PER
+      // PAIR (adjacent runs share the host-load window), reporting the
+      // median pair ratio — robust to host drift in either direction
       val pairs = (1 to reps).map(_ => (measureOnce(nLo), measureOnce(nHi)))
       val (iLo, pLo) = pairs.map(_._1).minBy(r => r._1 + r._2)
       val (iHi, pHi) = pairs.map(_._2).minBy(r => r._1 + r._2)
       val tLo = iLo + pLo
       val tHi = iHi + pHi
-      val eff = tLo / (4.0 * tHi)
-      val effInvert = iLo / (4.0 * iHi)
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      val eff = median(pairs.map { case (lo, hi) =>
+        (lo._1 + lo._2) / (4.0 * (hi._1 + hi._2)) })
+      val effInvert = median(pairs.map { case (lo, hi) => lo._1 / (4.0 * hi._1) })
       scalingJson =
         f""","scaling":{"docs":$scalingDocs,"n_cores":$nLo,"n4_cores":$nHi,"n_sec":$tLo%.2f,"n4_sec":$tHi%.2f,"n_invert_sec":$iLo%.2f,"n4_invert_sec":$iHi%.2f,"n_docs_per_sec":${scalingDocs / tLo}%.1f,"n4_docs_per_sec":${scalingDocs / tHi}%.1f,"efficiency":$eff%.3f,"efficiency_invert":$effInvert%.3f}"""
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

@@ -24,7 +24,9 @@ object FtQueries {
 
   def indexPath(spark: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(sfDir, {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_" +
+      // format version in the cache key: postings-layout changes invalidate
+      // indexes cached across driver rounds
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}_" +
         graft.index.Hashing.sha256Hex(sfDir).take(12)
       val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(

@@ -60,6 +60,9 @@ final case class EncodedPostings(
 object PostingsCodec {
   import ForBlock.BlockSize
 
+  /** Bump when the on-disk posting layout changes (invalidates caches). */
+  val FormatVersion = 1
+
   def encode(entries: Array[PostingEntry], withPositions: Boolean): EncodedPostings = {
     require(entries.nonEmpty, "empty posting run")
     var v = 1
@@ -212,6 +215,86 @@ object PostingsCodec {
       i += len
     }
     new DecodedPostings(docIds, freqs, dls, norms)
+  }
+
+  /** Skip-entry navigation: decode ONLY the 128-blocks intersecting
+    * [minDoc, maxDoc] using the row's skip offsets — the read-side use of
+    * the skip list (reference Advance,
+    * /root/reference/core/codec/lucene41/postingsReader.go:495-545).
+    * Returns entries with docIds possibly outside the bounds at block edges;
+    * callers filter.
+    */
+  def decodeRange(payload: Array[Byte], skip: SkipData,
+      minDoc: Long, maxDoc: Long): DecodedPostings = {
+    val in = ByteBuffer.wrap(payload)
+    val n = VByte.readVInt(in)
+    val base = VByte.readVLong(in)
+    val nBlocks = skip.lastDoc.length
+    // first block whose lastDoc >= minDoc (binary search over skip entries)
+    var lo = 0
+    var hi = nBlocks - 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (skip.lastDoc(mid) < minDoc) lo = mid + 1 else hi = mid
+    }
+    val fromBlock = lo
+    if (skip.lastDoc(nBlocks - 1) < minDoc)
+      return new DecodedPostings(Array.empty, Array.empty, Array.empty, Array.empty)
+
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    val outF = scala.collection.mutable.ArrayBuilder.make[Int]
+    val outD = scala.collection.mutable.ArrayBuilder.make[Int]
+    val outN = scala.collection.mutable.ArrayBuilder.make[Byte]
+    val tmp = new Array[Long](BlockSize)
+    var block = fromBlock
+    var continue = true
+    while (continue && block < nBlocks) {
+      val blockStart = block * BlockSize
+      val len = math.min(BlockSize, n - blockStart)
+      in.position(skip.offset(block))
+      // delta decoding restarts from the previous block's lastDoc (block 0:
+      // the base written in the header)
+      var prevDoc = if (block == 0) base else skip.lastDoc(block - 1)
+      if (len == BlockSize) {
+        ForBlock.readBlock(in, tmp, 0, len)
+        val ids = new Array[Long](len)
+        var j = 0
+        while (j < len) { prevDoc += tmp(j); ids(j) = prevDoc; j += 1 }
+        ForBlock.readBlock(in, tmp, 0, len)
+        val fs = new Array[Int](len)
+        j = 0
+        while (j < len) { fs(j) = tmp(j).toInt; j += 1 }
+        ForBlock.readBlock(in, tmp, 0, len)
+        val ds = new Array[Int](len)
+        j = 0
+        while (j < len) { ds(j) = tmp(j).toInt; j += 1 }
+        val ns = new Array[Byte](len)
+        in.get(ns, 0, len)
+        j = 0
+        while (j < len) {
+          if (ids(j) >= minDoc && ids(j) <= maxDoc) {
+            out += ids(j); outF += fs(j); outD += ds(j); outN += ns(j)
+          }
+          j += 1
+        }
+      } else {
+        var j = 0
+        while (j < len) {
+          val code = VByte.readVLong(in)
+          prevDoc += (code >>> 1)
+          val f = if ((code & 1L) != 0) 1 else VByte.readVInt(in)
+          val d = VByte.readVInt(in)
+          val nb = in.get()
+          if (prevDoc >= minDoc && prevDoc <= maxDoc) {
+            out += prevDoc; outF += f; outD += d; outN += nb
+          }
+          j += 1
+        }
+      }
+      if (skip.lastDoc(block) > maxDoc) continue = false
+      block += 1
+    }
+    new DecodedPostings(out.result(), outF.result(), outD.result(), outN.result())
   }
 
   /** Decode per-entry position arrays aligned with [[decode]] output.

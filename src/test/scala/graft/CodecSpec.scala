@@ -104,6 +104,29 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeRange (skip-entry navigation) equals filtered full decode") {
+    val rnd = new Random(99)
+    for (n <- Seq(5, 128, 300, 1000)) {
+      val entries = randomEntries(rnd, n, withPos = false)
+      val enc = PostingsCodec.encode(entries, withPositions = false)
+      val full = PostingsCodec.decode(enc.payload)
+      for (_ <- 1 to 10) {
+        val a = entries(rnd.nextInt(n)).docId - rnd.nextInt(1000)
+        val b = a + rnd.nextInt(2000000)
+        val ranged = PostingsCodec.decodeRange(enc.payload, enc.skip, a, b)
+        val expIdx = full.docIds.indices.filter(i => full.docIds(i) >= a && full.docIds(i) <= b)
+        assert(ranged.docIds.toSeq == expIdx.map(full.docIds), s"n=$n [$a,$b]")
+        assert(ranged.freqs.toSeq == expIdx.map(full.freqs))
+        assert(ranged.dls.toSeq == expIdx.map(full.dls))
+        assert(ranged.norms.toSeq == expIdx.map(full.norms))
+      }
+      // out-of-range → empty
+      val none = PostingsCodec.decodeRange(enc.payload, enc.skip,
+        entries.last.docId + 1, entries.last.docId + 100)
+      assert(none.length == 0)
+    }
+  }
+
   test("singleton (df=1, freq=1) posting stays tiny (reference pulsing analogue)") {
     val e = Array(PostingEntry(123456789L, 1, 10, SmallFloat.encodeNorm(10, 0), Array(3)))
     val enc = PostingsCodec.encode(e, withPositions = true)
