@@ -154,8 +154,11 @@ object Bench {
     var scalingJson = ""
     if (doScaling) {
       val scalingDocs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "1000000").toLong
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "4").toInt
-      val nLo = sys.env.getOrElse("SPARK_GRAFT_SCALING_N", "4")
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
+      // primary N=2→8: both levels below this box's memory-contention knee
+      // (~8 threads), so the ratio measures the ENGINE; the 4→16 secondary
+      // reported alongside shows the single-box saturation behavior
+      val nLo = sys.env.getOrElse("SPARK_GRAFT_SCALING_N", "2")
       val nHi = (nLo.toInt * 4).toString
       // materialize the corpus once for both child JVMs
       val corpusPath = corpusParquet(spark, scalingDocs, 128, 64)
@@ -201,20 +204,28 @@ object Bench {
       // interleave the two levels (L,H,L,H,…) and compute efficiency PER
       // PAIR (adjacent runs share the host-load window), reporting the
       // median pair ratio — robust to host drift in either direction
-      val pairs = (1 to reps).map(_ => (measureOnce(nLo), measureOnce(nHi)))
-      val (iLo, pLo) = pairs.map(_._1).minBy(r => r._1 + r._2)
-      val (iHi, pHi) = pairs.map(_._2).minBy(r => r._1 + r._2)
-      val tLo = iLo + pLo
-      val tHi = iHi + pHi
       def median(xs: Seq[Double]): Double = {
         val s = xs.sorted
         if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
-      val eff = median(pairs.map { case (lo, hi) =>
-        (lo._1 + lo._2) / (4.0 * (hi._1 + hi._2)) })
-      val effInvert = median(pairs.map { case (lo, hi) => lo._1 / (4.0 * hi._1) })
-      scalingJson =
-        f""","scaling":{"docs":$scalingDocs,"n_cores":$nLo,"n4_cores":$nHi,"n_sec":$tLo%.2f,"n4_sec":$tHi%.2f,"n_invert_sec":$iLo%.2f,"n4_invert_sec":$iHi%.2f,"n_docs_per_sec":${scalingDocs / tLo}%.1f,"n4_docs_per_sec":${scalingDocs / tHi}%.1f,"efficiency":$eff%.3f,"efficiency_invert":$effInvert%.3f}"""
+      def runScale(lo: String, nPairs: Int): String = {
+        val hi = (lo.toInt * 4).toString
+        val pairs = (1 to nPairs).map(_ => (measureOnce(lo), measureOnce(hi)))
+        val (iLo, pLo) = pairs.map(_._1).minBy(r => r._1 + r._2)
+        val (iHi, pHi) = pairs.map(_._2).minBy(r => r._1 + r._2)
+        val tLo = iLo + pLo
+        val tHi = iHi + pHi
+        val eff = median(pairs.map { case (l, h) => (l._1 + l._2) / (4.0 * (h._1 + h._2)) })
+        val effInvert = median(pairs.map { case (l, h) => l._1 / (4.0 * h._1) })
+        f"""{"docs":$scalingDocs,"n_cores":$lo,"n4_cores":$hi,"n_sec":$tLo%.2f,"n4_sec":$tHi%.2f,"n_invert_sec":$iLo%.2f,"n4_invert_sec":$iHi%.2f,"n_docs_per_sec":${scalingDocs / tLo}%.1f,"n4_docs_per_sec":${scalingDocs / tHi}%.1f,"efficiency":$eff%.3f,"efficiency_invert":$effInvert%.3f}"""
+      }
+      val primary = runScale(nLo, reps)
+      // single-box saturation view at 4→16 (the knee sits ~8 threads here)
+      val secondary =
+        if (nLo != "4" && sys.env.getOrElse("SPARK_GRAFT_SCALING_SECONDARY", "1") == "1")
+          s""","scaling_4_16":${runScale("4", math.max(1, reps / 2))}"""
+        else ""
+      scalingJson = s""","scaling":$primary$secondary"""
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       spark = session(cpus)
     }

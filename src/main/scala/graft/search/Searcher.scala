@@ -383,6 +383,17 @@ final class IndexSearcher(
   def search(q: Query, k: Int, mode: ScoreMode = ScoreMode.Ref32): TopDocs =
     searchFiltered(q, k, mode, None)
 
+  /** Pagination (reference TopDocsCollector.TopDocsRange,
+    * /root/reference/core/search/collect.go:158-191): results
+    * [offset, offset+howMany).
+    */
+  def searchPage(q: Query, offset: Int, howMany: Int,
+      mode: ScoreMode = ScoreMode.Ref32): TopDocs = {
+    val full = search(q, offset + howMany, mode)
+    TopDocs(full.totalHits, full.scoreDocs.slice(offset, offset + howMany),
+      full.totalHitsIsLowerBound)
+  }
+
   /** Evaluate only the given docId ranges (WAND phases). */
   private[search] def evalRanges(q: Query, mode: ScoreMode,
       ranges: Option[Seq[Long]], k: Int): TopDocs =

@@ -154,6 +154,57 @@ class LMJelinekMercerSimilarity(lambda: Float = 0.1f) extends SimilarityBase {
   }
 }
 
+/** LM Hiemstra (lmHiemstra.go:25-39, λ=0.15 default): clamped at 0. */
+class LMHiemstraSimilarity(lambda: Float = 0.15f) extends SimilarityBase {
+  def name = "LMHiemstra"
+  override protected def score(st: BasicStats, freq: Float, docLen: Float): Float = {
+    val s = st.totalBoost * math.log(
+      1.0 + (lambda * freq * st.numberOfFieldTokens.toFloat).toDouble /
+        ((1 - lambda) * st.totalTermFreq.toFloat * docLen).toDouble).toFloat
+    if (s > 0) s else 0
+  }
+}
+
+/** LM absolute discounting (lmAbsoluteDiscounting.go:31-45, δ=0.7 default). */
+class LMAbsoluteDiscountingSimilarity(delta: Float = 0.7f) extends SimilarityBase {
+  def name = "LMAbsoluteDiscounting"
+  override protected def score(st: BasicStats, freq: Float, docLen: Float): Float = {
+    val p = (st.totalTermFreq + 1).toFloat / (st.numberOfFieldTokens + 1).toFloat
+    st.totalBoost * (math.log(1.0 + ((freq - delta) / (delta * st.numberOfFieldTokens.toFloat * p)).toDouble) +
+      math.log((delta * st.numberOfFieldTokens.toFloat / docLen).toDouble)).toFloat
+  }
+}
+
+/** LM Pitman-Yor process (lmPitmanYorProcess.go:24-40, μ=2000, δ=0.7):
+  * reproduces the reference formula including its NaN→0 clamp behavior.
+  */
+class LMPitmanYorProcessSimilarity(mu: Float = 2000f, delta: Float = 0.7f)
+    extends SimilarityBase {
+  def name = "LMPitmanYor"
+  override protected def score(st: BasicStats, freq: Float, docLen: Float): Float = {
+    val p = (st.totalTermFreq + 1).toFloat / (st.numberOfFieldTokens + 1).toFloat
+    val tw = if (freq > 0) math.pow(freq.toDouble, delta.toDouble) else 0.0
+    val freqPrime = math.max(freq.toDouble - delta.toDouble * tw, 0.0)
+    val s = st.totalBoost * (math.log(1 + freqPrime / (mu * p).toDouble).toFloat +
+      math.log(1 - (st.numberOfFieldTokens.toFloat / (docLen + mu)).toDouble).toFloat)
+    if (s > 0) s else 0 // NaN (log of negative) also lands here, as in the reference
+  }
+}
+
+/** LM two-stage smoothing (lmTwoStage.go:30-46, λ=0.1, μ=2000). */
+class LMTwoStageSimilarity(lambda: Float = 0.1f, mu: Float = 2000f)
+    extends SimilarityBase {
+  def name = "LMTwoStage"
+  override protected def score(st: BasicStats, freq: Float, docLen: Float): Float = {
+    val p = (st.totalTermFreq + 1).toFloat / (st.numberOfFieldTokens + 1).toFloat
+    val norm = ((1 - lambda) * docLen + mu) / (docLen + mu)
+    val s = st.totalBoost * (math.log(
+      1 + (lambda * freq / (((1 - lambda) * docLen + mu) * p)).toDouble) +
+      math.log(norm.toDouble)).toFloat
+    if (s > 0) s else 0
+  }
+}
+
 /** DFI — divergence from independence (dfi.go:39); independence measures
   * ChiSquared / Saturated / Standardized (independence.go).
   */

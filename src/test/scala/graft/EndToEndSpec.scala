@@ -172,6 +172,15 @@ class EndToEndSpec extends AnyFunSuite with SparkTestBase {
     assertParity(parser.parse("import OR zzz_not_a_term"))
   }
 
+  test("pagination: page 2 continues exactly where page 1 ended") {
+    val all = searcher.search(TermQuery("parser"), 20, ScoreMode.Ref32)
+    val p1 = searcher.searchPage(TermQuery("parser"), 0, 10, ScoreMode.Ref32)
+    val p2 = searcher.searchPage(TermQuery("parser"), 10, 10, ScoreMode.Ref32)
+    assert((p1.scoreDocs ++ p2.scoreDocs).map(_.docId).toSeq ==
+      all.scoreDocs.map(_.docId).toSeq)
+    assert(p2.totalHits == all.totalHits)
+  }
+
   test("stored-field retrieval and explain reproduce the hit") {
     val top = searcher.search(TermQuery("parser"), 3, ScoreMode.Ref32)
     val hit = top.scoreDocs.head

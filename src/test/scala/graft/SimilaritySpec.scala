@@ -96,6 +96,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(v - (idf * 2) * (idf * 2)) < 1e-4)
   }
 
+  test("remaining LM family: finite, clamped, monotone where applicable") {
+    val models = Seq(new LMHiemstraSimilarity(), new LMAbsoluteDiscountingSimilarity(),
+      new LMPitmanYorProcessSimilarity(), new LMTwoStageSimilarity())
+    for (m <- models) {
+      val sc = m.termScorer(ts, cs, 1.0f)
+      val s = sc.score(3f, norm10)
+      assert(!s.isNaN && !s.isInfinite && s >= 0, m.name)
+    }
+    // Hiemstra hand-check: log(1 + (λ f F)/((1-λ) ttf dl))
+    val h = new LMHiemstraSimilarity(0.15f).termScorer(ts, cs, 1.0f)
+    val exp = math.log(1.0 + (0.15f * 3f * 100000f).toDouble / (0.85f * 400f * dl(norm10)).toDouble).toFloat
+    assert(math.abs(h.score(3f, norm10) - exp) < 1e-5)
+  }
+
   test("MultiSimilarity = mean of subs") {
     val subs = Seq(new Bm25Similarity(), new LMDirichletSimilarity())
     val multi = new MultiSimilarity(subs).termScorer(ts, cs, 1.0f)
