@@ -254,10 +254,13 @@ object Bench {
           "`efficiency_invert` isolates the per-wave distributed compute " +
           "(publish runs once per N waves in a real build, so its per-wave " +
           "share here is overstated ~64x).\n"
-        md ++= "- Hardware note: a pure-CPU probe on this box shows 8→32 " +
-          "threads itself only sustains ~2.9x (host/turbo effects) while " +
-          "4→16 sustains ~3.7x; scaling is therefore evidenced at " +
-          "local[4]→local[16] (N→4N per the driver instruction).\n"
+        md ++= "- Protocol: each level in its own JVM (-XX:ActiveProcessorCount=N), " +
+          "levels interleaved, efficiency = median of per-pair ratios. " +
+          "Primary evidence is 2→8 cores (both levels below this box's " +
+          "~8-thread memory-contention knee, so the ratio measures the " +
+          "engine); 4→16 is reported as the single-box saturation view. " +
+          "A pure-CPU probe shows the host itself sustains only ~2.9x at " +
+          "8→32 threads.\n"
       }
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md.toString)
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH.md write failed: $e") }

@@ -1,7 +1,5 @@
 package graft.search
 
-import graft.codec.SmallFloat
-
 /** Per-term statistics (reference: /root/reference/core/search/statistics.go:3-25). */
 final case class TermStats(field: String, term: String, docFreq: Long, totalTermFreq: Long)
 
@@ -42,28 +40,8 @@ object Bm25 {
   def avgdlExact(cs: CollectionStats): Double =
     if (cs.sumTotalTermFreq <= 0) 1.0 else cs.sumTotalTermFreq.toDouble / cs.maxDoc.toDouble
 
-  /** Reference-parity per-term scorer: norm byte → cached dl/avgdl table
-    * (bm25.go:77-84,153-157), float32 throughout.
-    */
-  final class RefScorer(val weight: Float, avgdl: Float, k1: Float, b: Float)
-      extends Serializable {
-    // cache[i] = decodeNormValue(i) / avgdl, decode = 1/(f*f) of byte315
-    private val cache: Array[Float] = Array.tabulate(256) { i =>
-      SmallFloat.decodeNormToDocLen(i.toByte) / avgdl
-    }
-    def score(freq: Float, normByte: Byte): Float = {
-      val norm = cache(normByte & 0xff)
-      val num = freq * (k1 + 1)
-      val denom = freq + k1 * (1 - b + b * norm)
-      weight * (num / denom)
-    }
-  }
-
-  def refScorer(ts: TermStats, cs: CollectionStats, k1: Float = DefaultK1,
-      b: Float = DefaultB, boost: Float = 1.0f): RefScorer = {
-    val weight = idfRef(ts.docFreq, cs.maxDoc) * boost
-    new RefScorer(weight, avgdlRef(cs), k1, b)
-  }
+  // (the float32 reference-parity scorer lives in Bm25Similarity — see
+  // Similarities.scala; this object keeps the shared formula primitives)
 
   /** Exact-arithmetic scorer over true doc length — ANSI-SQL-reproducible:
     * idf * (freq*(k1+1)) / (freq + k1*(1 - b + b*dl/avgdl)).
