@@ -37,13 +37,22 @@ object Dedup {
 
   /** MinHash signatures: for each seed s, min over shingles of
     * md5(s || '|' || shingle). k seeds → k rows per doc.
+    *
+    * Plan shape: the k hashes are k partial-min aggregates over ONE
+    * exploded-shingle pass (map-side combine), then an unpivot — not a k×
+    * row explosion; the shuffle carries one row per doc.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 8, shingleSize: Int = 3): DataFrame =
-    df.select(col(idCol), explode(shingleExpr(textCol, shingleSize)).as("sh"))
-      .select(col(idCol), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"), col("sh"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("minhash"))
+      numHashes: Int = 8, shingleSize: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingleExpr(textCol, shingleSize)).as("sh"))
+    val aggs = (0 until numHashes).map(s =>
+      min(md5(concat(lit(s.toString), lit("|"), col("sh")))).as(s"m$s"))
+    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val stackExpr =
+      s"stack($numHashes, ${(0 until numHashes).map(s => s"$s, m$s").mkString(", ")}) as (seed, minhash)"
+    wide.select(col(idCol), expr(stackExpr))
+      .select(col(idCol), col("seed").cast("int").as("seed"), col("minhash"))
+  }
 
   /** LSH banding over minhash signatures → candidate pairs → exact Jaccard
     * verification. Returns (id_a, id_b, jaccard) for verified pairs ≥ tau.

@@ -372,10 +372,11 @@ final class IndexSearcher(
   }
 
   /** Query terms' summed docFreq below this → driver-local evaluation (one
-    * fetch job, zero shuffles) — the Lucene-style per-node search path for
-    * selective queries; large-df queries go distributed.
+    * fetch job, zero shuffles) — the Lucene-style per-node search path.
+    * 2M postings ≈ a few MB of packed blocks and ~10 ms of local decode;
+    * only genuinely large result sets go distributed.
     */
-  var localSearchMaxPostings: Long = 100000L
+  var localSearchMaxPostings: Long = 2000000L
 
   /** Top-k with reference tie-break + TotalHits, in ONE distributed pass:
     * per-partition bounded heaps merge on the driver (treeAggregate shape).
