@@ -59,22 +59,29 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
             .withColumn("segId", (col("docId") / perSeg).cast("int"))
             .repartition(col("segId"))
         case None =>
+          // docId = rank in the total order (segId, repo, path, h): a range
+          // repartition + partition-local sort + zipWithIndex. Sort-task size
+          // is corpus/buildPartitions — independent of segment count (the
+          // previous Window.partitionBy(segId) put an entire segment in ONE
+          // sort task: a 100x corpus would put 10^10 rows there). Ranks in a
+          // total key order are partitioning-independent, so docIds stay a
+          // pure function of the input; h = xxhash64(commit, content) breaks
+          // (repo, path) ties deterministically.
           val bucketed = corpus
             .withColumn("segId", pmod(xxhash64(col("repo"), col("path")), lit(config.numSegments)).cast("int"))
-          val counts = bucketed.groupBy("segId").count().collect()
-            .map(r => r.getInt(0) -> r.getLong(1)).toMap
-          val offsets = (0 until config.numSegments)
-            .scanLeft(0L)((acc, s) => acc + counts.getOrElse(s, 0L))
-          val offsetMap = spark.sparkContext.broadcast(offsets.toArray)
-          val offsetUdf = udf((segId: Int, rn: Long) => offsetMap.value(segId) + rn - 1)
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy("segId").orderBy("repo", "path")
-          bucketed
-            .withColumn("docId", offsetUdf(col("segId"), row_number().over(w).cast("long")))
+            .withColumn("h", xxhash64(col("commit"), col("content")))
+          val parts = math.max(config.buildPartitions, spark.sparkContext.defaultParallelism)
+          val sorted = bucketed
+            .select("segId", "repo", "path", "commit", "lang", "content", "h")
+            .repartitionByRange(parts, col("segId"), col("repo"), col("path"), col("h"))
+            .sortWithinPartitions("segId", "repo", "path", "h")
+            .as[(Int, String, String, String, String, String, Long)]
+          // zipWithIndex = per-partition counts job + assignment pass over the
+          // SAME shuffle output (reused, not recomputed)
+          sorted.rdd.zipWithIndex().map { case ((segId, repo, path, commit, lang, content, _), id) =>
+            (id, segId, repo, path, commit, lang, content)
+          }.toDF("docId", "segId", "repo", "path", "commit", "lang", "content")
       }
-      // NOTE: no extra repartition — the rank window above already clustered
-      // rows by segId (one corpus-wide shuffle saved; measured ~25% of the
-      // stage-1 wall at 1M docs)
       staged
         .select("docId", "segId", "repo", "path", "commit", "lang", "content")
         .write.mode("overwrite").partitionBy("segId").parquet(stagedPath)
@@ -85,10 +92,14 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
       .filter(_.getPath.getName.startsWith("segId="))
       .map(_.getPath.getName.stripPrefix("segId=").toInt).sorted
 
+    // waves folded into a merged wave by TieredMerge: their postings live in
+    // the merge output — re-inverting them would duplicate postings
+    val retired = if (resume) TieredMerge.retiredWaves(spark, indexPath) else Set.empty[Int]
     for ((waveSegs, wave) <- segIds.grouped(config.segmentsPerWave).zipWithIndex) {
       val wavePostings = s"$postingsRoot/wave=$wave"
       val waveDocs = s"$docsPath/wave=$wave"
-      if (!resume || !exists(s"$wavePostings/_SUCCESS") || !exists(s"$waveDocs/_SUCCESS")) {
+      if (!retired.contains(wave) &&
+        (!resume || !exists(s"$wavePostings/_SUCCESS") || !exists(s"$waveDocs/_SUCCESS"))) {
         val staged = spark.read.parquet(stagedPath)
           .where(col("segId").isin(waveSegs.map(Integer.valueOf): _*)) // partition-pruned
         invertWave(staged, wave, indexPath)
@@ -211,6 +222,7 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
     val globalRow = docRoll.find(_.isNullAt(0)).get
     val maxDoc = globalRow.getLong(3)
     val docCount = globalRow.getLong(4)
+    val maxDocId = globalRow.getLong(2) // true max(docId): append base for sparse id spaces
 
     import spark.implicits._
     docRoll.filter(!_.isNullAt(0))
@@ -225,7 +237,7 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
       .write.mode("overwrite").parquet(statsPath)
 
     // two-phase commit: all data dirs are durable; the marker makes it live
-    val m = IndexManifest(indexPath, maxDoc, docCount, config.docsPerRange)
+    val m = IndexManifest(indexPath, maxDoc, docCount, config.docsPerRange, maxDocId)
     IndexManifest.commit(spark, m)
     m
   }
@@ -256,8 +268,12 @@ object Hashing {
 
 /** Commit-point summary. Heavyweight metadata lives in parquet
   * (segments/fieldstats/terms); this marker is the `segments_N` analogue.
+  * `maxDocId` is the true max assigned id — the append base for streaming
+  * (NOT maxDoc, which is the doc COUNT and collides under sparse explicit
+  * id spaces).
   */
-final case class IndexManifest(indexPath: String, maxDoc: Long, docCount: Long, docsPerRange: Int)
+final case class IndexManifest(indexPath: String, maxDoc: Long, docCount: Long,
+    docsPerRange: Int, maxDocId: Long = -1L)
 
 object IndexManifest {
   def commit(spark: SparkSession, m: IndexManifest): Unit = {
@@ -265,7 +281,7 @@ object IndexManifest {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     out.write(
-      s"""{"maxDoc":${m.maxDoc},"docCount":${m.docCount},"docsPerRange":${m.docsPerRange}}"""
+      s"""{"maxDoc":${m.maxDoc},"docCount":${m.docCount},"docsPerRange":${m.docsPerRange},"maxDocId":${m.maxDocId}}"""
         .getBytes("UTF-8"))
     out.close()
   }
@@ -276,8 +292,12 @@ object IndexManifest {
     val in = fs.open(p)
     val txt = scala.io.Source.fromInputStream(in).mkString
     in.close()
-    def extract(k: String): Long =
-      s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
-    IndexManifest(indexPath, extract("maxDoc"), extract("docCount"), extract("docsPerRange").toInt)
+    def extract(k: String): Option[Long] =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    val maxDoc = extract("maxDoc").get
+    IndexManifest(indexPath, maxDoc, extract("docCount").get,
+      extract("docsPerRange").get.toInt,
+      // manifests written before maxDocId existed: dense 0-based ids only
+      extract("maxDocId").getOrElse(maxDoc - 1))
   }
 }

@@ -23,7 +23,34 @@ import graft.codec.{PostingEntry, PostingsCodec}
   * decoded postings and stats.
   */
 object TieredMerge {
+  /** Merge output waves live in their own namespace, disjoint from batch
+    * waves (0..nWaves) AND streaming waves (StreamingIndexer.StreamingWaveBase
+    * + batchId): a merged wave numbered max+1 in the shared space would be
+    * overwritten by the next streaming micro-batch (mode=overwrite), silently
+    * dropping every retired wave's postings.
+    */
+  val MergeWaveBase = 1000000
+
   final case class WaveInfo(wave: Int, bytes: Long, path: String)
+
+  /** Waves retired by past merges (from the merges_N.json logs): build
+    * resume must NOT re-invert segments whose wave was folded into a merged
+    * wave — the postings already live there.
+    */
+  def retiredWaves(spark: SparkSession, indexPath: String): Set[Int] = {
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Set.empty
+    fs.listStatus(root).toSeq
+      .filter(s => s.getPath.getName.startsWith("merges_") && s.getPath.getName.endsWith(".json"))
+      .flatMap { s =>
+        val in = fs.open(s.getPath)
+        val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        """"merged":\[([0-9,]*)\]""".r.findFirstMatchIn(txt).toSeq
+          .flatMap(_.group(1).split(',').filter(_.nonEmpty).map(_.toInt))
+      }
+      .toSet
+  }
 
   def waves(spark: SparkSession, indexPath: String): Seq[WaveInfo] = {
     val root = new Path(s"$indexPath/postings")
@@ -60,7 +87,7 @@ object TieredMerge {
   def execute(spark: SparkSession, indexPath: String, group: Seq[WaveInfo]): Int = {
     import spark.implicits._
     val all = waves(spark, indexPath)
-    val newWave = all.map(_.wave).max + 1
+    val newWave = math.max(all.map(_.wave).max + 1, MergeWaveBase)
     val target = s"$indexPath/postings/wave=$newWave"
 
     val rows = spark.read.parquet(group.map(_.path): _*).as[PostingRow]

@@ -341,15 +341,14 @@ final class IndexSearcher(
   private def rowsFor(p: Prepared,
       rangeFilter: Option[Seq[Long]] = None): Dataset[(String, Long, Long, Array[Byte], Array[Byte])] = {
     val anyPos = p.ge.needPos.exists(identity)
-    val cols = Seq("term", "rangeId", "firstDocId", "payload") ++
-      (if (anyPos) Seq("posPayload") else Nil)
     var rows = postingsDF
       .where(col("field") === field && col("term").isin(p.terms: _*))
     rangeFilter.foreach(rs => rows = rows.where(col("rangeId").isin(rs: _*)))
-    val sel = rows.select(cols.map(col): _*)
-    if (anyPos) sel.as[(String, Long, Long, Array[Byte], Array[Byte])]
-    else sel.as[(String, Long, Long, Array[Byte])]
-      .map { case (t, r, f, pl) => (t, r, f, pl, null: Array[Byte]) }
+    // no positions needed → posPayload column never read (parquet pruning);
+    // a null literal keeps the plan columnar (no typed map ser/de)
+    val posCol = if (anyPos) col("posPayload") else lit(null).cast("binary").as("posPayload")
+    rows.select(col("term"), col("rangeId"), col("firstDocId"), col("payload"), posCol)
+      .as[(String, Long, Long, Array[Byte], Array[Byte])]
   }
 
   /** All matching docs with scores — the full scored result set as a Dataset
@@ -404,7 +403,17 @@ final class IndexSearcher(
       rangeFilter: Option[Seq[Long]]): TopDocs = {
     val p = prepare(q, mode)
     val dfSum = p.terms.map(t => p.stats.get(t).map(_.docFreq).getOrElse(0L)).sum
-    if (dfSum <= localSearchMaxPostings || rangeFilter.exists(_.size <= 256)) {
+    // positions scale with totalTermFreq, not docFreq — when the query needs
+    // posPayload, gate the driver-local collect on summed ttf too, or a hot
+    // phrase term could pull hundreds of MB of positions onto the driver
+    val posSum =
+      if (p.ge.needPos.exists(identity))
+        p.terms.zipWithIndex.collect { case (t, i) if p.ge.needPos(i) =>
+          p.stats.get(t).map(_.totalTermFreq).getOrElse(0L)
+        }.sum
+      else 0L
+    val localOk = dfSum <= localSearchMaxPostings && posSum <= localSearchMaxPostings
+    if (localOk || rangeFilter.exists(_.size <= 256)) {
       // local fast path: fetch the (few) posting rows, evaluate on the driver
       val rows = rowsFor(p, rangeFilter).collect()
       val heap = new BoundedHitQueue(k)

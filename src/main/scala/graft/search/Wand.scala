@@ -29,15 +29,18 @@ import graft.codec.SmallFloat
 object Wand {
 
   /** Safe per-row upper bound for one term's score within the row's range:
-    * freq ≤ maxFreq and dl ≥ minDl. For the byte-norm (Ref32) scorer the
-    * norm byte is stepped one quantization bucket down (smaller byte →
-    * smaller decoded length → higher score), making the bound safe against
-    * byte315 rounding in either direction.
+    * freq ≤ maxFreq and dl ≥ minDl. byte315 is monotone INCREASING: a larger
+    * byte decodes to a larger norm float, i.e. a SMALLER decoded doc length
+    * and a HIGHER BM25 score. Docs in the range carry bytes ≤
+    * encode(1/√minDl) = b, so stepping UP one bucket (b+1) upper-bounds both
+    * the Ref32 score of any byte ≤ b and the ExactDouble score of any dl ≥
+    * minDl (encode rounds down: decode(b) ≤ 1/√minDl < decode(b+1), hence
+    * decodedLen(b+1) < minDl ≤ decodedLen(b)).
     */
   private[search] def rowBound(scorer: Similarity.Scorer, maxFreq: Int, minDl: Int): Float = {
     val b = SmallFloat.floatToByte315(
       (1.0 / math.sqrt(math.max(minDl, 1).toDouble)).toFloat)
-    val safeByte = math.max((b & 0xff) - 1, 1).toByte
+    val safeByte = math.min((b & 0xff) + 1, 255).toByte
     scorer.score(maxFreq.toFloat, safeByte)
   }
 

@@ -46,7 +46,9 @@ object StreamingIndexer {
   def appendBatch(spark: SparkSession, builder: IndexBuilder, batch: DataFrame,
       batchId: Long, indexPath: String): Unit = {
     if (batch.isEmpty) return
-    val base = IndexManifest.load(spark, indexPath).maxDoc
+    // append base = max assigned id + 1 (NOT the doc count — sparse explicit
+    // id spaces would collide and silently corrupt postings)
+    val base = IndexManifest.load(spark, indexPath).maxDocId + 1
     val wave = StreamingWaveBase + batchId.toInt
     // docIds: deterministic rank within the batch, offset by committed maxDoc.
     // The unpartitioned window is a deliberate single-task sort: a micro-batch

@@ -84,6 +84,39 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(report.maxDoc == N)
   }
 
+  test("merged waves use a disjoint namespace and survive streaming appends + resume") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-ns").toString
+    val cfg = IndexConfig(analyzer = analyzer, docsPerRange = 128,
+      numSegments = 12, segmentsPerWave = 1, buildPartitions = 8)
+    new IndexBuilder(spark, cfg).build(TestCorpus.corpus(N).toDF(), dir)
+
+    val merged = TieredMerge.maybeMerge(spark, dir, segsPerTier = 1, maxMergeAtOnce = 10)
+    assert(merged.nonEmpty)
+    // merge output waves live above MergeWaveBase — a streaming micro-batch
+    // (wave = 100000 + batchId, mode=overwrite) can never clobber them
+    assert(merged.forall(_ >= TieredMerge.MergeWaveBase))
+    val retired = TieredMerge.retiredWaves(spark, dir)
+    assert(retired.nonEmpty)
+    val hitsBefore = new IndexSearcher(spark, dir)
+      .search(TermQuery("import"), 5, ScoreMode.Ref32).totalHits
+
+    // a streaming append after the merge must not collide with merged waves
+    val builder = new IndexBuilder(spark, cfg)
+    val batch = (5000 until 5050).map(i => TestCorpus.corpus(1).head.copy(
+      path = s"stream/$i.scala", content = s"import uniqafter_$i")).toDF()
+    graft.streaming.StreamingIndexer.appendBatch(spark, builder, batch, batchId = 0L, dir)
+    val s1 = new IndexSearcher(spark, dir)
+    assert(s1.search(TermQuery("import"), 5, ScoreMode.Ref32).totalHits == hitsBefore + 50)
+
+    // resume after the merge must NOT re-invert retired waves (duplicated
+    // postings would double freqs/hit counts)
+    new IndexBuilder(spark, cfg).build(TestCorpus.corpus(N).toDF(), dir, resume = true)
+    val s2 = new IndexSearcher(spark, dir)
+    assert(s2.search(TermQuery("import"), 5, ScoreMode.Ref32).totalHits == hitsBefore + 50)
+    val report = CheckIndex.run(spark, dir)
+    assert(report.ok, report.problems.mkString("; "))
+  }
+
   test("CheckIndex catches a broken manifest") {
     val dir = java.nio.file.Files.createTempDirectory("graft-chk").toString
     build(dir, wavesOf = 12)

@@ -79,6 +79,28 @@ class WandSpec extends AnyFunSuite with SparkTestBase {
     assert(wand.scoreDocs.map(_.docId).toSeq == exact.scoreDocs.map(_.docId).toSeq)
   }
 
+  test("bound safe when doc lengths straddle byte315 bucket edges") {
+    // constant tf, dl sweeping 96..191 → scores differ only by dl, separated
+    // by less than one quantization bucket; with the unsafe (byte-down) bound
+    // phase 2 pruned ranges holding true top-k docs here
+    val dir = java.nio.file.Files.createTempDirectory("graft-wand-edge").toString
+    val docs = (0 until 512).map { i =>
+      val dl = 96 + (i % 96)
+      CodeFile(s"r$i", f"p$i%05d", "", "scala",
+        ("edgeterm " * 2) + ("pad " * (dl - 2)))
+    }
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 32, numSegments = 4, segmentsPerWave = 4)
+    new IndexBuilder(spark, cfg).build(docs.toDF(), dir)
+    val s = new IndexSearcher(spark, dir)
+    for (k <- Seq(5, 17, 40); p1 <- Seq(1, 2, 4)) {
+      val exact = s.search(TermQuery("edgeterm"), k, ScoreMode.Ref32)
+      val wand = Wand.searchTopK(s, TermQuery("edgeterm"), k, ScoreMode.Ref32, phase1Ranges = p1)
+      assert(wand.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        exact.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"k=$k phase1=$p1")
+    }
+  }
+
   test("missing terms: empty result, no crash") {
     val r = Wand.searchTopK(searcher, TermQuery("zzz_none"), 10)
     assert(r.totalHits == 0 && r.scoreDocs.isEmpty)
