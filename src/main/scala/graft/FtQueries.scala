@@ -24,9 +24,9 @@ object FtQueries {
 
   def indexPath(spark: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(sfDir, {
-      // format version in the cache key: postings-layout changes invalidate
-      // indexes cached across driver rounds
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}_" +
+      // format version + field-config tag in the cache key: postings-layout
+      // or schema changes invalidate indexes cached across driver rounds
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}kw_" +
         graft.index.Hashing.sha256Hex(sfDir).take(12)
       val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(
@@ -41,10 +41,15 @@ object FtQueries {
         docsPerRange = 1024,
         numSegments = 8,
         segmentsPerWave = 4,
-        explicitDocIdCol = Some("doc_id")))
+        explicitDocIdCol = Some("doc_id"),
+        keywordFields = Seq("lang", "repo")))
         .build(corpus, dir, resume = true)
       dir
     })
+
+  /** Parser wired to this surface's indexed fields (content + keywords). */
+  def parser: QueryParser =
+    new QueryParser(analyzer, keywordFields = Set("lang", "repo"))
 
   private val searcherCache = scala.collection.concurrent.TrieMap.empty[String, IndexSearcher]
 

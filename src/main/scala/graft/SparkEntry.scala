@@ -48,6 +48,11 @@ object SparkEntry {
     "ft_phrase" -> ((s, d) => FtQueries.matches(s, d, PhraseQuery(Seq("batch", "batch")))),
     "ft_parsed" -> ((s, d) => FtQueries.topK(s, d,
       new QueryParser(FtQueries.analyzer).parse("spark OR (merge AND sort)"), 10)),
+    "ft_req_opt" -> ((s, d) => FtQueries.matches(s, d, BooleanQuery(Seq(
+      BooleanClause(Occur.MUST, TermQuery("merge")),
+      BooleanClause(Occur.SHOULD, TermQuery("spark")))))),
+    "ft_field_term" -> ((s, d) => FtQueries.matches(s, d,
+      FtQueries.parser.parse("+lang:de +merge"))),
     "ft_total_hits" -> ((s, d) => FtQueries.totalHitsDF(s, d, Seq(
       "and_merge_sort" -> BooleanQuery(Seq(
         BooleanClause(Occur.MUST, TermQuery("merge")),
@@ -197,6 +202,25 @@ object SparkEntry {
          |  + CASE WHEN f_merge > 0 AND f_sort > 0 THEN (${termScore("merge")} + ${termScore("sort")}) ELSE 0 END, 4) AS score_r
          |FROM base WHERE f_spark > 0 OR (f_merge > 0 AND f_sort > 0)
          |ORDER BY score_r DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_req_opt" ->
+      s"""${ftBase(Seq("merge", "spark"))}
+         |SELECT doc_id, round(${termScore("merge")}
+         |  + CASE WHEN f_spark > 0 THEN ${termScore("spark")} ELSE 0 END, 4) AS score_r
+         |FROM base WHERE f_merge > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_field_term" ->
+      s"""${ftBase(Seq("merge"))}, lf AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS df FROM documents WHERE lang = 'de'
+         |), lt AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS ttf FROM documents WHERE lang IS NOT NULL AND lang <> ''
+         |)
+         |SELECT b.doc_id AS doc_id, round(
+         |  (ln(1 + ((SELECT n FROM g) - (SELECT df FROM lf) + 0.5) / ((SELECT df FROM lf) + 0.5))
+         |   * ((1.0 * (1.2 + 1)) / (1.0 + 1.2 * ((1 - 0.75) + (0.75 * 1.0) / ((SELECT ttf FROM lt) / (SELECT n FROM g))))))
+         |  + ${termScore("merge")}, 4) AS score_r
+         |FROM base b JOIN documents dd ON dd.doc_id = b.doc_id
+         |WHERE f_merge > 0 AND dd.lang = 'de'
+         |ORDER BY doc_id""".stripMargin,
     "ft_total_hits" ->
       s"""${ftBase(Seq("merge", "sort", "spark", "batch"))}
          |SELECT qname, CAST(hits AS BIGINT) AS hits FROM (

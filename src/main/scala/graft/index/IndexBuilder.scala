@@ -118,6 +118,9 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
     val fieldName = config.field
     val withPositions = config.withPositions
     val docsPerRange = config.docsPerRange
+    val keywordFields = config.keywordFields
+    require(keywordFields.forall(Set("repo", "path", "commit", "lang").contains),
+      s"keywordFields must be metadata columns, got $keywordFields")
     val staged = stagedDf
       .select("docId", "segId", "repo", "path", "commit", "lang", "content")
       .as[(Long, Int, String, String, String, String, String)]
@@ -149,9 +152,10 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
     //  contiguous docId slice, so each range meets ~1-3 partitions).
     val partial = staged.mapPartitions { it =>
       val acc = scala.collection.mutable.HashMap
-        .empty[(String, Long), scala.collection.mutable.ArrayBuffer[PostingEntry]]
+        .empty[(String, String, Long), scala.collection.mutable.ArrayBuffer[PostingEntry]]
       val m = new java.util.HashMap[String, IntsBuf]() // reused per doc
-      it.foreach { case (docId, _, _, _, _, _, content) =>
+      val kwNorm = SmallFloat.encodeNorm(1, 0)
+      it.foreach { case (docId, _, repo, path0, commit0, lang, content) =>
         m.clear()
         var dl = 0
         analyzerB.value.tokenize(content) { (term, p) =>
@@ -165,25 +169,38 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
         val mit = m.entrySet().iterator()
         while (mit.hasNext) {
           val e = mit.next()
-          acc.getOrElseUpdate((e.getKey, rangeId), scala.collection.mutable.ArrayBuffer.empty) +=
+          acc.getOrElseUpdate((fieldName, e.getKey, rangeId), scala.collection.mutable.ArrayBuffer.empty) +=
             PostingEntry(docId, e.getValue.n, dl, norm,
               if (withPositions) e.getValue.toArray else Array.emptyIntArray)
         }
+        // keyword fields: whole value = one unanalyzed term, dl = 1
+        // (StringField semantics — field.go:16-48); no positions
+        keywordFields.foreach { kf =>
+          val v = kf match {
+            case "repo" => repo
+            case "path" => path0
+            case "commit" => commit0
+            case "lang" => lang
+          }
+          if (v != null && v.nonEmpty)
+            acc.getOrElseUpdate((kf, v, rangeId), scala.collection.mutable.ArrayBuffer.empty) +=
+              PostingEntry(docId, 1, 1, kwNorm, Array.emptyIntArray)
+        }
       }
-      acc.iterator.map { case ((term, rangeId), entries) =>
-        PostingRows.fromEntries(entries.toArray.sortBy(_.docId), wave, fieldName,
-          term, rangeId, withPositions)
+      acc.iterator.map { case ((f, term, rangeId), entries) =>
+        PostingRows.fromEntries(entries.toArray.sortBy(_.docId), wave, f,
+          term, rangeId, withPositions && f == fieldName)
       }
     }
 
     partial
-      .groupByKey(r => (r.term, r.rangeId))
-      .mapGroups { (_: (String, Long), it: Iterator[PostingRow]) =>
+      .groupByKey(r => (r.field, r.term, r.rangeId))
+      .mapGroups { (_: (String, String, Long), it: Iterator[PostingRow]) =>
         PostingRows.merge(it.toArray, wave)
       }
-      // term-sorted files → tight parquet row-group min/max stats on
-      // `term`, so query-time isin(queryTerms) prunes row groups
-      .sortWithinPartitions("term", "rangeId")
+      // (field, term)-sorted files → tight parquet row-group min/max stats,
+      // so query-time pair predicates prune row groups
+      .sortWithinPartitions("field", "term", "rangeId")
       .write.mode("overwrite").parquet(s"$indexPath/postings/wave=$wave")
 
     Await.result(docsJob, scala.concurrent.duration.Duration.Inf)

@@ -97,4 +97,10 @@ final case class IndexConfig(
     buildPartitions: Int = 32,
     /** when set, take docIds from this input column (must be unique,
       * non-negative longs) instead of assigning rank-based ids */
-    explicitDocIdCol: Option[String] = None)
+    explicitDocIdCol: Option[String] = None,
+    /** metadata columns additionally indexed as KEYWORD fields: the whole
+      * column value becomes one unanalyzed term (the reference's
+      * StringField, /root/reference/core/document/field.go:16-48) with
+      * dl=1 — `field:value` queries route here. Must be a subset of
+      * {repo, path, commit, lang}. */
+    keywordFields: Seq[String] = Nil)

@@ -1,0 +1,140 @@
+package graft.search
+
+/** Structured score explanation (reference Explanation tree,
+  * /root/reference/core/search/explanation.go:1-129): a value, a human
+  * description, and child details whose composition yields the value. The
+  * root's `value` MUST equal the score `search()` assigns the doc — the
+  * reference's own e2e test asserts this
+  * (/root/reference/core_test/search_test.go:36-78) and ExplainSpec restates
+  * it here for both scoring modes.
+  */
+final case class Explanation(
+    value: Double,
+    description: String,
+    details: Seq[Explanation] = Nil,
+    isMatch: Boolean = true) {
+
+  def render: String = {
+    val sb = new StringBuilder
+    def walk(e: Explanation, depth: Int): Unit = {
+      sb ++= "  " * depth
+      sb ++= f"${e.value}%.6f = ${e.description}"
+      if (!e.isMatch) sb ++= " (non-match)"
+      sb += '\n'
+      e.details.foreach(walk(_, depth + 1))
+    }
+    walk(this, 0)
+    sb.toString
+  }
+
+  override def toString: String = render
+}
+
+private[search] object Explain {
+
+  /** Build the explanation for one doc from its range's raw posting rows.
+    * Values are produced by the SAME eval functions the collectors use, so
+    * root.value == search score by construction, at every tree level.
+    */
+  def forDoc(
+      q: Query,
+      ge: GroupEval,
+      rows: Array[(String, String, Long, Long, Array[Byte], Array[Byte])],
+      rangeId: Long,
+      docId: Long,
+      searcher: IndexSearcher,
+      stats: Map[(String, String), TermStats],
+      mode: ScoreMode): Explanation = {
+    val acc = ge.fill(rangeId, rows.iterator)
+    val slot = (docId - acc.base).toInt
+    if (slot < 0 || slot >= acc.width || !acc.touched(slot))
+      return Explanation(0.0, s"doc $docId: no query term matches", Nil, isMatch = false)
+    node(Query.rewrite(q), ge.planRoot, acc, slot, docId, searcher, stats, mode)
+  }
+
+  private def evalAt(n: CNode, acc: RangeAccum, slot: Int, mode: ScoreMode): Double =
+    mode match {
+      case ScoreMode.ExactDouble => Eval.evalD(n, acc, slot)
+      case ScoreMode.Ref32 =>
+        val f = Eval.evalF(n, acc, slot)
+        if (f.isNaN) Double.NaN else f.toDouble
+    }
+
+  private def node(
+      q: Query, n: CNode, acc: RangeAccum, slot: Int, docId: Long,
+      searcher: IndexSearcher, stats: Map[(String, String), TermStats],
+      mode: ScoreMode): Explanation = (q, n) match {
+
+    case (TermQuery(t, boost, f), leaf @ CLeafTerm(idx, fi, _, _)) =>
+      val fieldName = f.getOrElse(searcher.field)
+      val v = evalAt(leaf, acc, slot, mode)
+      if (v.isNaN || idx < 0)
+        Explanation(0.0, s"no match: weight($fieldName:$t)", Nil, isMatch = false)
+      else {
+        val freq = acc.freqs(idx)(slot)
+        val ts = stats((fieldName, t))
+        val cs = searcher.collectionStats(fieldName)
+        val idf = Bm25.idfExact(ts.docFreq, cs.maxDoc)
+        Explanation(v,
+          s"weight($fieldName:$t in $docId) [${searcher.similarity.name}" +
+            (if (boost != 1.0f) s", boost=$boost" else "") + "]",
+          Seq(
+            Explanation(freq.toDouble, s"termFreq=$freq"),
+            Explanation(idf, s"idf(docFreq=${ts.docFreq}, maxDoc=${cs.maxDoc})"),
+            Explanation(acc.dls(fi)(slot).toDouble,
+              s"fieldLength (dl=${acc.dls(fi)(slot)}, normByte=${acc.norms(fi)(slot)}, avgdl=${Bm25.avgdlExact(cs)})")))
+      }
+
+    case (PhraseQuery(ts, boost), leaf @ CLeafPhrase(idxs, fi, _, _)) =>
+      val v = evalAt(leaf, acc, slot, mode)
+      val pf = Eval.phraseFreq(idxs, acc, slot)
+      if (v.isNaN)
+        Explanation(0.0, s"no match: phrase(\"${ts.mkString(" ")}\")", Nil, isMatch = false)
+      else
+        Explanation(v,
+          s"weight(${searcher.field}:\"${ts.mkString(" ")}\" in $docId) [phrase" +
+            (if (boost != 1.0f) s", boost=$boost" else "") + "]",
+          Seq(
+            Explanation(pf.toDouble, s"phraseFreq=$pf"),
+            Explanation(acc.dls(fi)(slot).toDouble, s"fieldLength (dl=${acc.dls(fi)(slot)})")))
+
+    case (PhraseQuery(ts, _), leaf: CLeafTerm) => // missing member term
+      Explanation(0.0, s"no match: phrase(\"${ts.mkString(" ")}\") has unindexed terms",
+        Nil, isMatch = false)
+
+    case (BooleanQuery(clauses, msm, _), b @ CBool(must, should, mustNot, _, coords)) =>
+      val v = evalAt(b, acc, slot, mode)
+      val mustQs = clauses.filter(_.occur == Occur.MUST).map(_.query)
+      val shouldQs = clauses.filter(_.occur == Occur.SHOULD).map(_.query)
+      val notQs = clauses.filter(_.occur == Occur.MUST_NOT).map(_.query)
+      val mustEx = mustQs.zip(must).map { case (cq, cn) =>
+        node(cq, cn, acc, slot, docId, searcher, stats, mode) }
+      val shouldEx = shouldQs.zip(should).map { case (cq, cn) =>
+        node(cq, cn, acc, slot, docId, searcher, stats, mode) }
+      val notHits = notQs.zip(mustNot).filter { case (_, cn) =>
+        !evalAt(cn, acc, slot, mode).isNaN }
+      if (v.isNaN) {
+        val why =
+          if (notHits.nonEmpty) s"excluded by MUST_NOT (${notHits.size} prohibited clause(s) match)"
+          else if (mustEx.exists(!_.isMatch)) "a MUST clause does not match"
+          else if (shouldEx.count(_.isMatch) < msm)
+            s"only ${shouldEx.count(_.isMatch)} of minShouldMatch=$msm SHOULD clauses match"
+          else "no scoring clause matches"
+        Explanation(0.0, s"no match: boolean ($why)",
+          mustEx ++ shouldEx, isMatch = false)
+      } else {
+        val matched = shouldEx.count(_.isMatch)
+        val coordVal = coords(must.length + matched)
+        val kids = (mustEx ++ shouldEx) ++
+          (if (coordVal != 1.0f)
+            Seq(Explanation(coordVal.toDouble,
+              s"coord(${must.length + matched}/${must.length + should.length})"))
+          else Nil)
+        Explanation(v, s"sum of (minShouldMatch=$msm, ${mustNot.length} prohibited):", kids)
+      }
+
+    case _ =>
+      val v = evalAt(n, acc, slot, mode)
+      Explanation(if (v.isNaN) 0.0 else v, s"query $q", Nil, isMatch = !v.isNaN)
+  }
+}

@@ -7,7 +7,12 @@ package graft.search
   */
 sealed trait Query
 
-final case class TermQuery(term: String, boost: Float = 1.0f) extends Query
+/** `field = None` targets the searcher's default field; `Some(f)` targets a
+  * named (typically keyword) field — the reference's fielded term queries
+  * (/root/reference/queryparser/classic/queryBuilder.go:23-130).
+  */
+final case class TermQuery(term: String, boost: Float = 1.0f,
+    field: Option[String] = None) extends Query
 
 /** Exact phrase, slop=0 (/root/reference/core/search/exactPhraseScorer.go). */
 final case class PhraseQuery(terms: Seq[String], boost: Float = 1.0f) extends Query
@@ -27,14 +32,15 @@ final case class BooleanQuery(
     boost: Float = 1.0f) extends Query
 
 object Query {
-  /** All distinct leaf terms, in first-appearance order (the canonical
-    * float32 summation order — /root/repo/SURVEY.md §7.3).
+  /** All distinct leaf (field, term) keys, in first-appearance order (the
+    * canonical float32 summation order — /root/repo/SURVEY.md §7.3).
+    * Unfielded leaves resolve to `defaultField`.
     */
-  def leafTerms(q: Query): Seq[String] = {
-    val buf = scala.collection.mutable.LinkedHashSet.empty[String]
+  def leafKeys(q: Query, defaultField: String): Seq[(String, String)] = {
+    val buf = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
     def walk(q: Query): Unit = q match {
-      case TermQuery(t, _) => buf += t
-      case PhraseQuery(ts, _) => buf ++= ts
+      case TermQuery(t, _, f) => buf += ((f.getOrElse(defaultField), t))
+      case PhraseQuery(ts, _) => ts.foreach(t => buf += ((defaultField, t)))
       case BooleanQuery(cs, _, _) => cs.foreach(c => walk(c.query))
     }
     walk(q)
@@ -55,6 +61,7 @@ object Query {
     */
   def rewrite(q: Query): Query = q match {
     case PhraseQuery(Seq(t), boost) => TermQuery(t, boost)
+    case t: TermQuery => t
     case bq @ BooleanQuery(cs, msm, boost) =>
       val rewritten = cs.map(c => c.copy(query = rewrite(c.query)))
       val nShould = rewritten.count(_.occur == Occur.SHOULD)
@@ -72,7 +79,7 @@ object Query {
   }
 
   private def foldBoost(q: Query, b: Float): Query = q match {
-    case TermQuery(t, b0) => TermQuery(t, b0 * b)
+    case TermQuery(t, b0, f) => TermQuery(t, b0 * b, f)
     case PhraseQuery(ts, b0) => PhraseQuery(ts, b0 * b)
     case BooleanQuery(cs, m, b0) => BooleanQuery(cs, m, b0 * b)
   }

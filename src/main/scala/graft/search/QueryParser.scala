@@ -9,7 +9,8 @@ import graft.analysis.Analyzer
   * (/root/reference/queryparser/classic/queryBuilder.go:23-130): one token →
   * TermQuery, n tokens → BooleanQuery of SHOULD clauses, quoted → PhraseQuery.
   */
-final class QueryParser(analyzer: Analyzer, defaultField: String = "content") {
+final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
+    keywordFields: Set[String] = Set.empty) {
 
   private sealed trait Tok
   private case object LParen extends Tok
@@ -115,17 +116,26 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content") {
         case ts => (Some(PhraseQuery(ts)), rest)
       }
     case Word(w) :: rest =>
-      // strip an optional field: prefix (single-field engine)
-      val text = {
-        val ci = w.indexOf(':')
-        if (ci > 0 && ci < w.length - 1) w.substring(ci + 1) else w
-      }
-      val terms = analyzer(text).tokens.map(_.term).toSeq
-      terms match {
-        case Seq() => (None, rest)
-        case Seq(t) => (Some(TermQuery(t)), rest)
-        case ts => (Some(BooleanQuery(ts.map(t => BooleanClause(Occur.SHOULD, TermQuery(t))).toList)), rest)
-      }
+      // `field:text` routes to a named field (queryBuilder.go:23-130):
+      // defaultField re-analyzes; keyword fields take the RAW value as a
+      // single unanalyzed term (StringField semantics); unknown fields are
+      // REJECTED — never silently searched against the default field
+      val ci = w.indexOf(':')
+      if (ci > 0 && ci < w.length - 1) {
+        val f = w.substring(0, ci)
+        val text = w.substring(ci + 1)
+        if (f == defaultField) (analyzed(text), rest)
+        else if (keywordFields.contains(f)) (Some(TermQuery(text, 1.0f, Some(f))), rest)
+        else throw new IllegalArgumentException(
+          s"unknown field '$f' (known: '$defaultField'${keywordFields.toSeq.sorted.map(k => s", '$k'").mkString})")
+      } else (analyzed(w), rest)
     case other => (None, if (other.isEmpty) Nil else other.tail)
   }
+
+  private def analyzed(text: String): Option[Query] =
+    analyzer(text).tokens.map(_.term).toSeq match {
+      case Seq() => None
+      case Seq(t) => Some(TermQuery(t))
+      case ts => Some(BooleanQuery(ts.map(t => BooleanClause(Occur.SHOULD, TermQuery(t))).toList))
+    }
 }

@@ -7,27 +7,46 @@ import graft.codec.PostingsCodec
 import graft.index.IndexManifest
 
 /** Compiled, serializable query plan: per-leaf scorers bound to term indexes
-  * within the query's term universe (≤64 distinct terms → bitmask ops).
+  * within the query's term universe (up to 1024 distinct terms, mirroring the
+  * reference's maxClauseCount — presence checks read the per-term freq
+  * arrays directly, so no bitmask width limit applies). `fi` is the leaf's
+  * field index: dl/norm are PER FIELD (a keyword field's dl=1 must not leak
+  * into a content leaf's BM25 normalization and vice versa).
   */
 private[search] sealed trait CNode extends Serializable
 private[search] final case class CLeafTerm(
-    idx: Int, ref: Similarity.Scorer, exact: Bm25.ExactScorer) extends CNode
+    idx: Int, fi: Int, ref: Similarity.Scorer, exact: Bm25.ExactScorer) extends CNode
 private[search] final case class CLeafPhrase(
-    idxs: Array[Int], ref: Similarity.Scorer, exact: Bm25.ExactScorer) extends CNode
+    idxs: Array[Int], fi: Int, ref: Similarity.Scorer, exact: Bm25.ExactScorer) extends CNode
 /** coords(i) = similarity.coord(i, maxOverlap) — 1.0 for BM25-family. */
 private[search] final case class CBool(
     must: Array[CNode], should: Array[CNode], mustNot: Array[CNode], msm: Int,
     coords: Array[Float]) extends CNode
+
+/** Range selection for filtered evaluation (WAND phases, explain).
+  *
+  * `Ids` is for BOUNDED driver-side lists (phase-1 budget, a single explain
+  * range): an `isin` keeps parquet row-group pruning on rangeId. `Df` is the
+  * scale path for unbounded survivor sets: a broadcast LEFT SEMI join against
+  * a one-column rangeId DataFrame — nothing range-shaped is ever collected to
+  * the driver.
+  */
+private[search] sealed trait RangeSel
+private[search] object RangeSel {
+  final case class Ids(ids: Seq[Long]) extends RangeSel
+  final case class Df(df: DataFrame) extends RangeSel // single column: rangeId
+}
 
 /** Per-doc leaf data assembled from decoded postings for one docId range. */
 private[search] final class RangeAccum(
     val base: Long,
     val width: Int,
     val numTerms: Int,
+    numFields: Int,
     needPositions: Array[Boolean]) {
-  val masks = new Array[Long](width)
-  val dls = new Array[Int](width)
-  val norms = new Array[Byte](width)
+  val touched = new Array[Boolean](width)
+  val dls: Array[Array[Int]] = Array.tabulate(numFields)(_ => new Array[Int](width))
+  val norms: Array[Array[Byte]] = Array.tabulate(numFields)(_ => new Array[Byte](width))
   val freqs: Array[Array[Int]] = Array.tabulate(numTerms)(_ => new Array[Int](width))
   val positions: Array[Array[Array[Int]]] =
     needPositions.map(n => if (n) new Array[Array[Int]](width) else null)
@@ -42,13 +61,13 @@ private[search] object Eval {
     * /root/reference/core/search/similarities/similarity.go:34-36).
     */
   def evalD(node: CNode, acc: RangeAccum, slot: Int): Double = node match {
-    case CLeafTerm(idx, _, exact) =>
-      if (idx >= 0 && (acc.masks(slot) & (1L << idx)) != 0)
-        exact.score(acc.freqs(idx)(slot).toDouble, acc.dls(slot).toDouble)
+    case CLeafTerm(idx, fi, _, exact) =>
+      if (idx >= 0 && acc.freqs(idx)(slot) > 0)
+        exact.score(acc.freqs(idx)(slot).toDouble, acc.dls(fi)(slot).toDouble)
       else Double.NaN
-    case CLeafPhrase(idxs, _, exact) =>
+    case CLeafPhrase(idxs, fi, _, exact) =>
       val pf = phraseFreq(idxs, acc, slot)
-      if (pf > 0) exact.score(pf.toDouble, acc.dls(slot).toDouble) else Double.NaN
+      if (pf > 0) exact.score(pf.toDouble, acc.dls(fi)(slot).toDouble) else Double.NaN
     case CBool(must, should, mustNot, msm, _) =>
       var score = 0.0
       var i = 0
@@ -79,13 +98,13 @@ private[search] object Eval {
     * leaf scores in clause order).
     */
   def evalF(node: CNode, acc: RangeAccum, slot: Int): Float = node match {
-    case CLeafTerm(idx, ref, _) =>
-      if (idx >= 0 && (acc.masks(slot) & (1L << idx)) != 0)
-        ref.score(acc.freqs(idx)(slot).toFloat, acc.norms(slot))
+    case CLeafTerm(idx, fi, ref, _) =>
+      if (idx >= 0 && acc.freqs(idx)(slot) > 0)
+        ref.score(acc.freqs(idx)(slot).toFloat, acc.norms(fi)(slot))
       else Float.NaN
-    case CLeafPhrase(idxs, ref, _) =>
+    case CLeafPhrase(idxs, fi, ref, _) =>
       val pf = phraseFreq(idxs, acc, slot)
-      if (pf > 0) ref.score(pf.toFloat, acc.norms(slot)) else Float.NaN
+      if (pf > 0) ref.score(pf.toFloat, acc.norms(fi)(slot)) else Float.NaN
     case CBool(must, should, mustNot, msm, coords) =>
       var score = 0.0f
       var i = 0
@@ -121,7 +140,7 @@ private[search] object Eval {
     var i = 0
     while (i < idxs.length) {
       val idx = idxs(i)
-      if (idx < 0 || (acc.masks(slot) & (1L << idx)) == 0) return 0
+      if (idx < 0 || acc.freqs(idx)(slot) == 0) return 0
       if (acc.positions(idx) == null || acc.positions(idx)(slot) == null) return 0
       i += 1
     }
@@ -148,14 +167,20 @@ private[search] object Eval {
   * Read-path plan (restating /root/repo/SURVEY.md §3.2 Spark-first):
   * query-term stats resolve from the terms dictionary via a driver-side
   * lookup broadcast into the compiled plan (the "broadcast query-term
-  * dictionary"); postings rows of the query terms are scanned with
-  * parquet predicate pushdown on `term`, grouped by their docId range —
+  * dictionary"); postings rows of the query (field, term) pairs are scanned
+  * with parquet predicate pushdown, grouped by their docId range —
   * every boolean/phrase combination completes WITHIN a range group (all
   * terms' rows for a range meet there), so no per-document shuffle ever
   * happens; per-partition top-k heaps then merge on the driver
   * (treeAggregate pattern, reference collector semantics
   * /root/reference/core/search/collect.go:193-346 incl. tie-break:
   * score desc, docId asc).
+  *
+  * Fielded leaves (TermQuery.field = Some(f)) resolve against that field's
+  * postings and collection stats — the reference's multi-field model
+  * (/root/reference/queryparser/classic/queryBuilder.go:23-130,
+  * core/document/field.go:16-48) with keyword fields indexed as single
+  * unanalyzed tokens (StringField).
   */
 final class IndexSearcher(
     spark: SparkSession,
@@ -168,54 +193,78 @@ final class IndexSearcher(
 
   private lazy val termsDF: DataFrame = spark.read.parquet(s"$indexPath/terms")
   private lazy val postingsDF: DataFrame = spark.read.parquet(s"$indexPath/postings")
-  private lazy val fieldStatsRow = spark.read.parquet(s"$indexPath/fieldstats")
-    .where(col("field") === field).collect()(0)
+  private lazy val fieldStatsDF: DataFrame = spark.read.parquet(s"$indexPath/fieldstats")
 
-  lazy val collectionStats: CollectionStats = CollectionStats(
-    field,
-    maxDoc = fieldStatsRow.getAs[Long]("maxDoc"),
-    docCount = fieldStatsRow.getAs[Long]("docCount"),
-    sumTotalTermFreq = fieldStatsRow.getAs[Long]("sumTotalTermFreq"),
-    sumDocFreq = fieldStatsRow.getAs[Long]("sumDocFreq"))
+  private val csCache = scala.collection.concurrent.TrieMap.empty[String, CollectionStats]
+
+  def collectionStats(f: String): CollectionStats = csCache.getOrElseUpdate(f, {
+    val r = fieldStatsDF.where(col("field") === f).collect()(0)
+    CollectionStats(f,
+      maxDoc = r.getAs[Long]("maxDoc"),
+      docCount = r.getAs[Long]("docCount"),
+      sumTotalTermFreq = r.getAs[Long]("sumTotalTermFreq"),
+      sumDocFreq = r.getAs[Long]("sumDocFreq"))
+  })
+
+  def collectionStats: CollectionStats = collectionStats(field)
 
   private val statsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Option[TermStats]]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Option[TermStats]]
 
-  /** Driver-side stats lookup for the query's few terms (broadcast-join
-    * equivalent; the terms table never ships anywhere). Cached per searcher —
-    * repeated query terms cost zero jobs (the reference's TermContext reuse).
+  /** Driver-side stats lookup for the query's few (field, term) keys
+    * (broadcast-join equivalent; the terms table never ships anywhere).
+    * Cached per searcher — repeated query terms cost zero jobs (the
+    * reference's TermContext reuse).
     */
-  def termStats(terms: Seq[String]): Map[String, TermStats] = {
-    val missing = terms.filterNot(statsCache.contains)
+  def termStats(keys: Seq[(String, String)]): Map[(String, String), TermStats] = {
+    val missing = keys.filterNot(statsCache.contains)
     if (missing.nonEmpty) {
       val fetched = termsDF
-        .where(col("field") === field && col("term").isin(missing: _*))
-        .select("term", "docFreq", "totalTermFreq")
+        .where(pairPredicate(missing))
+        .select("field", "term", "docFreq", "totalTermFreq")
         .collect()
-        .map(r => r.getString(0) -> TermStats(field, r.getString(0), r.getLong(1), r.getLong(2)))
+        .map(r => (r.getString(0), r.getString(1)) ->
+          TermStats(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
         .toMap
-      missing.foreach(t => statsCache.put(t, fetched.get(t)))
+      missing.foreach(k => statsCache.put(k, fetched.get(k)))
     }
-    terms.flatMap(t => statsCache(t).map(t -> _)).toMap
+    keys.flatMap(k => statsCache(k).map(k -> _)).toMap
   }
+
+  /** Single-field convenience (default field). */
+  def termStatsOf(terms: Seq[String]): Map[String, TermStats] =
+    termStats(terms.map(t => (field, t))).map { case ((_, t), ts) => t -> ts }
+
+  /** Exact pushdown predicate for a set of (field, term) pairs: one
+    * `field = f AND term IN (...)` disjunct per field (parquet row-group
+    * pruning works on both columns).
+    */
+  private def pairPredicate(keys: Seq[(String, String)]) =
+    keys.groupBy(_._1).map { case (f, ks) =>
+      col("field") === f && col("term").isin(ks.map(_._2).distinct: _*)
+    }.reduce(_ || _)
 
   private def compile(
       q0: Query,
-      stats: Map[String, TermStats],
-      termIdx: Map[String, Int]): CNode = {
-    val cs = collectionStats
+      stats: Map[(String, String), TermStats],
+      termIdx: Map[(String, String), Int],
+      fieldIdx: Map[String, Int]): CNode = {
     val sim = similarity
+    def fld(of: Option[String]): String = of.getOrElse(field)
     // queryNorm two-phase (search.go:152-169): v = Σ leaf weight², qn = f(v).
     // 1 for every model except TF-IDF.
     def v(q: Query, topBoost: Float): Float = q match {
-      case TermQuery(t, boost) =>
-        stats.get(t).map(ts => sim.valueForNormalization(ts, cs, boost * topBoost)).getOrElse(0f)
+      case TermQuery(t, boost, f) =>
+        stats.get((fld(f), t))
+          .map(ts => sim.valueForNormalization(ts, collectionStats(fld(f)), boost * topBoost))
+          .getOrElse(0f)
       case PhraseQuery(ts, boost) =>
-        if (ts.forall(stats.contains))
+        if (ts.forall(t => stats.contains((field, t))))
           sim.valueForNormalization(
             TermStats(field, ts.mkString(" "),
-              ts.map(t => stats(t).docFreq).min, ts.map(t => stats(t).totalTermFreq).sum),
-            cs, boost * topBoost)
+              ts.map(t => stats((field, t)).docFreq).min,
+              ts.map(t => stats((field, t)).totalTermFreq).sum),
+            collectionStats, boost * topBoost)
         else 0f
       case BooleanQuery(clauses, _, boost) =>
         clauses.filter(_.occur != Occur.MUST_NOT)
@@ -224,22 +273,25 @@ final class IndexSearcher(
     val qn = sim.queryNorm(math.max(v(Query.rewrite(q0), 1.0f), Float.MinPositiveValue))
 
     def node(q: Query, topBoost: Float): CNode = q match {
-      case TermQuery(t, boost) =>
-        stats.get(t) match {
+      case TermQuery(t, boost, f) =>
+        val fn = fld(f)
+        stats.get((fn, t)) match {
           case Some(ts) =>
-            CLeafTerm(termIdx(t),
+            val cs = collectionStats(fn)
+            CLeafTerm(termIdx((fn, t)), fieldIdx(fn),
               sim.termScorer(ts, cs, boost * topBoost).normalize(qn),
               Bm25.exactScorer(ts, cs, boost = (boost * topBoost).toDouble))
-          case None => CLeafTerm(-1, null, null)
+          case None => CLeafTerm(-1, 0, null, null)
         }
       case PhraseQuery(ts, boost) =>
-        if (ts.forall(stats.contains)) {
+        if (ts.forall(t => stats.contains((field, t)))) {
+          val cs = collectionStats
           // phrase weight = sum of member idfs (bm25.go idfExplainPhrase)
-          val idfD = ts.map(t => Bm25.idfExact(stats(t).docFreq, cs.maxDoc)).sum
-          CLeafPhrase(ts.map(termIdx).toArray,
-            sim.phraseScorer(ts.map(stats), cs, boost * topBoost).normalize(qn),
+          val idfD = ts.map(t => Bm25.idfExact(stats((field, t)).docFreq, cs.maxDoc)).sum
+          CLeafPhrase(ts.map(t => termIdx((field, t))).toArray, fieldIdx(field),
+            sim.phraseScorer(ts.map(t => stats((field, t))), cs, boost * topBoost).normalize(qn),
             new Bm25.ExactScorer(idfD * boost * topBoost, Bm25.avgdlExact(cs), 1.2, 0.75))
-        } else CLeafTerm(-1, null, null)
+        } else CLeafTerm(-1, 0, null, null)
       case BooleanQuery(clauses, msm, boost) =>
         val b = boost * topBoost
         val must = clauses.filter(_.occur == Occur.MUST).map(c => node(c.query, b)).toArray
@@ -254,24 +306,26 @@ final class IndexSearcher(
     node(Query.rewrite(q0), 1.0f)
   }
 
-  /** All matching docs with scores — the full scored result set as a Dataset
-    * (top-k and TotalHits both derive from it in one pass).
-    */
   /** Compiled query + everything the executors need. */
   private final case class Prepared(
-      q: Query, terms: Seq[String], stats: Map[String, TermStats], ge: GroupEval)
+      q: Query, keys: Seq[(String, String)], stats: Map[(String, String), TermStats],
+      ge: GroupEval)
 
   private def prepare(q0: Query, mode: ScoreMode): Prepared = {
     val q = Query.rewrite(q0)
-    val terms = Query.leafTerms(q)
-    require(terms.size <= 64, s"more than 64 distinct query terms: ${terms.size}")
-    val termIdx = terms.zipWithIndex.toMap
-    val stats = termStats(terms)
-    val plan = compile(q, stats, termIdx)
+    val keys = Query.leafKeys(q, field)
+    // reference maxClauseCount (/root/reference/core/search/boolean.go:9)
+    require(keys.size <= 1024, s"more than 1024 distinct query terms: ${keys.size}")
+    val termIdx = keys.zipWithIndex.toMap
+    val fields = keys.map(_._1).distinct
+    val fieldIdx = fields.zipWithIndex.toMap
+    val stats = termStats(keys)
+    val plan = compile(q, stats, termIdx, fieldIdx)
     val pts = Query.phraseTerms(q)
-    val needPos = terms.map(pts.contains).toArray
-    Prepared(q, terms, stats,
-      new GroupEval(manifest.docsPerRange, terms.size, needPos, termIdx, plan, mode))
+    val needPos = keys.map { case (f, t) => f == field && pts.contains(t) }.toArray
+    Prepared(q, keys, stats,
+      new GroupEval(manifest.docsPerRange, keys.size, fields.size, needPos,
+        termIdx, fieldIdx, plan, mode))
   }
 
   def sparkSession: SparkSession = spark
@@ -291,64 +345,45 @@ final class IndexSearcher(
       .as[graft.index.DocRow].collect().toSeq
   }
 
-  /** Score breakdown for one document (reference Explain,
-    * /root/reference/core/search/explanation.go, term.go:163-193) — the
-    * score-parity debugging tool: recomputes every leaf from that doc's
-    * posting entries and must reproduce search()'s score exactly.
+  /** Structured score breakdown for one document (reference Explain,
+    * /root/reference/core/search/explanation.go, term.go:163-193): the
+    * root value reproduces search()'s score for that doc exactly —
+    * asserted by ExplainSpec on the reference query set.
     */
-  def explain(q0: Query, docId: Long, mode: ScoreMode = ScoreMode.Ref32): String = {
+  def explain(q0: Query, docId: Long, mode: ScoreMode = ScoreMode.Ref32): Explanation = {
     val p = prepare(q0, mode)
     val rangeId = docId / manifest.docsPerRange
-    val rows = rowsFor(p, Some(Seq(rangeId))).collect()
-    val sd = rows.groupBy(_._2).iterator.flatMap { case (rid, rs) =>
-      p.ge.eval(rid, rs.iterator)
-    }.find(_.docId == docId)
-    val sb = new StringBuilder
-    sb ++= s"doc=$docId mode=$mode score=${sd.map(_.score).getOrElse(Double.NaN)}\n"
-    val termRows = rows.groupBy(_._1)
-    for (t <- p.terms) {
-      termRows.get(t).flatMap { trs =>
-        trs.sortBy(_._3).iterator.map(r => PostingsCodec.decode(r._4))
-          .flatMap(d => d.docIds.indexOf(docId) match {
-            case -1 => None
-            case i => Some((d.freqs(i), d.dls(i), d.norms(i)))
-          }).toSeq.headOption
-      } match {
-        case Some((freq, dl, norm)) =>
-          val ts = p.stats(t)
-          sb ++= f"  term '$t': freq=$freq dl=$dl normByte=$norm " +
-            f"df=${ts.docFreq} ttf=${ts.totalTermFreq} " +
-            f"idf=${Bm25.idfExact(ts.docFreq, collectionStats.maxDoc)}%.6f\n"
-        case None =>
-          sb ++= s"  term '$t': no match in doc\n"
-      }
-    }
-    sb.toString
+    val rows = rowsFor(p, Some(RangeSel.Ids(Seq(rangeId)))).collect()
+    Explain.forDoc(p.q, p.ge, rows, rangeId, docId, this, p.stats, mode)
   }
 
-  /** Posting-row METADATA of the query terms (no payloads → Parquet column
+  /** Posting-row METADATA of the query keys (no payloads → Parquet column
     * pruning): feeds WAND bound computation.
     */
-  def postingRowsMeta(terms: Seq[String]): DataFrame =
+  def postingRowsMeta(keys: Seq[(String, String)]): DataFrame =
     postingsDF
-      .where(col("field") === field && col("term").isin(terms: _*))
-      .select("term", "rangeId", "docFreq", "maxFreq", "minDl")
+      .where(pairPredicate(keys))
+      .select("field", "term", "rangeId", "docFreq", "maxFreq", "minDl")
 
-  /** Posting rows of the query terms: (term, rangeId, firstDocId, payload,
-    * posPayload|null). Parquet prunes on `term` (row-group min/max) and drops
-    * `posPayload` unless a phrase needs it.
+  /** Posting rows of the query keys: (field, term, rangeId, firstDocId,
+    * payload, posPayload|null). Parquet prunes on (field, term) row-group
+    * min/max and drops `posPayload` unless a phrase needs it.
     */
   private def rowsFor(p: Prepared,
-      rangeFilter: Option[Seq[Long]] = None): Dataset[(String, Long, Long, Array[Byte], Array[Byte])] = {
+      rangeFilter: Option[RangeSel] = None): Dataset[(String, String, Long, Long, Array[Byte], Array[Byte])] = {
     val anyPos = p.ge.needPos.exists(identity)
-    var rows = postingsDF
-      .where(col("field") === field && col("term").isin(p.terms: _*))
-    rangeFilter.foreach(rs => rows = rows.where(col("rangeId").isin(rs: _*)))
+    var rows = postingsDF.where(pairPredicate(p.keys))
+    rangeFilter.foreach {
+      case RangeSel.Ids(rs) => rows = rows.where(col("rangeId").isin(rs: _*))
+      case RangeSel.Df(rdf) =>
+        rows = rows.join(broadcast(rdf.select("rangeId")), Seq("rangeId"), "left_semi")
+    }
     // no positions needed → posPayload column never read (parquet pruning);
     // a null literal keeps the plan columnar (no typed map ser/de)
     val posCol = if (anyPos) col("posPayload") else lit(null).cast("binary").as("posPayload")
-    rows.select(col("term"), col("rangeId"), col("firstDocId"), col("payload"), posCol)
-      .as[(String, Long, Long, Array[Byte], Array[Byte])]
+    rows.select(col("field"), col("term"), col("rangeId"), col("firstDocId"),
+      col("payload"), posCol)
+      .as[(String, String, Long, Long, Array[Byte], Array[Byte])]
   }
 
   /** All matching docs with scores — the full scored result set as a Dataset
@@ -358,15 +393,15 @@ final class IndexSearcher(
     val p = prepare(q0, mode)
     val geB = spark.sparkContext.broadcast(p.ge)
     val ds = rowsFor(p)
-    if (p.terms.size <= 1)
+    if (p.keys.size <= 1)
       // single-term: every doc lives in exactly one row → no shuffle at all
       ds.mapPartitions { it =>
         val ge = geB.value
-        it.flatMap(r => ge.eval(r._2, Iterator.single(r)))
+        it.flatMap(r => ge.eval(r._3, Iterator.single(r)))
       }
     else
-      ds.groupByKey(_._2)
-        .flatMapGroups((rangeId: Long, it: Iterator[(String, Long, Long, Array[Byte], Array[Byte])]) =>
+      ds.groupByKey(_._3)
+        .flatMapGroups((rangeId: Long, it: Iterator[(String, String, Long, Long, Array[Byte], Array[Byte])]) =>
           geB.value.eval(rangeId, it))
   }
 
@@ -396,29 +431,33 @@ final class IndexSearcher(
 
   /** Evaluate only the given docId ranges (WAND phases). */
   private[search] def evalRanges(q: Query, mode: ScoreMode,
-      ranges: Option[Seq[Long]], k: Int): TopDocs =
-    searchFiltered(q, k, mode, ranges)
+      ranges: RangeSel, k: Int): TopDocs =
+    searchFiltered(q, k, mode, Some(ranges))
 
   private def searchFiltered(q: Query, k: Int, mode: ScoreMode,
-      rangeFilter: Option[Seq[Long]]): TopDocs = {
+      rangeFilter: Option[RangeSel]): TopDocs = {
     val p = prepare(q, mode)
-    val dfSum = p.terms.map(t => p.stats.get(t).map(_.docFreq).getOrElse(0L)).sum
+    val dfSum = p.keys.map(k => p.stats.get(k).map(_.docFreq).getOrElse(0L)).sum
     // positions scale with totalTermFreq, not docFreq — when the query needs
     // posPayload, gate the driver-local collect on summed ttf too, or a hot
     // phrase term could pull hundreds of MB of positions onto the driver
     val posSum =
       if (p.ge.needPos.exists(identity))
-        p.terms.zipWithIndex.collect { case (t, i) if p.ge.needPos(i) =>
-          p.stats.get(t).map(_.totalTermFreq).getOrElse(0L)
+        p.keys.zipWithIndex.collect { case (key, i) if p.ge.needPos(i) =>
+          p.stats.get(key).map(_.totalTermFreq).getOrElse(0L)
         }.sum
       else 0L
     val localOk = dfSum <= localSearchMaxPostings && posSum <= localSearchMaxPostings
-    if (localOk || rangeFilter.exists(_.size <= 256)) {
+    val smallRangeList = rangeFilter.exists {
+      case RangeSel.Ids(rs) => rs.size <= 256
+      case _ => false
+    }
+    if (localOk || smallRangeList) {
       // local fast path: fetch the (few) posting rows, evaluate on the driver
       val rows = rowsFor(p, rangeFilter).collect()
       val heap = new BoundedHitQueue(k)
       var total = 0L
-      rows.groupBy(_._2).foreach { case (rangeId, rs) =>
+      rows.groupBy(_._3).foreach { case (rangeId, rs) =>
         p.ge.eval(rangeId, rs.iterator).foreach { sd =>
           total += 1; heap.insert(sd.docId, sd.score)
         }
@@ -427,14 +466,14 @@ final class IndexSearcher(
     } else {
       val geB = spark.sparkContext.broadcast(p.ge)
       val scored =
-        if (p.terms.size <= 1)
+        if (p.keys.size <= 1)
           rowsFor(p, rangeFilter).mapPartitions { it =>
             val ge = geB.value
-            it.flatMap(r => ge.eval(r._2, Iterator.single(r)))
+            it.flatMap(r => ge.eval(r._3, Iterator.single(r)))
           }
         else
-          rowsFor(p, rangeFilter).groupByKey(_._2)
-            .flatMapGroups((rangeId: Long, it: Iterator[(String, Long, Long, Array[Byte], Array[Byte])]) =>
+          rowsFor(p, rangeFilter).groupByKey(_._3)
+            .flatMapGroups((rangeId: Long, it: Iterator[(String, String, Long, Long, Array[Byte], Array[Byte])]) =>
               geB.value.eval(rangeId, it))
       val partials = scored.mapPartitions { it =>
         val heap = new BoundedHitQueue(k)
@@ -459,40 +498,22 @@ final class IndexSearcher(
 private[search] final class GroupEval(
     width: Int,
     nTerms: Int,
+    nFields: Int,
     val needPos: Array[Boolean],
-    termIdx: Map[String, Int],
+    termIdx: Map[(String, String), Int],
+    fieldIdx: Map[String, Int],
     plan: CNode,
     mode: ScoreMode) extends Serializable {
 
   def eval(rangeId: Long,
-      rows: Iterator[(String, Long, Long, Array[Byte], Array[Byte])]): Iterator[ScoredDoc] = {
-    val acc = new RangeAccum(rangeId * width, width, nTerms, needPos)
-    // a (term, rangeId) can span two build waves → concat sorted slices
-    rows.toArray.sortBy(_._3).foreach { case (term, _, _, payload, posPayload) =>
-      val ti = termIdx(term)
-      val dec = PostingsCodec.decode(payload)
-      val poss =
-        if (needPos(ti) && posPayload != null)
-          PostingsCodec.decodePositions(posPayload, dec.freqs)
-        else null
-      var i = 0
-      val bit = 1L << ti
-      while (i < dec.length) {
-        val slot = (dec.docIds(i) - acc.base).toInt
-        acc.masks(slot) |= bit
-        acc.dls(slot) = dec.dls(i)
-        acc.norms(slot) = dec.norms(i)
-        acc.freqs(ti)(slot) = dec.freqs(i)
-        if (poss != null) acc.positions(ti)(slot) = poss(i)
-        i += 1
-      }
-    }
+      rows: Iterator[(String, String, Long, Long, Array[Byte], Array[Byte])]): Iterator[ScoredDoc] = {
+    val acc = fill(rangeId, rows)
     val out = Array.newBuilder[ScoredDoc]
     var slot = 0
     mode match {
       case ScoreMode.ExactDouble =>
         while (slot < width) {
-          if (acc.masks(slot) != 0) {
+          if (acc.touched(slot)) {
             val s = Eval.evalD(plan, acc, slot)
             if (!s.isNaN) out += ScoredDoc(acc.base + slot, s)
           }
@@ -500,7 +521,7 @@ private[search] final class GroupEval(
         }
       case ScoreMode.Ref32 =>
         while (slot < width) {
-          if (acc.masks(slot) != 0) {
+          if (acc.touched(slot)) {
             val s = Eval.evalF(plan, acc, slot)
             if (!s.isNaN) out += ScoredDoc(acc.base + slot, s.toDouble)
           }
@@ -509,6 +530,45 @@ private[search] final class GroupEval(
     }
     out.result().iterator
   }
+
+  /** Decode this range's rows into the per-slot accumulator (shared with
+    * Explain, which needs the raw leaf data too).
+    */
+  private[search] def fill(rangeId: Long,
+      rows: Iterator[(String, String, Long, Long, Array[Byte], Array[Byte])]): RangeAccum = {
+    val acc = new RangeAccum(rangeId * width, width, nTerms, nFields, needPos)
+    // a (term, rangeId) can span two build waves → concat sorted slices
+    rows.toArray.sortBy(_._4).foreach { case (fieldName, term, _, _, payload, posPayload) =>
+      val ti = termIdx((fieldName, term))
+      val fi = fieldIdx(fieldName)
+      val dec = PostingsCodec.decode(payload)
+      val poss =
+        if (needPos(ti) && posPayload != null)
+          PostingsCodec.decodePositions(posPayload, dec.freqs)
+        else null
+      var i = 0
+      while (i < dec.length) {
+        val slot = (dec.docIds(i) - acc.base).toInt
+        acc.touched(slot) = true
+        acc.dls(fi)(slot) = dec.dls(i)
+        acc.norms(fi)(slot) = dec.norms(i)
+        acc.freqs(ti)(slot) = dec.freqs(i)
+        if (poss != null) acc.positions(ti)(slot) = poss(i)
+        i += 1
+      }
+    }
+    acc
+  }
+
+  private[search] def scoreAt(acc: RangeAccum, slot: Int): Double = mode match {
+    case ScoreMode.ExactDouble => Eval.evalD(plan, acc, slot)
+    case ScoreMode.Ref32 =>
+      val f = Eval.evalF(plan, acc, slot)
+      if (f.isNaN) Double.NaN else f.toDouble
+  }
+
+  private[search] def planRoot: CNode = plan
+  private[search] def scoreMode: ScoreMode = mode
 }
 
 /** Size-bounded hit queue with the reference collector's ordering: keep the

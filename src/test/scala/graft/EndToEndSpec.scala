@@ -192,8 +192,9 @@ class EndToEndSpec extends AnyFunSuite with SparkTestBase {
       .digest(corpusByPath(stored.get.path).getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(stored.get.contentSha == sha)
     val ex = searcher.explain(TermQuery("parser"), hit.docId)
-    assert(ex.contains(f"score=${hit.score}"))
-    assert(ex.contains("term 'parser'") && ex.contains("idf="))
+    assert(ex.isMatch && ex.value == hit.score,
+      s"explain value ${ex.value} != search score ${hit.score}\n${ex.render}")
+    assert(ex.render.contains("parser") && ex.render.contains("idf("))
   }
 
   test("pluggable similarities run end-to-end and rank plausibly") {

@@ -39,7 +39,7 @@ object Oracle {
 
     /** NaN = no match. */
     def score(q: Query, d: ODoc): Float = q match {
-      case TermQuery(t, boost) =>
+      case TermQuery(t, boost, _) =>
         d.freqs.get(t) match {
           case Some(f) => bm25(idf(t) * boost, f.toFloat, d.norm)
           case None => Float.NaN
@@ -67,7 +67,7 @@ object Oracle {
     }
 
     private def scale(q: Query, b: Float): Query = q match {
-      case TermQuery(t, b0) => TermQuery(t, b0 * b)
+      case TermQuery(t, b0, f) => TermQuery(t, b0 * b, f)
       case PhraseQuery(ts, b0) => PhraseQuery(ts, b0 * b)
       case BooleanQuery(cs, m, b0) => BooleanQuery(cs, m, b0 * b)
     }

@@ -68,15 +68,52 @@ class WandSpec extends AnyFunSuite with SparkTestBase {
     assert(wand.totalHits < exact.totalHits, "expected pruned ranges on graded tf")
   }
 
-  test("non-disjunctive shapes fall back to exact semantics") {
+  test("conjunction (MUST) pruning: pruned == exhaustive") {
     val q = BooleanQuery(Seq(
       BooleanClause(Occur.MUST, TermQuery("import")),
       BooleanClause(Occur.MUST, TermQuery("parser"))))
+    assertSafe(q, k = 10, phase1 = 4)
+    // MUST term with df=1: only its single range is eligible
+    val q2 = BooleanQuery(Seq(
+      BooleanClause(Occur.MUST, TermQuery("parser")),
+      BooleanClause(Occur.MUST, TermQuery("uniqtoken_17"))))
+    assertSafe(q2, k = 5, phase1 = 2)
+  }
+
+  test("MUST+SHOULD and MUST_NOT shapes: pruned == exhaustive") {
+    val reqOpt = BooleanQuery(Seq(
+      BooleanClause(Occur.MUST, TermQuery("parser")),
+      BooleanClause(Occur.SHOULD, TermQuery("buffer")),
+      BooleanClause(Occur.SHOULD, TermQuery("scorer"))))
+    assertSafe(reqOpt, k = 10, phase1 = 4)
+    val reqExcl = BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("parser")),
+      BooleanClause(Occur.MUST_NOT, TermQuery("buffer"))))
+    assertSafe(reqExcl, k = 10, phase1 = 4)
+    val msm = BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("parser")),
+      BooleanClause(Occur.SHOULD, TermQuery("buffer")),
+      BooleanClause(Occur.SHOULD, TermQuery("scorer"))), minShouldMatch = 2)
+    assertSafe(msm, k = 10, phase1 = 4)
+  }
+
+  test("phrase shapes fall back to exact semantics") {
+    val q = BooleanQuery(Seq(
+      BooleanClause(Occur.MUST, PhraseQuery(Seq("posting", "list"))),
+      BooleanClause(Occur.SHOULD, TermQuery("parser"))))
     val exact = searcher.search(q, 10, ScoreMode.Ref32)
     val wand = Wand.searchTopK(searcher, q, 10, ScoreMode.Ref32)
     assert(!wand.totalHitsIsLowerBound)
     assert(wand.totalHits == exact.totalHits)
     assert(wand.scoreDocs.map(_.docId).toSeq == exact.scoreDocs.map(_.docId).toSeq)
+  }
+
+  test("65+ distinct terms: no bitmask cap; WAND parity holds") {
+    // mixes present terms with many absent ones — exceeds the old 64-term cap
+    val terms = Seq("parser", "buffer", "scorer", "merge", "import") ++
+      (0 until 70).map(i => s"w$i")
+    val q = BooleanQuery(terms.map(t => BooleanClause(Occur.SHOULD, TermQuery(t))))
+    assertSafe(q, k = 10, phase1 = 8)
   }
 
   test("bound safe when doc lengths straddle byte315 bucket edges") {
