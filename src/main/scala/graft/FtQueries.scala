@@ -63,6 +63,22 @@ object FtQueries {
       .select(col("doc_id"), round(col("score"), 4).as("score_r"))
       .orderBy("doc_id")
 
+  /** Matches with a liveDocs view: docIds where `doc_id % modulo == 0` are
+    * deleted (searcher-scoped, the shared index stays untouched).
+    */
+  def matchesWithDeletes(spark: SparkSession, sfDir: String, q: Query,
+      modulo: Int): DataFrame = {
+    import spark.implicits._
+    val del = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") % modulo === 0)
+      .select(col("doc_id").cast("long")).as[Long].collect()
+    searcher(spark, sfDir).withDeletes(del)
+      .scoredDocs(q, ScoreMode.ExactDouble)
+      .toDF("doc_id", "score")
+      .select(col("doc_id"), round(col("score"), 4).as("score_r"))
+      .orderBy("doc_id")
+  }
+
   /** Top-k by rounded score (rounding first keeps ordering identical to the
     * SQL oracle), tie-break ascending docId.
     */

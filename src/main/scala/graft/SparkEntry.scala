@@ -53,6 +53,7 @@ object SparkEntry {
       BooleanClause(Occur.SHOULD, TermQuery("spark")))))),
     "ft_field_term" -> ((s, d) => FtQueries.matches(s, d,
       FtQueries.parser.parse("+lang:de +merge"))),
+    "ft_deletes" -> ((s, d) => FtQueries.matchesWithDeletes(s, d, TermQuery("merge"), 10)),
     "ft_total_hits" -> ((s, d) => FtQueries.totalHitsDF(s, d, Seq(
       "and_merge_sort" -> BooleanQuery(Seq(
         BooleanClause(Occur.MUST, TermQuery("merge")),
@@ -81,9 +82,12 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, d) =>
       Ann.cosineTopK(s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
         queryMaxId = 5L, k = 5).orderBy("query_id", "rank")),
-    "ann_lsh_topk" -> ((s, d) => // scale path; no SQL oracle (xxhash64 buckets)
+    "ann_lsh_topk" -> ((s, d) => // scale path; md5 hyperplanes → SQL-oracled
       Ann.lshCosineTopK(s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
         queryMaxId = 5L, k = 5).orderBy("query_id", "rank")),
+    "ann_lsh_recall" -> ((s, d) =>
+      Ann.lshRecallAtK(s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
+        queryMaxId = 5L, k = 5).orderBy("query_id")),
 
     // ---- text analysis ----
     "ta_quality" -> ((s, d) => TextOps.quality(docs(s, d), "text", "doc_id").orderBy("doc_id")),
@@ -122,13 +126,13 @@ object SparkEntry {
        |  FROM documents
        |)""".stripMargin
 
-  private val shinglesCte =
+  private def shinglesCte(src: String = "raw") =
     s"""shing AS (
        |  SELECT doc_id,
        |    list_distinct(CASE WHEN len(tk) >= 3
        |      THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
        |      ELSE CAST([] AS VARCHAR[]) END) AS shs
-       |  FROM raw
+       |  FROM $src
        |)""".stripMargin
 
   private val sigCte =
@@ -141,6 +145,40 @@ object SparkEntry {
 
   private val dotSql = (a: String, b: String) =>
     s"list_reduce(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+
+  /** LSH bucket CTEs shared by ann_lsh_topk / ann_lsh_recall: sign of
+    * hyperplane component (tbl, p, i) = high bit of md5("tbl|p|i") — exactly
+    * the engine expression in pipeline/Ann.lshKey.
+    */
+  private val lshSignSql =
+    "CASE WHEN substr(md5(CAST(tbl AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || CAST(i-1 AS VARCHAR)),1,1) " +
+      "IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END"
+
+  private val lshCtes =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), buck AS (
+       |  SELECT vec_id, tbl,
+       |    CAST(list_sum(list_transform(range(0, 8), p ->
+       |      CASE WHEN list_reduce(list_transform(range(1, len(embedding)+1), i ->
+       |          CAST(embedding[i] AS DOUBLE) * ($lshSignSql)),
+       |        (x,y) -> x+y) >= 0
+       |      THEN CAST(pow(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+       |  FROM n, (SELECT unnest([0,1,2,3]) AS tbl)
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM buck q JOIN buck c USING (tbl, bucket)
+       |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+       |), lsh_scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cosine
+       |  FROM cand JOIN n a ON a.vec_id = query_id JOIN n b ON b.vec_id = neighbor_id
+       |), lsh_ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM lsh_scored
+       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ft_term_stats" ->
@@ -202,6 +240,11 @@ object SparkEntry {
          |  + CASE WHEN f_merge > 0 AND f_sort > 0 THEN (${termScore("merge")} + ${termScore("sort")}) ELSE 0 END, 4) AS score_r
          |FROM base WHERE f_spark > 0 OR (f_merge > 0 AND f_sort > 0)
          |ORDER BY score_r DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_deletes" ->
+      s"""${ftBase(Seq("merge"))}
+         |SELECT doc_id, round(${termScore("merge")}, 4) AS score_r
+         |FROM base WHERE f_merge > 0 AND doc_id % 10 <> 0
+         |ORDER BY doc_id""".stripMargin,
     "ft_req_opt" ->
       s"""${ftBase(Seq("merge", "spark"))}
          |SELECT doc_id, round(${termScore("merge")}
@@ -237,11 +280,16 @@ object SparkEntry {
         |       min(doc_id) AS min_id
         |FROM documents GROUP BY 1 ORDER BY content_md5 LIMIT 20""".stripMargin,
     "dd_minhash_sig" ->
-      s"""$pipelinePrelude, $shinglesCte, $sigCte
+      s"""$pipelinePrelude, ${shinglesCte()}, $sigCte
          |SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM sig
          |WHERE doc_id < 20 ORDER BY doc_id, seed""".stripMargin,
-    "dd_lsh_pairs" ->
-      s"""$pipelinePrelude, $shinglesCte, $sigCte, bands AS (
+    "dd_lsh_pairs" -> // rep collapse mirrors Dedup.contentRepresentatives
+      s"""$pipelinePrelude, reps AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, md5(text) AS c FROM documents) GROUP BY c
+         |), rawr AS (
+         |  SELECT raw.* FROM raw JOIN reps USING (doc_id)
+         |), ${shinglesCte("rawr")}, $sigCte, bands AS (
          |  SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
          |         string_agg(minhash, ',' ORDER BY seed) AS band_key
          |  FROM sig GROUP BY doc_id, band
@@ -258,7 +306,7 @@ object SparkEntry {
          |        CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE), 4) >= 0.05
          |ORDER BY id_a, id_b""".stripMargin,
     "dd_ngram_jaccard" ->
-      s"""$pipelinePrelude, $shinglesCte
+      s"""$pipelinePrelude, ${shinglesCte()}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
          |        CAST(len(list_distinct(list_concat(a.shs, b.shs))) AS DOUBLE), 4) AS jaccard
@@ -298,6 +346,27 @@ object SparkEntry {
          |)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""$lshCtes
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+         |FROM lsh_ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_recall" ->
+      s"""$lshCtes, exact_scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cosine
+         |  FROM (SELECT * FROM n WHERE vec_id < 5) a, n b
+         |  WHERE a.vec_id <> b.vec_id
+         |), exact_ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM exact_scored
+         |)
+         |SELECT e.query_id AS query_id,
+         |       round(CAST(count(l.neighbor_id) AS DOUBLE) / 5.0, 4) AS recall
+         |FROM (SELECT * FROM exact_ranked WHERE rank <= 5) e
+         |LEFT JOIN (SELECT * FROM lsh_ranked WHERE rank <= 5) l
+         |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id ORDER BY query_id""".stripMargin,
 
     "ta_quality" ->
       s"""$pipelinePrelude

@@ -47,14 +47,18 @@ object Ann {
   }
 
   /** LSH bucket signature: p sign bits of projections onto deterministic
-    * ±1 hyperplanes (components hashed from (table, plane, dim) — no RNG
-    * state, identical across executors and reruns).
+    * ±1 hyperplanes. Component sign for (table, plane, dim) is the high bit
+    * of md5("t|p|i") — no RNG state, identical across executors/reruns, and
+    * reproducible by the ANSI-SQL oracle (same trick as the dd_* operators).
     */
   private def lshKey(v: org.apache.spark.sql.Column, p: Int, table: Int) = {
     val bits = (0 until p).map { plane =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * when(pmod(xxhash64(lit(table * 1000 + plane), i), lit(2)) === 0,
+          (x, i) => x * when(
+            substring(md5(concat_ws("|", lit(table.toString), lit(plane.toString),
+              i.cast("string"))), 1, 1)
+              .isin("8", "9", "a", "b", "c", "d", "e", "f"),
             lit(1.0)).otherwise(lit(-1.0))),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << plane)
@@ -62,20 +66,27 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  /** (table, bucket) rows for every vector: ONE scan computes all `tables`
+    * bucket keys as an array, then posexplode — not `tables` unioned scans.
+    */
+  private def bucketed(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, tables: Int) =
+    withNorm(df, idCol, vecCol)
+      .withColumn("bs", array((0 until tables).map(t => lshKey(col("v"), planes, t)): _*))
+      .select(col(idCol), col("v"), col("nrm"),
+        posexplode(col("bs")).as(Seq("table", "bucket")))
+
   /** LSH-bucketed cosine top-k: candidates share a bucket in ≥1 of
-    * `tables` hash tables; exact cosine on candidates only.
+    * `tables` hash tables; exact cosine on candidates only. Shuffle volume
+    * is bounded by bucket sizes (equi-join), never O(n²).
     */
   def lshCosineTopK(df: DataFrame, idCol: String, vecCol: String,
       queryMaxId: Long, k: Int, planes: Int = 8, tables: Int = 4): DataFrame = {
-    val all = withNorm(df, idCol, vecCol)
-    val bucketed = (0 until tables).map { t =>
-      all.select(col(idCol), col("v"), col("nrm"),
-        lit(t).as("table"), lshKey(col("v"), planes, t).as("bucket"))
-    }.reduce(_ unionAll _)
-    val qq = bucketed.where(col(idCol) < queryMaxId)
+    val b = bucketed(df, idCol, vecCol, planes, tables)
+    val qq = b.where(col(idCol) < queryMaxId)
       .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("table"), col("bucket"))
-    val cc = bucketed
+    val cc = b
       .select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"),
         col("table"), col("bucket"))
     val cands = qq.join(cc, Seq("table", "bucket"))
@@ -89,5 +100,21 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cosine"))
+  }
+
+  /** Measured recall@k of the LSH path vs the exact brute-force top-k, per
+    * query — the accuracy/cost dial for tuning (planes, tables).
+    */
+  def lshRecallAtK(df: DataFrame, idCol: String, vecCol: String,
+      queryMaxId: Long, k: Int, planes: Int = 8, tables: Int = 4): DataFrame = {
+    val exact = cosineTopK(df, idCol, vecCol, queryMaxId, k)
+      .select("query_id", "neighbor_id")
+    val lsh = lshCosineTopK(df, idCol, vecCol, queryMaxId, k, planes, tables)
+      .select(col("query_id"), col("neighbor_id").as("lsh_neighbor"))
+    exact
+      .join(lsh, exact("query_id") === lsh("query_id") &&
+        exact("neighbor_id") === lsh("lsh_neighbor"), "left")
+      .groupBy(exact("query_id").as("query_id"))
+      .agg(round(count(col("lsh_neighbor")).cast("double") / lit(k.toDouble), 4).as("recall"))
   }
 }

@@ -54,24 +54,55 @@ object Dedup {
       .select(col(idCol), col("seed").cast("int").as("seed"), col("minhash"))
   }
 
-  /** LSH banding over minhash signatures → candidate pairs → exact Jaccard
-    * verification. Returns (id_a, id_b, jaccard) for verified pairs ≥ tau.
+  /** One representative (min id) per distinct content. Exact-duplicate
+    * collapse BEFORE banding is the LSH scale guard: a group of m identical
+    * docs shares every band, so banding raw docs creates m² candidate pairs
+    * per boilerplate group (real corpora have 10⁴–10⁶-fold duplicates).
+    * Member↔rep mapping comes from [[exactDupGroups]]; near-dup edges are
+    * between representatives.
     */
-  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 8, rowsPerBand: Int = 2, shingleSize: Int = 3,
-      tau: Double = 0.3): DataFrame = {
-    val sig = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
+  def contentRepresentatives(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("cmd5"))
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+      .drop("cmd5")
+
+  /** Rep-level LSH candidate pairs (pre-verification), with a bucket-size
+    * skew cap: bands whose bucket exceeds `maxBucket` members are skipped
+    * (bounded recall loss on pathological buckets, bounded shuffle always).
+    */
+  def lshCandidatePairs(reps: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, rowsPerBand: Int, shingleSize: Int, maxBucket: Int): DataFrame = {
+    val sig = minhashSignatures(reps, textCol, idCol, numHashes, shingleSize)
     val bands = sig
       .withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))
       .groupBy(col(idCol), col("band"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
         p => p.getField("minhash")), ",").as("band_key"))
-    val a = bands.select(col(idCol).as("id_a"), col("band"), col("band_key"))
-    val b = bands.select(col(idCol).as("id_b"), col("band"), col("band_key"))
-    val candidates = a.join(b, Seq("band", "band_key"))
+    val counts = bands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBucket)
+    val capped = bands.join(counts, Seq("band", "band_key"), "left_semi")
+    val a = capped.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val b = capped.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sh = df.select(col(idCol).as("id"), shingleExpr(textCol, shingleSize).as("shs"))
+  }
+
+  /** LSH banding over minhash signatures → candidate pairs → exact Jaccard
+    * verification. Returns (id_a, id_b, jaccard) for verified pairs ≥ tau,
+    * between exact-duplicate-group REPRESENTATIVES (min id per distinct
+    * content): same-content pairs are dd_exact's job, and collapsing them
+    * first keeps candidate count O(near-dup groups), never O(m²) within a
+    * duplicate group.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2, shingleSize: Int = 3,
+      tau: Double = 0.3, maxBucket: Int = 10000): DataFrame = {
+    val reps = contentRepresentatives(df, textCol, idCol)
+    val candidates =
+      lshCandidatePairs(reps, textCol, idCol, numHashes, rowsPerBand, shingleSize, maxBucket)
+    val sh = reps.select(col(idCol).as("id"), shingleExpr(textCol, shingleSize).as("shs"))
     candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "sh_b"), "id_b")
@@ -82,11 +113,13 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact pairwise n-gram Jaccard within an id-bounded scope (verification
-    * primitive; pair the LSH filter above for full-corpus runs).
+  /** Exact pairwise n-gram Jaccard within an EXPLICIT id-bounded scope —
+    * `maxId` has no permissive default: the bare call would otherwise be a
+    * full crossJoin. Verification primitive; pair the LSH filter above for
+    * full-corpus runs.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int = 3, tau: Double = 0.1, maxId: Long = Long.MaxValue): DataFrame = {
+      shingleSize: Int = 3, tau: Double = 0.1, maxId: Long): DataFrame = {
     val scoped = df.where(col(idCol) < maxId)
       .select(col(idCol).as("id"), shingleExpr(textCol, shingleSize).as("shs"))
     val a = scoped.select(col("id").as("id_a"), col("shs").as("sh_a"))

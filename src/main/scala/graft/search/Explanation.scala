@@ -45,6 +45,8 @@ private[search] object Explain {
       searcher: IndexSearcher,
       stats: Map[(String, String), TermStats],
       mode: ScoreMode): Explanation = {
+    if (!ge.live(docId))
+      return Explanation(0.0, s"doc $docId: deleted (liveDocs)", Nil, isMatch = false)
     val acc = ge.fill(rangeId, rows.iterator)
     val slot = (docId - acc.base).toInt
     if (slot < 0 || slot >= acc.width || !acc.touched(slot))

@@ -186,10 +186,25 @@ final class IndexSearcher(
     spark: SparkSession,
     indexPath: String,
     val field: String = "content",
-    val similarity: Similarity = new Bm25Similarity()) extends Serializable {
+    val similarity: Similarity = new Bm25Similarity(),
+    extraDeletes: Array[Long] = Array.emptyLongArray) extends Serializable {
   import spark.implicits._
 
   val manifest: IndexManifest = IndexManifest.load(spark, indexPath)
+
+  /** liveDocs: persisted deletes (<index>/deletes) ∪ searcher-scoped extras,
+    * sorted for binary search inside the range evaluator. Applied on every
+    * path — matches, totalHits, explain — without touching postings.
+    */
+  private lazy val deletedSorted: Array[Long] = {
+    val persisted = graft.index.Deletes.load(spark, indexPath)
+    if (extraDeletes.isEmpty) persisted
+    else (persisted ++ extraDeletes).distinct.sorted
+  }
+
+  /** A view of this index with additional (non-persisted) deleted docIds. */
+  def withDeletes(docIds: Array[Long]): IndexSearcher =
+    new IndexSearcher(spark, indexPath, field, similarity, extraDeletes ++ docIds)
 
   private lazy val termsDF: DataFrame = spark.read.parquet(s"$indexPath/terms")
   private lazy val postingsDF: DataFrame = spark.read.parquet(s"$indexPath/postings")
@@ -325,7 +340,7 @@ final class IndexSearcher(
     val needPos = keys.map { case (f, t) => f == field && pts.contains(t) }.toArray
     Prepared(q, keys, stats,
       new GroupEval(manifest.docsPerRange, keys.size, fields.size, needPos,
-        termIdx, fieldIdx, plan, mode))
+        termIdx, fieldIdx, plan, mode, deletedSorted))
   }
 
   def sparkSession: SparkSession = spark
@@ -503,7 +518,12 @@ private[search] final class GroupEval(
     termIdx: Map[(String, String), Int],
     fieldIdx: Map[String, Int],
     plan: CNode,
-    mode: ScoreMode) extends Serializable {
+    mode: ScoreMode,
+    deleted: Array[Long] = Array.emptyLongArray) extends Serializable {
+
+  /** liveDocs check (sorted-array binary search, 8 B/delete broadcast). */
+  private[search] def live(docId: Long): Boolean =
+    deleted.isEmpty || java.util.Arrays.binarySearch(deleted, docId) < 0
 
   def eval(rangeId: Long,
       rows: Iterator[(String, String, Long, Long, Array[Byte], Array[Byte])]): Iterator[ScoredDoc] = {
@@ -513,7 +533,7 @@ private[search] final class GroupEval(
     mode match {
       case ScoreMode.ExactDouble =>
         while (slot < width) {
-          if (acc.touched(slot)) {
+          if (acc.touched(slot) && live(acc.base + slot)) {
             val s = Eval.evalD(plan, acc, slot)
             if (!s.isNaN) out += ScoredDoc(acc.base + slot, s)
           }
@@ -521,7 +541,7 @@ private[search] final class GroupEval(
         }
       case ScoreMode.Ref32 =>
         while (slot < width) {
-          if (acc.touched(slot)) {
+          if (acc.touched(slot) && live(acc.base + slot)) {
             val s = Eval.evalF(plan, acc, slot)
             if (!s.isNaN) out += ScoredDoc(acc.base + slot, s.toDouble)
           }

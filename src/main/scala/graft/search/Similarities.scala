@@ -222,26 +222,67 @@ class DFISimilarity(measure: String = "chi") extends SimilarityBase {
   }
 }
 
-/** DFR framework (dfr.go:76): basicModel × afterEffect × tf-normalization.
-  * Basic models G / I(n) / I(ne) / I(F) / P (basicModel.go), after-effects
-  * B / L / none (afterEffect.go), normalizations H1 / H2 / H3 / Z / none
-  * (normalization.go).
+/** DFR framework (dfr.go:76): basicModel × afterEffect × tf-normalization —
+  * the COMPLETE reference inventory. Basic models BE / D / G / I(n) / I(ne)
+  * / I(F) / P (basicModel.go:40-230), after-effects B / L / none
+  * (afterEffect.go), normalizations H1 / H2 / H2Exp / H3 / BM25 / F / J /
+  * Jn / P (alias Z) / DP / none (normalization.go:32-301).
+  *
+  * `c` defaults to each normalization's reference default (H1/H2/H2Exp 1,
+  * H3 1000, BM25 0.75, F 2500, J/Jn 0.20, P/Z 0.30, DP 2500).
   */
 class DFRSimilarity(basicModel: String = "IF", afterEffect: String = "L",
-    normalization: String = "H2", c: Float = 1.0f) extends SimilarityBase {
+    normalization: String = "H2", c0: Float = Float.NaN) extends SimilarityBase {
   def name = s"DFR($basicModel,$afterEffect,$normalization)"
   private val LOG2 = math.log(2)
   private def log2(x: Double): Double = math.log(x) / LOG2
 
+  private val c: Float =
+    if (!c0.isNaN) c0
+    else normalization match {
+      case "H3" => 1000f
+      case "BM25" => 0.75f
+      case "F" | "DP" => 2500f
+      case "J" | "Jn" => 0.20f
+      case "P" | "Z" => 0.30f
+      case _ => 1.0f
+    }
+
   private def tfn(st: BasicStats, tf: Float, len: Float): Float = normalization match {
     case "H1" => tf * c * st.avgFieldLength / len
     case "H2" => (tf * log2(1 + (c * st.avgFieldLength / len).toDouble)).toFloat
+    case "H2Exp" => (tf * math.log(1 + (c * st.avgFieldLength / len).toDouble)).toFloat
     case "H3" => c * (tf + c * (st.totalTermFreq + 1).toFloat / (st.numberOfFieldTokens + 1).toFloat) / (len + c)
-    case "Z" => (tf * math.pow((st.avgFieldLength / len).toDouble, 0.30)).toFloat
+    case "BM25" => tf / (1 - c + c * (len / st.avgFieldLength))
+    case "F" => tf * (c * len / st.avgFieldLength)
+    case "J" =>
+      val mleC = (st.totalTermFreq + 1).toFloat / (st.numberOfFieldTokens + 1).toFloat
+      ((1 - c) * (tf / len) + c * mleC) * len
+    case "Jn" =>
+      val mleC = (st.docFreq + 1).toFloat / (st.numberOfFieldTokens + 1).toFloat
+      ((1 - c) * (tf / len) + c * mleC) * len
+    case "P" | "Z" => // Pareto (Lucene's NormalizationZ; Terrier's P)
+      (tf * math.pow((st.avgFieldLength / len).toDouble, c.toDouble)).toFloat
+    case "DP" =>
+      val mleC = (st.totalTermFreq + 1).toFloat / (st.numberOfFieldTokens + 1).toFloat
+      c * (tf + c * mleC) / (len + c)
     case _ => tf
   }
 
   private def basic(st: BasicStats, tfn: Float): Float = basicModel match {
+    case "BE" => // Bose-Einstein (basicModel.go:50-64): F,N shifted so the
+      // approximation's F << N precondition cannot produce NaN
+      val fF = st.totalTermFreq.toDouble + 1 + tfn
+      val n = fF + st.numberOfDocuments.toDouble
+      def f(a: Double, m: Double): Double = (m + 0.5) * log2(a / m) + (a - m) * log2(a)
+      (-log2((n - 1) * math.E) + f(n + fF - 1, n + fF - tfn - 2) - f(fF, fF - tfn)).toFloat
+    case "D" => // divergence approximation of the binomial (basicModel.go:76-90)
+      val fF = st.totalTermFreq.toDouble + 1 + tfn
+      val phi = tfn / fF
+      val nphi = 1 - phi
+      val p = 1.0 / (st.numberOfDocuments.toDouble + 1)
+      val dD = phi * log2(phi / p) + nphi * log2(nphi / (1 - p))
+      (dD * fF + 0.5 * log2(1 + 2 * math.Pi * tfn * nphi)).toFloat
     case "G" =>
       val f = st.totalTermFreq.toDouble + 1
       val n = st.numberOfDocuments.toDouble

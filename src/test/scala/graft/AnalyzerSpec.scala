@@ -53,6 +53,29 @@ class AnalyzerSpec extends AnyFunSuite {
       Seq(("a", 0), ("b", 1), ("c", 2)))
   }
 
+  test("UpperCaseFilter uppercases every token (uppercaseFilter.go)") {
+    val a = new UpperCaseFilterAnalyzer(new SimpleAnalyzer())
+    val r = a("Foo bar-Baz 42")
+    assert(r.tokens.map(_.term).toSeq == Seq("FOO", "BAR", "BAZ", "42"))
+    assert(r.tokens.map(_.pos).toSeq == Seq(0, 1, 2, 3))
+  }
+
+  test("CommonGramsFilter emits prev_cur grams around common words (commonGramsFilter.go:14-121)") {
+    val a = new CommonGramsAnalyzer(new SimpleAnalyzer(), Set("the", "of"))
+    val r = a("history of the world part one")
+    // unigrams all present, plus grams at the PREVIOUS token's position
+    // wherever prev or cur is common
+    assert(r.tokens.map(t => (t.term, t.pos)).toSeq == Seq(
+      ("history", 0),
+      ("history_of", 0), ("of", 1),
+      ("of_the", 1), ("the", 2),
+      ("the_world", 2), ("world", 3),
+      ("part", 4), ("one", 5)))
+    // grams are overlap tokens: norms discount them
+    assert(r.numOverlap == 3)
+    assert(r.length - r.numOverlap == 6)
+  }
+
   test("KeywordAnalyzer emits the whole value as one token") {
     val k = new KeywordAnalyzer()
     assert(k("hello world").tokens.toSeq == Seq(Token("hello world", 0)))

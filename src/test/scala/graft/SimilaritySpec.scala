@@ -65,15 +65,53 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("DFR compositions produce finite positive scores, monotone in tf") {
-    for (bm <- Seq("G", "In", "Ine", "IF");
+    for (bm <- Seq("BE", "D", "G", "In", "Ine", "IF", "P");
          ae <- Seq("B", "L", "none");
-         nz <- Seq("H1", "H2", "H3", "Z", "none")) {
+         nz <- Seq("H1", "H2", "H2Exp", "H3", "BM25", "F", "J", "Jn", "Z", "DP", "none")) {
       val sc = new DFRSimilarity(bm, ae, nz).termScorer(ts, cs, 1.0f)
       val s1 = sc.score(1f, norm10)
       val s5 = sc.score(5f, norm10)
-      assert(!s1.isNaN && !s1.isInfinite, s"$bm/$ae/$nz")
-      assert(s5 > 0, s"$bm/$ae/$nz")
+      assert(!s1.isNaN && !s1.isInfinite, s"$bm/$ae/$nz s1=$s1")
+      assert(s5 > 0, s"$bm/$ae/$nz s5=$s5")
     }
+  }
+
+  test("DFR BE and D reproduce the reference formulas (basicModel.go:50-90)") {
+    // hand-computed against the published Bose-Einstein / divergence
+    // approximations at tfn=2, ttf=400, N=1000 (stats of `ts`/`cs`)
+    def log2(x: Double) = math.log(x) / math.log(2)
+    val tfn = 2.0
+    val F = 400.0 + 1 + tfn
+    val nBE = F + 1000.0
+    def f(a: Double, m: Double) = (m + 0.5) * log2(a / m) + (a - m) * log2(a)
+    val be = -log2((nBE - 1) * math.E) + f(nBE + F - 1, nBE + F - tfn - 2) - f(F, F - tfn)
+    val scBE = new DFRSimilarity("BE", "none", "none").termScorer(ts, cs, 1.0f)
+    assert(math.abs(scBE.score(2f, norm10) - be.toFloat) < 1e-4 * math.abs(be))
+
+    val phi = tfn / F
+    val nphi = 1 - phi
+    val p = 1.0 / 1001.0
+    val dD = phi * log2(phi / p) + nphi * log2(nphi / (1 - p))
+    val d = dD * F + 0.5 * log2(1 + 2 * math.Pi * tfn * nphi)
+    val scD = new DFRSimilarity("D", "none", "none").termScorer(ts, cs, 1.0f)
+    assert(math.abs(scD.score(2f, norm10) - d.toFloat) < 1e-4 * math.abs(d))
+  }
+
+  test("DFR normalization reference defaults and formulas (normalization.go)") {
+    val avg = 100000f / 1000f // sumTTF/maxDoc = avgFieldLength of `cs`
+    val len = dl(norm10)
+    // BM25 normalization, default c=0.75
+    val bm25n = new DFRSimilarity("IF", "none", "BM25").termScorer(ts, cs, 1.0f)
+    val ifOnly = new DFRSimilarity("IF", "none", "none").termScorer(ts, cs, 1.0f)
+    val tfnBM25 = 3f / (1 - 0.75f + 0.75f * (len / avg))
+    // IF is linear in tfn up to the log factor; verify via ratio of scores at
+    // matching raw tf values
+    assert(math.abs(bm25n.score(3f, norm10) - ifOnly.score(tfnBM25, norm10)) < 1e-4)
+    // J normalization, default c=0.20
+    val jn = new DFRSimilarity("IF", "none", "J").termScorer(ts, cs, 1.0f)
+    val mleC = 401f / 100001f
+    val tfnJ = ((1 - 0.20f) * (3f / len) + 0.20f * mleC) * len
+    assert(math.abs(jn.score(3f, norm10) - ifOnly.score(tfnJ, norm10)) < 1e-4)
   }
 
   test("IB models finite and positive") {
