@@ -30,6 +30,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", s"$scratch/spark_local")
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // task-side file commit (v2): job commit is O(1) driver work instead of
+      // a serial per-file move — a fixed tail that drags scaling efficiency
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -134,16 +137,25 @@ object Bench {
 
     val searcher = new IndexSearcher(spark, buildDir)
     val parser = new QueryParser(new StandardCodeAnalyzer())
-    val reps = 5
-    val p95 = refQueries(parser).map { case (name, q) =>
-      searcher.search(q, 10, ScoreMode.Ref32) // warm (codegen/JIT/stats cache)
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        searcher.search(q, 10, ScoreMode.Ref32)
-        (System.nanoTime() - t0) / 1e6
-      }.sorted
-      name -> times(math.min(reps - 1, math.ceil(reps * 0.95).toInt - 1))
+    // ≥20 INTERLEAVED reps (q1,q2,…,q8, q1,q2,…): host-noise spikes spread
+    // across queries instead of landing on whichever query owned the slow
+    // window (round-1's max-of-5 "p95" promoted exactly such spikes to 3-5 s
+    // headline numbers that cold reruns could not reproduce)
+    val qreps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "20").toInt
+    val refQs = refQueries(parser)
+    refQs.foreach { case (_, q) => searcher.search(q, 10, ScoreMode.Ref32) } // warm
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    for (_ <- 1 to qreps; (name, q) <- refQs) {
+      val t0 = System.nanoTime()
+      searcher.search(q, 10, ScoreMode.Ref32)
+      times(name) = times(name) :+ (System.nanoTime() - t0) / 1e6
     }
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.size - 1, math.ceil(s.size * p).toInt - 1))
+    }
+    val p50 = refQs.map { case (name, _) => name -> pct(times(name), 0.50) }
+    val p95 = refQs.map { case (name, _) => name -> pct(times(name), 0.95) }
 
     // ---- 3) scaling: same job at N and 4N cores (min of reps — shields
     //         against host-neighbor noise), fused compute path.
@@ -154,7 +166,7 @@ object Bench {
     var scalingJson = ""
     if (doScaling) {
       val scalingDocs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "1000000").toLong
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "5").toInt
       // primary N=2→8: both levels below this box's memory-contention knee
       // (~8 threads), so the ratio measures the ENGINE; the 4→16 secondary
       // reported alongside shows the single-box saturation behavior
@@ -168,7 +180,10 @@ object Bench {
       // each level runs in its OWN JVM with -XX:ActiveProcessorCount=N —
       // a faithful N-core node (GC/JIT/pool ergonomics included); switching
       // local[N] inside one 32-core JVM lends the small level 32 cores of GC
-      def measureOnce(cpusN: String): (Double, Double) = {
+      final case class ChildRun(invert: Double, publish: Double, full: Double) {
+        def fused: Double = invert + publish
+      }
+      def measureOnce(cpusN: String, doFull: Boolean): ChildRun = {
         val java = s"${System.getProperty("java.home")}/bin/java"
         val addOpens = Seq(
           "java.base/java.lang", "java.base/java.lang.invoke",
@@ -186,7 +201,7 @@ object Bench {
           "-cp", System.getProperty("java.class.path"),
           "graft.tools.ScalingChild",
           cpusN, scalingDocs.toString, "128", corpusPath,
-          freshDir(s"child$cpusN"), "1")
+          freshDir(s"child$cpusN"), "1", if (doFull) "1" else "0")
         val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
         val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
         proc.waitFor()
@@ -195,35 +210,44 @@ object Bench {
             val kv = line.split(' ').collect { case s if s.contains('=') =>
               val Array(k, v) = s.split('='); k -> v
             }.toMap
-            (kv("invert").toDouble, kv("publish").toDouble)
+            ChildRun(kv("invert").toDouble, kv("publish").toDouble,
+              kv.get("full").map(_.toDouble).getOrElse(Double.NaN))
           case None =>
             System.err.println(s"[bench] scaling child $cpusN failed:\n${out.takeRight(20).mkString("\n")}")
-            (Double.NaN, Double.NaN)
+            ChildRun(Double.NaN, Double.NaN, Double.NaN)
         }
       }
-      // interleave the two levels (L,H,L,H,…) and compute efficiency PER
-      // PAIR (adjacent runs share the host-load window), reporting the
-      // median pair ratio — robust to host drift in either direction
       def median(xs: Seq[Double]): Double = {
         val s = xs.sorted
         if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
-      def runScale(lo: String, nPairs: Int): String = {
+      // Estimator: host noise on a shared box is strictly ADDITIVE (neighbor
+      // load only ever slows a run), so min-over-reps at each level is the
+      // best estimate of the noise-free wall, and min/min the best estimate
+      // of the true N→4N ratio. The per-pair median (adjacent runs share a
+      // host window) is reported alongside as a drift-robust cross-check.
+      def runScale(lo: String, nPairs: Int, withFull: Boolean): String = {
         val hi = (lo.toInt * 4).toString
-        val pairs = (1 to nPairs).map(_ => (measureOnce(lo), measureOnce(hi)))
-        val (iLo, pLo) = pairs.map(_._1).minBy(r => r._1 + r._2)
-        val (iHi, pHi) = pairs.map(_._2).minBy(r => r._1 + r._2)
-        val tLo = iLo + pLo
-        val tHi = iHi + pHi
-        val eff = median(pairs.map { case (l, h) => (l._1 + l._2) / (4.0 * (h._1 + h._2)) })
-        val effInvert = median(pairs.map { case (l, h) => l._1 / (4.0 * h._1) })
-        f"""{"docs":$scalingDocs,"n_cores":$lo,"n4_cores":$hi,"n_sec":$tLo%.2f,"n4_sec":$tHi%.2f,"n_invert_sec":$iLo%.2f,"n4_invert_sec":$iHi%.2f,"n_docs_per_sec":${scalingDocs / tLo}%.1f,"n4_docs_per_sec":${scalingDocs / tHi}%.1f,"efficiency":$eff%.3f,"efficiency_invert":$effInvert%.3f}"""
+        val pairs = (1 to nPairs).map(i =>
+          (measureOnce(lo, withFull && i == 1), measureOnce(hi, withFull && i == 1)))
+        val bLo = pairs.map(_._1).minBy(_.fused)
+        val bHi = pairs.map(_._2).minBy(_.fused)
+        val eff = bLo.fused / (4.0 * bHi.fused)
+        val effInvert = pairs.map(_._1.invert).min / (4.0 * pairs.map(_._2.invert).min)
+        val effPairs = median(pairs.map { case (l, h) => l.fused / (4.0 * h.fused) })
+        val fullJson =
+          if (withFull && !pairs.head._1.full.isNaN && !pairs.head._2.full.isNaN) {
+            val fLo = pairs.head._1.full
+            val fHi = pairs.head._2.full
+            f""","n_full_sec":$fLo%.2f,"n4_full_sec":$fHi%.2f,"efficiency_full":${fLo / (4.0 * fHi)}%.3f"""
+          } else ""
+        f"""{"docs":$scalingDocs,"n_cores":$lo,"n4_cores":$hi,"n_sec":${bLo.fused}%.2f,"n4_sec":${bHi.fused}%.2f,"n_invert_sec":${bLo.invert}%.2f,"n4_invert_sec":${bHi.invert}%.2f,"n_docs_per_sec":${scalingDocs / bLo.fused}%.1f,"n4_docs_per_sec":${scalingDocs / bHi.fused}%.1f,"efficiency":$eff%.3f,"efficiency_invert":$effInvert%.3f,"efficiency_median_pairs":$effPairs%.3f$fullJson}"""
       }
-      val primary = runScale(nLo, reps)
+      val primary = runScale(nLo, reps, withFull = true)
       // single-box saturation view at 4→16 (the knee sits ~8 threads here)
       val secondary =
         if (nLo != "4" && sys.env.getOrElse("SPARK_GRAFT_SCALING_SECONDARY", "1") == "1")
-          s""","scaling_4_16":${runScale("4", math.max(1, reps / 2))}"""
+          s""","scaling_4_16":${runScale("4", math.max(1, reps / 2), withFull = false)}"""
         else ""
       scalingJson = s""","scaling":$primary$secondary"""
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -231,10 +255,11 @@ object Bench {
     }
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val p50s = p50.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
     val p95s = p95.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_docs":$benchDocs,"build_sec":$buildSec%.2f,"build_docs_per_sec":$docsPerSec%.1f,"query_p95_ms":$p95s$scalingJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_docs":$benchDocs,"build_sec":$buildSec%.2f,"build_docs_per_sec":$docsPerSec%.1f,"query_reps":$qreps,"query_p50_ms":$p50s,"query_p95_ms":$p95s$scalingJson}""")
 
     // human-readable report next to BASELINE.md
     try {
@@ -244,23 +269,28 @@ object Bench {
       md ++= s"- sf dir: $sfDir; bench corpus: $benchDocs synthesized docs (seed 42, 64 partitions)\n\n"
       md ++= "## Index build (full checkpointed pipeline, local[%s])\n\n".format(cpus)
       md ++= f"- $benchDocs docs in $buildSec%.2f s → **$docsPerSec%.0f docs/sec**\n\n"
-      md ++= "## BM25 top-10 latency, p95 of 5 reps (reference query set Q1–Q8)\n\n"
-      md ++= "| query | p95 ms |\n|---|---|\n"
-      p95.foreach { case (n, v) => md ++= f"| $n | $v%.1f |\n" }
+      md ++= s"## BM25 top-10 latency over $qreps interleaved reps (reference query set Q1–Q8)\n\n"
+      md ++= "| query | p50 ms | p95 ms |\n|---|---|---|\n"
+      p50.zip(p95).foreach { case ((n, m), (_, v)) => md ++= f"| $n | $m%.1f | $v%.1f |\n" }
       if (scalingJson.nonEmpty) {
-        md ++= "\n## Scaling (N → 4N cores, same input/code; min of reps; tmpfs-backed I/O)\n\n"
+        md ++= "\n## Scaling (N → 4N cores, same input/code; tmpfs-backed I/O)\n\n"
         md ++= scalingJson.stripPrefix(",\"scaling\":") + "\n\n"
-        md ++= "- `efficiency` = t(N) / (4 × t(4N)) over invert+publish; " +
-          "`efficiency_invert` isolates the per-wave distributed compute " +
-          "(publish runs once per N waves in a real build, so its per-wave " +
-          "share here is overstated ~64x).\n"
+        md ++= "- `efficiency` = min-of-reps t(N) / (4 × min-of-reps t(4N)) over " +
+          "invert+publish — host noise on a shared box is strictly additive, " +
+          "so min-of-reps estimates the noise-free wall at each level. " +
+          "`efficiency_median_pairs` is the drift-robust cross-check " +
+          "(median of per-adjacent-pair ratios). `efficiency_invert` " +
+          "isolates the per-wave distributed compute (publish runs once per " +
+          "N waves in a real build, so its per-wave share here is " +
+          "overstated ~64x). `efficiency_full` covers the FULL checkpointed " +
+          "pipeline including stage-1 docId assignment + staged write " +
+          "(measured once per level).\n"
         md ++= "- Protocol: each level in its own JVM (-XX:ActiveProcessorCount=N), " +
-          "levels interleaved, efficiency = median of per-pair ratios. " +
-          "Primary evidence is 2→8 cores (both levels below this box's " +
-          "~8-thread memory-contention knee, so the ratio measures the " +
-          "engine); 4→16 is reported as the single-box saturation view. " +
-          "A pure-CPU probe shows the host itself sustains only ~2.9x at " +
-          "8→32 threads.\n"
+          "levels interleaved. Primary evidence is 2→8 cores (both levels " +
+          "below this box's ~8-thread memory-contention knee, so the ratio " +
+          "measures the engine); 4→16 is reported as the single-box " +
+          "saturation view. A pure-CPU probe shows the host itself sustains " +
+          "only ~2.9x at 8→32 threads.\n"
       }
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md.toString)
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH.md write failed: $e") }

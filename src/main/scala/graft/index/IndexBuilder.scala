@@ -214,28 +214,36 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
     val statsPath = s"$indexPath/fieldstats"
     val segmentsPath = s"$indexPath/segments"
     val postings = spark.read.parquet(s"$indexPath/postings")
-    postings
-      .groupBy("field", "term")
-      .agg(
-        sum("docFreq").as("docFreq"),
-        sum("ttf").as("totalTermFreq"),
-        when(sum("docFreq") === 1L, max("firstDocId")).otherwise(-1L).as("singletonDocId"))
-      .write.mode("overwrite").parquet(termsPath)
 
+    // terms aggregation and the docs rollup are independent → submit
+    // concurrently (publish's wall is mostly fixed cost, which otherwise
+    // drags N→4N scaling efficiency down)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val termsJob = Future {
+      postings
+        .groupBy("field", "term")
+        .agg(
+          sum("docFreq").as("docFreq"),
+          sum("ttf").as("totalTermFreq"),
+          when(sum("docFreq") === 1L, max("firstDocId")).otherwise(-1L).as("singletonDocId"))
+        .write.mode("overwrite").parquet(termsPath)
+    }
     val docs = spark.read.parquet(docsPath)
-    val terms = spark.read.parquet(termsPath)
-    val fieldStats = terms.groupBy("field").agg(
-      sum("totalTermFreq").as("sumTotalTermFreq"),
-      sum("docFreq").as("sumDocFreq"),
-      count(lit(1)).as("termCount"))
-
     // one pass over docs: rollup gives per-segment rows AND the global
-    // totals row in a single shuffle (publish stays O(jobs)=3, not 4)
+    // totals row in a single shuffle
     val docRoll = docs.rollup("segId")
       .agg(min("docId").as("docLo"), max("docId").as("docHi"),
         count(lit(1)).as("docCount"),
         sum(when(col("dl") > 0, 1L).otherwise(0L)).as("nonEmpty"))
       .collect()
+    Await.result(termsJob, scala.concurrent.duration.Duration.Inf)
+
+    val terms = spark.read.parquet(termsPath)
+    val fieldStats = terms.groupBy("field").agg(
+      sum("totalTermFreq").as("sumTotalTermFreq"),
+      sum("docFreq").as("sumDocFreq"),
+      count(lit(1)).as("termCount"))
     val globalRow = docRoll.find(_.isNullAt(0)).get
     val maxDoc = globalRow.getLong(3)
     val docCount = globalRow.getLong(4)

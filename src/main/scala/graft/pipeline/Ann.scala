@@ -46,20 +46,30 @@ object Ann {
         col("neighbor_id"), col("cosine"))
   }
 
-  /** LSH bucket signature: p sign bits of projections onto deterministic
-    * ±1 hyperplanes. Component sign for (table, plane, dim) is the high bit
-    * of md5("t|p|i") — no RNG state, identical across executors/reruns, and
+  /** Hyperplane component sign for (table, plane, dim): the high bit of
+    * md5("t|p|i") — no RNG state, identical across executors/reruns, and
     * reproducible by the ANSI-SQL oracle (same trick as the dd_* operators).
+    * Computed DRIVER-SIDE into literal arrays: the hashes are constants per
+    * (t, p, i), so executors do a pure vectorized multiply instead of
+    * dim×planes×tables md5 calls per row.
     */
-  private def lshKey(v: org.apache.spark.sql.Column, p: Int, table: Int) = {
+  private[pipeline] def planeSigns(table: Int, plane: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      md.reset()
+      val d = md.digest(s"$table|$plane|$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+    }
+  }
+
+  /** LSH bucket signature: p sign bits of projections onto the literal
+    * hyperplanes (left-fold sum in element order — matches the SQL oracle's
+    * list_reduce exactly).
+    */
+  private def lshKey(v: org.apache.spark.sql.Column, p: Int, table: Int, dim: Int) = {
     val bits = (0 until p).map { plane =>
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * when(
-            substring(md5(concat_ws("|", lit(table.toString), lit(plane.toString),
-              i.cast("string"))), 1, 1)
-              .isin("8", "9", "a", "b", "c", "d", "e", "f"),
-            lit(1.0)).otherwise(lit(-1.0))),
+        zip_with(v, typedLit(planeSigns(table, plane, dim)), (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << plane)
     }
@@ -70,11 +80,14 @@ object Ann {
     * bucket keys as an array, then posexplode — not `tables` unioned scans.
     */
   private def bucketed(df: DataFrame, idCol: String, vecCol: String,
-      planes: Int, tables: Int) =
+      planes: Int, tables: Int) = {
+    // embedding dimensionality probe (one tiny job; plans are per-dim)
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
     withNorm(df, idCol, vecCol)
-      .withColumn("bs", array((0 until tables).map(t => lshKey(col("v"), planes, t)): _*))
+      .withColumn("bs", array((0 until tables).map(t => lshKey(col("v"), planes, t, dim)): _*))
       .select(col(idCol), col("v"), col("nrm"),
         posexplode(col("bs")).as(Seq("table", "bucket")))
+  }
 
   /** LSH-bucketed cosine top-k: candidates share a bucket in ≥1 of
     * `tables` hash tables; exact cosine on candidates only. Shuffle volume

@@ -66,28 +66,41 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
       .drop("cmd5")
 
-  /** Rep-level LSH candidate pairs (pre-verification), with a bucket-size
+  /** Candidate pairs from a pre-shingled (id, shs) table, with a bucket-size
     * skew cap: bands whose bucket exceeds `maxBucket` members are skipped
     * (bounded recall loss on pathological buckets, bounded shuffle always).
     */
-  def lshCandidatePairs(reps: DataFrame, textCol: String, idCol: String,
-      numHashes: Int, rowsPerBand: Int, shingleSize: Int, maxBucket: Int): DataFrame = {
-    val sig = minhashSignatures(reps, textCol, idCol, numHashes, shingleSize)
+  private def candidatesFromShingled(sh: DataFrame, numHashes: Int,
+      rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    val exploded = sh.select(col("id"), explode(col("shs")).as("sh"))
+    val aggs = (0 until numHashes).map(s =>
+      min(md5(concat(lit(s.toString), lit("|"), col("sh")))).as(s"m$s"))
+    val wide = exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val stackExpr =
+      s"stack($numHashes, ${(0 until numHashes).map(s => s"$s, m$s").mkString(", ")}) as (seed, minhash)"
+    val sig = wide.select(col("id"), expr(stackExpr))
     val bands = sig
       .withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))
-      .groupBy(col(idCol), col("band"))
+      .groupBy(col("id"), col("band"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
         p => p.getField("minhash")), ",").as("band_key"))
     val counts = bands.groupBy("band", "band_key")
       .agg(count(lit(1)).as("bsz"))
       .where(col("bsz") <= maxBucket)
     val capped = bands.join(counts, Seq("band", "band_key"), "left_semi")
-    val a = capped.select(col(idCol).as("id_a"), col("band"), col("band_key"))
-    val b = capped.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    val a = capped.select(col("id").as("id_a"), col("band"), col("band_key"))
+    val b = capped.select(col("id").as("id_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** Rep-level LSH candidate pairs (pre-verification). */
+  def lshCandidatePairs(reps: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, rowsPerBand: Int, shingleSize: Int, maxBucket: Int): DataFrame =
+    candidatesFromShingled(
+      reps.select(col(idCol).as("id"), shingleExpr(textCol, shingleSize).as("shs")),
+      numHashes, rowsPerBand, maxBucket)
 
   /** LSH banding over minhash signatures → candidate pairs → exact Jaccard
     * verification. Returns (id_a, id_b, jaccard) for verified pairs ≥ tau,
@@ -100,9 +113,12 @@ object Dedup {
       numHashes: Int = 8, rowsPerBand: Int = 2, shingleSize: Int = 3,
       tau: Double = 0.3, maxBucket: Int = 10000): DataFrame = {
     val reps = contentRepresentatives(df, textCol, idCol)
-    val candidates =
-      lshCandidatePairs(reps, textCol, idCol, numHashes, rowsPerBand, shingleSize, maxBucket)
+    // shingles feed BOTH signature banding and exact verification (×3 plan
+    // uses) → compute once, persist the narrow (id, shs) table; Spark's LRU
+    // reclaims it (at warehouse scale, checkpoint instead)
     val sh = reps.select(col(idCol).as("id"), shingleExpr(textCol, shingleSize).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = candidatesFromShingled(sh, numHashes, rowsPerBand, maxBucket)
     candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "sh_b"), "id_b")

@@ -10,13 +10,18 @@ import graft.index.{IndexBuilder, IndexConfig}
   * threads, ForkJoinPool, and JIT ergonomics all see N cores, unlike
   * switching local[N] inside one 32-core JVM.
   *
-  * args: <cpus> <docs> <parts> <corpusPath> <outBase> <reps>
-  * prints: CHILD cpus=N invert=<min s> publish=<min s>
+  * args: <cpus> <docs> <parts> <corpusPath> <outBase> <reps> [doFull]
+  * prints: CHILD cpus=N invert=<min s> publish=<min s> [full=<s>]
+  *
+  * `full` (optional, expensive → measured once when requested) is the FULL
+  * checkpointed build including stage-1 docId assignment and the staged
+  * write — the end-to-end pipeline the north rule scales.
   */
 object ScalingChild {
   def main(args: Array[String]): Unit = {
-    val Array(cpus, docsS, partsS, corpusPath, outBase, repsS) = args
+    val Array(cpus, docsS, partsS, corpusPath, outBase, repsS, rest @ _*) = args
     val reps = repsS.toInt
+    val doFull = rest.headOption.contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scaling-child")
@@ -24,6 +29,7 @@ object ScalingChild {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", s"$outBase/spark_local")
       .config("spark.sql.files.maxPartitionBytes", "32m")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -47,7 +53,18 @@ object ScalingChild {
     }
     val runs = (1 to reps).map(r => once(s"$outBase/run$r"))
     val best = runs.minBy(r => r._1 + r._2)
-    println(f"CHILD cpus=$cpus invert=${best._1}%.3f publish=${best._2}%.3f")
+
+    val fullStr =
+      if (doFull) {
+        // full pipeline: stage-1 rank assignment (range sort + zipWithIndex)
+        // + staged write + invert + publish, from the raw corpus columns
+        val raw = corpus.select("repo", "path", "commit", "lang", "content")
+        val t0 = System.nanoTime()
+        b.build(raw, s"$outBase/full", resume = false)
+        f" full=${(System.nanoTime() - t0) / 1e9}%.3f"
+      } else ""
+
+    println(f"CHILD cpus=$cpus invert=${best._1}%.3f publish=${best._2}%.3f$fullStr")
     spark.stop()
   }
 }
