@@ -166,7 +166,7 @@ object Bench {
     var scalingJson = ""
     if (doScaling) {
       val scalingDocs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "1000000").toLong
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "5").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "4").toInt
       // primary N=2→8: both levels below this box's memory-contention knee
       // (~8 threads), so the ratio measures the ENGINE; the 4→16 secondary
       // reported alongside shows the single-box saturation behavior
@@ -247,7 +247,7 @@ object Bench {
       // single-box saturation view at 4→16 (the knee sits ~8 threads here)
       val secondary =
         if (nLo != "4" && sys.env.getOrElse("SPARK_GRAFT_SCALING_SECONDARY", "1") == "1")
-          s""","scaling_4_16":${runScale("4", math.max(1, reps / 2), withFull = false)}"""
+          s""","scaling_4_16":${runScale("4", 1, withFull = false)}"""
         else ""
       scalingJson = s""","scaling":$primary$secondary"""
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analysis.StandardCodeAnalyzer
 import graft.index.{IndexBuilder, IndexConfig}
 import graft.search._
 
@@ -20,13 +19,20 @@ import graft.search._
 object FtQueries {
   private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  val analyzer = new StandardCodeAnalyzer()
+  /** The driver-verified surface tokenizes with the SQL-EQUIVALENT analyzer
+    * (lowercase, split on non-alphanumeric runs, stop-filter with gap
+    * positions) so the DuckDB oracle reproduces the engine's tokens exactly
+    * on ANY corpus — not just space-separated lowercase fixtures. The
+    * north-star StandardAnalyzer (ICU UAX#29) path is exercised by the sbt
+    * specs, Bench, and the CLI.
+    */
+  val analyzer = new graft.analysis.SimpleAnalyzer(graft.analysis.Analyzer.EnglishStopWords)
 
   def indexPath(spark: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(sfDir, {
       // format version + field-config tag in the cache key: postings-layout
       // or schema changes invalidate indexes cached across driver rounds
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}kw_" +
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}kws_" +
         graft.index.Hashing.sha256Hex(sfDir).take(12)
       val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(
@@ -107,10 +113,14 @@ object FtQueries {
 
   private val stopSql = TextOpsOracle.stopSql
 
-  /** Shared prelude: per-doc raw tokens, stop-filtered tokens, dl, avgdl. */
+  /** Shared prelude: per-doc raw tokens, stop-filtered tokens, dl, avgdl.
+    * Tokenization is the exact SQL twin of [[analyzer]] (SimpleAnalyzer):
+    * lowercase, alphanumeric runs, empty-filtered; positions = index in
+    * tk_all (stop gaps included).
+    */
   def prelude: String =
     s"""WITH raw AS (
-       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk_all
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk_all
        |  FROM documents
        |), docs AS (
        |  SELECT doc_id, tk_all, list_filter(tk_all, x -> x NOT IN ($stopSql)) AS tk

@@ -244,6 +244,13 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
       sum("totalTermFreq").as("sumTotalTermFreq"),
       sum("docFreq").as("sumDocFreq"),
       count(lit(1)).as("termCount"))
+    val globalRow0 = docRoll.find(_.isNullAt(0)).get
+    val statsJob = Future {
+      fieldStats
+        .withColumn("maxDoc", lit(globalRow0.getLong(3)))
+        .withColumn("docCount", lit(globalRow0.getLong(4)))
+        .write.mode("overwrite").parquet(statsPath)
+    }
     val globalRow = docRoll.find(_.isNullAt(0)).get
     val maxDoc = globalRow.getLong(3)
     val docCount = globalRow.getLong(4)
@@ -255,11 +262,7 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
         generation = 1, lineage = s"$stagedPath/segId=${r.getInt(0)}"))
       .toSeq.toDF()
       .write.mode("overwrite").parquet(segmentsPath)
-
-    fieldStats
-      .withColumn("maxDoc", lit(maxDoc))
-      .withColumn("docCount", lit(docCount))
-      .write.mode("overwrite").parquet(statsPath)
+    Await.result(statsJob, scala.concurrent.duration.Duration.Inf)
 
     // two-phase commit: all data dirs are durable; the marker makes it live
     val m = IndexManifest(indexPath, maxDoc, docCount, config.docsPerRange, maxDocId)
