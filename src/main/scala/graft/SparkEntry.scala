@@ -88,6 +88,9 @@ object SparkEntry {
     "ann_lsh_recall" -> ((s, d) =>
       Ann.lshRecallAtK(s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
         queryMaxId = 5L, k = 5).orderBy("query_id")),
+    "ann_ivf_topk" -> ((s, d) =>
+      Ann.ivfCosineTopK(s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
+        queryMaxId = 5L, k = 5).orderBy("query_id", "rank")),
 
     // ---- text analysis ----
     "ta_quality" -> ((s, d) => TextOps.quality(docs(s, d), "text", "doc_id").orderBy("doc_id")),
@@ -346,6 +349,36 @@ object SparkEntry {
          |)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM n WHERE vec_id < 16
+         |), ac AS (
+         |  SELECT a.vec_id AS neighbor_id, a.embedding AS nv, a.nrm AS nn, c.cid,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${dotSql("a.embedding", "c.cv")} / (a.nrm * c.cn) DESC, c.cid) AS arank
+         |  FROM n a, cents c
+         |), assigned AS (
+         |  SELECT neighbor_id, nv, nn, cid FROM ac WHERE arank = 1
+         |), pr AS (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qv, q.nrm AS qn, c.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dotSql("q.embedding", "c.cv")} / (q.nrm * c.cn) DESC, c.cid) AS prank
+         |  FROM (SELECT * FROM n WHERE vec_id < 5) q, cents c
+         |), probes AS (
+         |  SELECT query_id, qv, qn, cid FROM pr WHERE prank <= 4
+         |), ivf_scored AS (
+         |  SELECT query_id, neighbor_id, round(${dotSql("qv", "nv")} / (qn * nn), 4) AS cosine
+         |  FROM probes JOIN assigned USING (cid) WHERE query_id <> neighbor_id
+         |), ivf_ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM ivf_scored
+         |)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+         |FROM ivf_ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_lsh_topk" ->
       s"""$lshCtes
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine

@@ -115,6 +115,52 @@ object Ann {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) cosine top-k — the second scale path besides LSH:
+    * a coarse quantizer partitions vectors into `numCentroids` lists; a
+    * query probes only its `nprobe` closest lists, then exact cosine
+    * re-ranks the candidates. Candidate volume is bounded by list sizes
+    * (equi-join on the centroid id), never O(n).
+    *
+    * The quantizer here is FIXED and deterministic (centroids = the
+    * `numCentroids` lowest-id vectors) so the whole operator is
+    * reproducible by the ANSI-SQL oracle; swap in k-means centroids for
+    * production recall — the Spark plumbing (broadcast centroids →
+    * assignment → probe join → re-rank) is identical.
+    */
+  def ivfCosineTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryMaxId: Long, k: Int, numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val all = withNorm(df, idCol, vecCol)
+    val cents = all.where(col(idCol) < numCentroids)
+      .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    // assignment: every vector → its closest centroid (broadcast: n×C
+    // cosines, C small); ties break toward the smaller centroid id
+    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = all.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("arank", row_number().over(wAssign))
+      .where(col("arank") === 1)
+      .select(col(idCol).as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"),
+        col("cid"))
+    // probe: each query → its nprobe closest centroids
+    val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid").asc)
+    val probes = all.where(col(idCol) < queryMaxId)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", dotD(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("prank", row_number().over(wProbe))
+      .where(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+    // candidates = vectors in the probed lists; exact cosine re-rank
+    val scored = probes.join(assigned, "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(dotD(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   /** Measured recall@k of the LSH path vs the exact brute-force top-k, per
     * query — the accuracy/cost dial for tuning (planes, tables).
     */

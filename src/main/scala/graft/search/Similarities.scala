@@ -379,6 +379,25 @@ class TfIdfSimilarity extends Similarity {
     new S(tss.map(t => idf(t.docFreq, cs.maxDoc)).sum, boost)
 }
 
+/** Per-field similarity routing (reference PerFieldSimilarityWrapper,
+  * perFieldSimilarityWrapper.go): each leaf scores with its field's model.
+  * Routing rides on the statistics' `field` tag, so the searcher needs no
+  * special-casing; query-level coord/queryNorm come from the default model.
+  */
+class PerFieldSimilarityWrapper(default: Similarity,
+    perField: Map[String, Similarity]) extends Similarity {
+  def name = s"PerField(${default.name})"
+  def forField(f: String): Similarity = perField.getOrElse(f, default)
+  override def termScorer(ts: TermStats, cs: CollectionStats, boost: Float): Similarity.Scorer =
+    forField(ts.field).termScorer(ts, cs, boost)
+  override def phraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Float): Similarity.Scorer =
+    forField(cs.field).phraseScorer(tss, cs, boost)
+  override def coord(overlap: Int, maxOverlap: Int): Float = default.coord(overlap, maxOverlap)
+  override def queryNorm(v: Float): Float = default.queryNorm(v)
+  override def valueForNormalization(ts: TermStats, cs: CollectionStats, boost: Float): Float =
+    forField(ts.field).valueForNormalization(ts, cs, boost)
+}
+
 /** Arithmetic mean of sub-similarities (multiSimilarity.go:14). */
 class MultiSimilarity(subs: Seq[Similarity]) extends Similarity {
   def name = s"Multi(${subs.map(_.name).mkString(",")})"

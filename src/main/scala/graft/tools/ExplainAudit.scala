@@ -34,6 +34,14 @@ object ExplainAudit {
         .select("term", "rangeId", "docFreq", "maxFreq", "minDl")
     }
 
+    audit("multi-field pair predicate (OR of field=AND term-IN) pushdown") {
+      // the searcher's pairPredicate shape for a fielded query
+      spark.read.parquet(s"$indexPath/postings")
+        .where((col("field") === "content" && col("term").isin("merge", "sort")) ||
+          (col("field") === "lang" && col("term").isin("de")))
+        .select("field", "term", "rangeId", "firstDocId", "payload")
+    }
+
     audit("terms dict point lookup") {
       spark.read.parquet(s"$indexPath/terms").where(col("term") === "merge")
     }

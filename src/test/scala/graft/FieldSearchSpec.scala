@@ -94,6 +94,28 @@ class FieldSearchSpec extends AnyFunSuite with SparkTestBase {
       exact.scoreDocs.map(d => (d.docId, d.score)).toSeq)
   }
 
+  test("PerFieldSimilarityWrapper routes keyword leaves to their own model") {
+    // lang field scored by BM25(k1=0): leaf score degenerates to pure idf
+    val wrapper = new PerFieldSimilarityWrapper(new Bm25Similarity(),
+      Map("lang" -> new Bm25Similarity(0f, 0f)))
+    val s = new IndexSearcher(spark, indexPath, similarity = wrapper)
+    val q = BooleanQuery(Seq(
+      BooleanClause(Occur.MUST, TermQuery("go", 1.0f, Some("lang"))),
+      BooleanClause(Occur.MUST, TermQuery("parser"))))
+    val base = searcher.search(TermQuery("parser"), N, ScoreMode.Ref32)
+      .scoreDocs.map(d => d.docId -> d.score).toMap
+    val goDf = corpus.count(_.lang == "go").toLong
+    val idfGo = Bm25.idfRef(goDf, N).toDouble
+    val hits = s.search(q, N, ScoreMode.Ref32)
+    assert(hits.scoreDocs.nonEmpty)
+    hits.scoreDocs.foreach { d =>
+      // float32 clause-order sum: (idfGo + parserScore)
+      val expected = (idfGo.toFloat + base(d.docId).toFloat).toDouble
+      assert(math.abs(d.score - expected) < 1e-6,
+        s"doc ${d.docId}: ${d.score} vs $expected")
+    }
+  }
+
   test("explain on a fielded query reproduces the score") {
     val q = parser.parse("+lang:go +parser")
     val top = searcher.search(q, 3, ScoreMode.Ref32)

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.StandardCodeAnalyzer
+import graft.index._
+import graft.search._
+
+/** The DataSource V2 SQL surface: `graft-search` views answer through the
+  * real engine, compose with plain SQL, and push LIMIT down into k.
+  */
+class GraftSourceSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val N = 600
+  private lazy val indexPath = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 128, numSegments = 8, segmentsPerWave = 8,
+      keywordFields = Seq("lang"))
+    new IndexBuilder(spark, cfg).build(TestCorpus.corpus(N).toDF(), dir)
+    dir
+  }
+  private lazy val searcher = new IndexSearcher(spark, indexPath)
+  private lazy val parser = new QueryParser(new StandardCodeAnalyzer())
+
+  test("SQL temporary view answers through the engine") {
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW hits
+         |USING `graft-search`
+         |OPTIONS (index '$indexPath', query 'import parser', k '10')""".stripMargin)
+    val rows = spark.sql("SELECT docId, score FROM hits ORDER BY score DESC, docId")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = searcher.search(parser.parse("import parser"), 10, ScoreMode.Ref32)
+      .scoreDocs.map(d => (d.docId, d.score))
+    assert(rows.toSeq == expected.toSeq)
+    // composes with ordinary SQL on top
+    val filtered = spark.sql("SELECT count(*) FROM hits WHERE score > 0").collect()(0).getLong(0)
+    assert(filtered == 10)
+  }
+
+  test("DataFrame reader + LIMIT pushdown into k") {
+    val df = spark.read.format("graft-search")
+      .option("index", indexPath).option("query", "import").option("k", "10")
+      .load()
+    assert(df.count() == 10)
+    val top3 = df.limit(3).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = searcher.search(TermQuery("import"), 3, ScoreMode.Ref32)
+      .scoreDocs.map(d => (d.docId, d.score))
+    assert(top3.sortBy(t => (-t._2, t._1)).toSeq == expected.toSeq)
+  }
+
+  test("fielded SQL query routes through keywordFields") {
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW go_hits
+         |USING `graft-search`
+         |OPTIONS (index '$indexPath', query '+lang:go +parser', k '500',
+         |         keywordFields 'lang')""".stripMargin)
+    val n = spark.sql("SELECT * FROM go_hits").count()
+    val expected = searcher.search(new QueryParser(new StandardCodeAnalyzer(),
+      keywordFields = Set("lang")).parse("+lang:go +parser"), 500, ScoreMode.Ref32)
+    assert(n == math.min(500L, expected.totalHits))
+  }
+
+  test("wand option prunes with identical top-k") {
+    val df = spark.read.format("graft-search")
+      .option("index", indexPath).option("query", "parser buffer scorer")
+      .option("k", "10").option("wand", "true").load()
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(t => (-t._2, t._1))
+    val expected = searcher.search(parser.parse("parser buffer scorer"), 10, ScoreMode.Ref32)
+      .scoreDocs.map(d => (d.docId, d.score))
+    assert(rows.toSeq == expected.toSeq)
+  }
+}

@@ -54,4 +54,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val report = CheckIndex.run(spark, dir)
     assert(report.ok, report.problems.mkString("; "))
   }
+
+  test("stateful streaming dedup emits each content once, first-seen wins") {
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamingDedup.firstSeen(
+      stream.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("update").start()
+    // batch 1: a duplicated within the batch (id 2 < 5 wins), b unique
+    stream.addData((5L, "a a a"), (2L, "a a a"), (3L, "b b b"))
+    q.processAllAvailable()
+    // batch 2: a again (already seen → dropped), c new
+    stream.addData((9L, "a a a"), (7L, "c c c"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT id, text FROM dedup_out ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((2L, "a a a"), (3L, "b b b"), (7L, "c c c")))
+  }
 }
