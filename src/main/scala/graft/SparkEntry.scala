@@ -97,6 +97,7 @@ object SparkEntry {
     "ta_langid" -> ((s, d) => TextOps.langId(docs(s, d), "text", "doc_id").orderBy("doc_id")),
     "ta_token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d), "text", "doc_id").orderBy("doc_id")),
     "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d), "text", "doc_id").orderBy("doc_id")),
+    "ta_commongrams" -> ((s, d) => TextOps.commonGramStats(docs(s, d), "text", "doc_id").orderBy("doc_id")),
 
     // ---- multimodal (binary columns; decode stubbed, plumbing real) ----
     "mm_blob_stats" -> ((s, d) => Multimodal.blobStats(docs(s, d), "doc_id", "text")
@@ -104,7 +105,9 @@ object SparkEntry {
     "mm_decode_meta" -> ((s, d) =>
       Multimodal.decodeBlobs(s, Multimodal.toBlobTable(docs(s, d), "doc_id", "text"))
         .toDF("id", "n_bytes", "sha256", "format", "width", "height", "n_frames")
-        .orderBy("id")))
+        .orderBy("id")),
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(docs(s, d), "doc_id", "text", k = 5).orderBy("doc_id")))
 
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
@@ -123,9 +126,11 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  // exact SQL twin of TextOps.tokens (regexp split, not space split — agrees
+  // with the engine on ANY corpus, not just space-separated fixtures)
   private val pipelinePrelude =
     s"""WITH raw AS (
-       |  SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+       |  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
        |  FROM documents
        |)""".stripMargin
 
@@ -429,13 +434,28 @@ object SparkEntry {
          |FROM ls ORDER BY doc_id""".stripMargin,
     "ta_token_count" ->
       """SELECT doc_id,
-        |  CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ta_fingerprint" ->
       s"""$pipelinePrelude
          |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint
          |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "ta_commongrams" ->
+      s"""$pipelinePrelude
+         |SELECT doc_id,
+         |  CAST(len(tk) + len(list_filter(range(1, len(tk)), i ->
+         |    tk[i] IN (${TextOpsOracle.stopSql}) OR tk[i+1] IN (${TextOpsOracle.stopSql}))) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(range(1, len(tk)), i ->
+         |    tk[i] IN (${TextOpsOracle.stopSql}) OR tk[i+1] IN (${TextOpsOracle.stopSql}))) AS BIGINT) AS n_grams
+         |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        |  array_to_string(list_transform(range(0, 5), i ->
+        |    CAST(i * CAST(floor(octet_length(CAST(text AS BLOB)) / 5) AS BIGINT) AS VARCHAR)), ',') AS frame_offsets
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_blob_stats" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, sha256(text) AS sha256

@@ -18,6 +18,29 @@ object TextOps {
 
   val StopList: Seq[String] = graft.analysis.Analyzer.EnglishStopWords.toSeq.sorted
 
+  /** CommonGrams analysis stats per doc: total emitted tokens (unigrams +
+    * grams) and gram count, running the REAL [[graft.analysis.CommonGramsAnalyzer]]
+    * over a SimpleAnalyzer base — driver-verifiable because the gram rule
+    * (prev or cur ∈ common words, over adjacent token pairs) is expressible
+    * in ANSI SQL on the same regexp tokenization.
+    */
+  def commonGramStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val analyzer = new graft.analysis.CommonGramsAnalyzer(
+      new graft.analysis.SimpleAnalyzer(), graft.analysis.Analyzer.EnglishStopWords)
+    val aB = spark.sparkContext.broadcast(analyzer)
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val a = aB.value
+        it.map { case (id, t) =>
+          val r = a(t)
+          (id, r.length.toLong, r.numOverlap.toLong)
+        }
+      }
+      .toDF(idCol, "n_tokens", "n_grams")
+  }
+
   /** Token counting: whitespace-ish tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation marks).
     */
