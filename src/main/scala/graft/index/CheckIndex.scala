@@ -75,9 +75,12 @@ object CheckIndex {
     if (t.getLong(1) != agg.getLong(2))
       problems += s"terms.sumTtf ${t.getLong(1)} != postings ${agg.getLong(2)}"
 
-    // published field stats vs recomputation
-    val fs = stats.select("sumTotalTermFreq", "sumDocFreq", "termCount", "maxDoc", "docCount")
-      .collect()(0)
+    // published field stats vs recomputation — summed ACROSS fields (a
+    // multi-field index has one stats row per field; postings totals above
+    // are global)
+    val fs = stats.agg(
+      sum("sumTotalTermFreq"), sum("sumDocFreq"), sum("termCount"),
+      max("maxDoc"), max("docCount")).collect()(0)
     if (fs.getLong(0) != agg.getLong(2)) problems += "fieldstats.sumTtf stale"
     if (fs.getLong(1) != agg.getLong(1)) problems += "fieldstats.sumDocFreq stale"
     if (fs.getLong(2) != t.getLong(2)) problems += "fieldstats.termCount stale"

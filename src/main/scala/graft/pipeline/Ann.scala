@@ -95,7 +95,10 @@ object Ann {
     */
   def lshCosineTopK(df: DataFrame, idCol: String, vecCol: String,
       queryMaxId: Long, k: Int, planes: Int = 8, tables: Int = 4): DataFrame = {
+    // the bucketed projection feeds both join sides → persist (planes×tables
+    // fold expressions are the cost, not the data volume)
     val b = bucketed(df, idCol, vecCol, planes, tables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qq = b.where(col(idCol) < queryMaxId)
       .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("table"), col("bucket"))

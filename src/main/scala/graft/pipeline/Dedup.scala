@@ -84,15 +84,19 @@ object Dedup {
       .groupBy(col("id"), col("band"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
         p => p.getField("minhash")), ",").as("band_key"))
-    val counts = bands.groupBy("band", "band_key")
-      .agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") <= maxBucket)
-    val capped = bands.join(counts, Seq("band", "band_key"), "left_semi")
-    val a = capped.select(col("id").as("id_a"), col("band"), col("band_key"))
-    val b = capped.select(col("id").as("id_b"), col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // one aggregation materializes each bucket's member list (bounded by
+    // maxBucket — the skew cap doubles as the collect_list bound), then all
+    // i<j pairs explode columnar: replaces the count-agg + semi-join +
+    // self-join of the naive plan with a single shuffle + distinct
+    val buckets = bands.groupBy("band", "band_key")
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    val pairExpr = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+    buckets.select(explode(pairExpr).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
   }
 
   /** Rep-level LSH candidate pairs (pre-verification). */

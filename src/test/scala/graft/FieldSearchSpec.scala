@@ -71,6 +71,11 @@ class FieldSearchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("CheckIndex validates a multi-field index") {
+    val report = CheckIndex.run(spark, indexPath)
+    assert(report.ok, report.problems.mkString("; "))
+  }
+
   test("parser routes field: prefixes and rejects unknown fields") {
     val q = parser.parse("+lang:go +parser")
     q match {
