@@ -81,6 +81,45 @@ object TieredMerge {
     }
   }
 
+  /** LogByteSizeMergePolicy budget math (reference merge.go:680-996:
+    * LEVEL_LOG_SPAN=0.75, mergeFactor=10): level = ln(bytes)/ln(mergeFactor)
+    * floored at the min-size level; scanning left-to-right (waves keep
+    * arrival order), each level window spans LOG_SPAN below the remaining
+    * max level, and windows merge ADJACENT groups of `mergeFactor` members —
+    * unlike tiered, selection is positional, never by size rank. Segments
+    * at or above `maxMergeBytes` never merge.
+    */
+  def planLog(segs: Seq[WaveInfo], mergeFactor: Int = 10,
+      minMergeBytes: Long = 2L << 20, maxMergeBytes: Long = 5L << 30): Seq[Seq[WaveInfo]] = {
+    if (segs.size <= mergeFactor) return Nil
+    val norm = math.log(mergeFactor.toDouble)
+    val levelFloor = math.log(minMergeBytes.toDouble) / norm
+    val levels = segs.map(s =>
+      math.max(math.log(math.max(s.bytes, 1L).toDouble) / norm, levelFloor)).toArray
+    val out = Seq.newBuilder[Seq[WaveInfo]]
+    var start = 0
+    while (start < segs.length) {
+      val maxLevel = levels.drop(start).max
+      val levelBottom =
+        if (maxLevel <= levelFloor) -1.0
+        else math.max(maxLevel - 0.75, levelFloor)
+      // window = [start, upto]: the longest prefix tail whose levels reach
+      // down to levelBottom (reference scans backward from the end)
+      var upto = segs.length - 1
+      while (upto >= start && levels(upto) < levelBottom) upto -= 1
+      if (upto - start + 1 > mergeFactor) {
+        var g = start
+        while (g + mergeFactor <= upto + 1) {
+          val group = segs.slice(g, g + mergeFactor)
+          if (!group.exists(_.bytes >= maxMergeBytes)) out += group
+          g += mergeFactor
+        }
+      }
+      start = upto + 1
+    }
+    out.result()
+  }
+
   /** Execute one merge: bounded-group re-encode of the selected waves into a
     * new wave dir, then atomically retire the sources.
     */
@@ -115,11 +154,16 @@ object TieredMerge {
 
   /** Merge driver loop: plan + execute until the tier budget is satisfied. */
   def maybeMerge(spark: SparkSession, indexPath: String,
-      segsPerTier: Int = 10, maxMergeAtOnce: Int = 10): Seq[Int] = {
+      segsPerTier: Int = 10, maxMergeAtOnce: Int = 10): Seq[Int] =
+    maybeMergeWith(spark, indexPath, plan(_, segsPerTier, maxMergeAtOnce))
+
+  /** Merge driver loop with a pluggable policy (tiered or log). */
+  def maybeMergeWith(spark: SparkSession, indexPath: String,
+      policy: Seq[WaveInfo] => Seq[Seq[WaveInfo]]): Seq[Int] = {
     val done = scala.collection.mutable.ArrayBuffer.empty[Int]
     var continue = true
     while (continue) {
-      val p = plan(waves(spark, indexPath), segsPerTier, maxMergeAtOnce)
+      val p = policy(waves(spark, indexPath))
       if (p.isEmpty) continue = false
       else p.foreach(g => done += execute(spark, indexPath, g))
     }

@@ -84,6 +84,41 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(report.maxDoc == N)
   }
 
+  test("LogMergePolicy: adjacent same-level runs of mergeFactor; oversized never merge") {
+    def w(i: Int, bytes: Long) = TieredMerge.WaveInfo(i, bytes, s"/w/$i")
+    // 12 similar-size segments → two adjacent groups of 10 cannot both form;
+    // exactly one group of the first 10 (positional, arrival order)
+    val flat = (0 until 12).map(i => w(i, 10L << 20))
+    val p1 = TieredMerge.planLog(flat, mergeFactor = 10)
+    assert(p1.size == 1 && p1.head.map(_.wave) == (0 until 10))
+    // a trailing huge segment widens the window but only small runs merge
+    val withBig = (0 until 13).map(i => if (i == 12) w(i, 6L << 30) else w(i, 10L << 20))
+    val p2 = TieredMerge.planLog(withBig, mergeFactor = 10)
+    assert(p2.size == 1 && p2.head.map(_.wave) == (0 until 10))
+    // groups containing an over-max segment are skipped entirely
+    assert(TieredMerge.planLog((0 until 11).map(i => w(i, 6L << 30))).isEmpty)
+    // under the factor → no merges
+    assert(TieredMerge.planLog((0 until 10).map(i => w(i, 10L << 20))).isEmpty)
+    // merge(log-policy waves) ≡ build(union): query-level equivalence
+    val single = java.nio.file.Files.createTempDirectory("graft-log-single").toString
+    val waved = java.nio.file.Files.createTempDirectory("graft-log-waved").toString
+    build(single, wavesOf = 12)
+    build(waved, wavesOf = 1)
+    val merged = TieredMerge.maybeMergeWith(spark, waved,
+      TieredMerge.planLog(_, mergeFactor = 3, minMergeBytes = 1L))
+    assert(merged.nonEmpty)
+    val sW = new IndexSearcher(spark, waved)
+    val sS = new IndexSearcher(spark, single)
+    for (q <- Seq[Query](TermQuery("import"), PhraseQuery(Seq("posting", "list")))) {
+      val a = sW.search(q, 10, ScoreMode.Ref32)
+      val b = sS.search(q, 10, ScoreMode.Ref32)
+      assert(a.totalHits == b.totalHits, s"totalHits $q")
+      assert(a.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        b.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"topk $q")
+    }
+    assert(CheckIndex.run(spark, waved).ok)
+  }
+
   test("merged waves use a disjoint namespace and survive streaming appends + resume") {
     val dir = java.nio.file.Files.createTempDirectory("graft-merge-ns").toString
     val cfg = IndexConfig(analyzer = analyzer, docsPerRange = 128,
