@@ -468,14 +468,27 @@ final class IndexSearcher(
       case _ => false
     }
     if (localOk || smallRangeList) {
-      // local fast path: fetch the (few) posting rows, evaluate on the driver
+      // local fast path: fetch the (few) posting rows, evaluate on the
+      // driver — ranges decode/score in parallel (the serial loop was a
+      // single-threaded latency floor at the 2M-posting threshold)
       val rows = rowsFor(p, rangeFilter).collect()
+      val grouped = rows.groupBy(_._3).toSeq
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val partials = Await.result(
+        Future.sequence(grouped.map { case (rangeId, rs) => Future {
+          val h = new BoundedHitQueue(k)
+          var c = 0L
+          p.ge.eval(rangeId, rs.iterator).foreach { sd =>
+            c += 1; h.insert(sd.docId, sd.score)
+          }
+          (c, h.toSortedArray)
+        }}), scala.concurrent.duration.Duration.Inf)
       val heap = new BoundedHitQueue(k)
       var total = 0L
-      rows.groupBy(_._3).foreach { case (rangeId, rs) =>
-        p.ge.eval(rangeId, rs.iterator).foreach { sd =>
-          total += 1; heap.insert(sd.docId, sd.score)
-        }
+      partials.foreach { case (c, hits) =>
+        total += c
+        hits.foreach(h => heap.insert(h.docId, h.score))
       }
       TopDocs(total, heap.toSortedArray)
     } else {
