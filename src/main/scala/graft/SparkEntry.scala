@@ -291,6 +291,10 @@ object SparkEntry {
       s"""$pipelinePrelude, ${shinglesCte()}, $sigCte
          |SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM sig
          |WHERE doc_id < 20 ORDER BY doc_id, seed""".stripMargin,
+    // NOTE: the engine's maxBucket skew cap (Dedup.minhashLshPairs) is NOT
+    // modeled here — it only fires on buckets >10k distinct contents, far
+    // beyond the oracle fixtures; it is a documented approximation boundary
+    // of the operator, not of this query.
     "dd_lsh_pairs" -> // rep collapse mirrors Dedup.contentRepresentatives
       s"""$pipelinePrelude, reps AS (
          |  SELECT min(doc_id) AS doc_id

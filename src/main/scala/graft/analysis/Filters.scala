@@ -25,9 +25,10 @@ final class CommonGramsAnalyzer(inner: Analyzer, commonWords: Set[String]) exten
   def this(inner: Analyzer) = this(inner, Analyzer.EnglishStopWords)
 
   override def apply(text: String): Analyzed = {
-    val in = inner(text).tokens
+    val analyzed = inner(text)
+    val in = analyzed.tokens
     val out = Array.newBuilder[Token]
-    var overlap = 0
+    var grams = 0
     var i = 0
     while (i < in.length) {
       val t = in(i)
@@ -35,13 +36,14 @@ final class CommonGramsAnalyzer(inner: Analyzer, commonWords: Set[String]) exten
         val prev = in(i - 1)
         if (commonWords.contains(prev.term) || commonWords.contains(t.term)) {
           out += Token(prev.term + "_" + t.term, prev.pos)
-          overlap += 1
+          grams += 1
         }
       }
       out += t
       i += 1
     }
-    val res = out.result()
-    Analyzed(res, res.length, overlap)
+    // inner stats carry through: grams ADD to both length and numOverlap,
+    // they don't replace whatever the inner chain already reported
+    Analyzed(out.result(), analyzed.length + grams, analyzed.numOverlap + grams)
   }
 }

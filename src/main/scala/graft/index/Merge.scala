@@ -91,7 +91,7 @@ object TieredMerge {
     */
   def planLog(segs: Seq[WaveInfo], mergeFactor: Int = 10,
       minMergeBytes: Long = 2L << 20, maxMergeBytes: Long = 5L << 30): Seq[Seq[WaveInfo]] = {
-    if (segs.size <= mergeFactor) return Nil
+    if (segs.size < mergeFactor) return Nil
     val norm = math.log(mergeFactor.toDouble)
     val levelFloor = math.log(minMergeBytes.toDouble) / norm
     val levels = segs.map(s =>
@@ -107,7 +107,10 @@ object TieredMerge {
       // down to levelBottom (reference scans backward from the end)
       var upto = segs.length - 1
       while (upto >= start && levels(upto) < levelBottom) upto -= 1
-      if (upto - start + 1 > mergeFactor) {
+      // any FULL group of mergeFactor within the window merges (reference
+      // loop bound `end <= 1+upto`, merge.go:922-926) — a window of exactly
+      // mergeFactor members merges too
+      if (upto - start + 1 >= mergeFactor) {
         var g = start
         while (g + mergeFactor <= upto + 1) {
           val group = segs.slice(g, g + mergeFactor)
@@ -138,7 +141,8 @@ object TieredMerge {
         // does a full entry sort, not just a row-order concat
         PostingRows.merge(it.toArray, newWave)
       }
-      .sortWithinPartitions("term", "rangeId")
+      .sortWithinPartitions("field", "term", "rangeId") // same file order as
+      // invertWave → tight (field, term) row-group stats survive merges
       .write.mode("overwrite").parquet(target)
 
     // retire sources only after the merged wave is durable (_SUCCESS)

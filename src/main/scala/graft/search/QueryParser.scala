@@ -9,8 +9,14 @@ import graft.analysis.Analyzer
   * (/root/reference/queryparser/classic/queryBuilder.go:23-130): one token →
   * TermQuery, n tokens → BooleanQuery of SHOULD clauses, quoted → PhraseQuery.
   */
+/** @param strictFields when true (default), an unknown `field:` prefix is an
+  *   error — never silently searched against the default field (the round-1
+  *   bug). Set false for free-text surfaces where colons are ordinary
+  *   characters (`std::vector`, URLs): unknown-prefix words are then
+  *   analyzed whole as default-field text.
+  */
 final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
-    keywordFields: Set[String] = Set.empty) {
+    keywordFields: Set[String] = Set.empty, strictFields: Boolean = true) {
 
   private sealed trait Tok
   private case object LParen extends Tok
@@ -126,6 +132,7 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
         val text = w.substring(ci + 1)
         if (f == defaultField) (analyzed(text), rest)
         else if (keywordFields.contains(f)) (Some(TermQuery(text, 1.0f, Some(f))), rest)
+        else if (!strictFields) (analyzed(w), rest) // whole word as text
         else throw new IllegalArgumentException(
           s"unknown field '$f' (known: '$defaultField'${keywordFields.toSeq.sorted.map(k => s", '$k'").mkString})")
       } else (analyzed(w), rest)

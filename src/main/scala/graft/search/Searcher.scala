@@ -255,7 +255,8 @@ final class IndexSearcher(
     * pruning works on both columns).
     */
   private def pairPredicate(keys: Seq[(String, String)]) =
-    keys.groupBy(_._1).map { case (f, ks) =>
+    if (keys.isEmpty) lit(false) // zero term leaves → zero hits, not a crash
+    else keys.groupBy(_._1).map { case (f, ks) =>
       col("field") === f && col("term").isin(ks.map(_._2).distinct: _*)
     }.reduce(_ || _)
 

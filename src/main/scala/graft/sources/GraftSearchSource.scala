@@ -52,13 +52,34 @@ object GraftSearchTable {
     StructField("score", DoubleType, nullable = false)))
 
   // searchers are expensive to warm (manifest + stats cache) → share per
-  // (index, field) across queries in this JVM
+  // (index, field, freshness) across queries in this JVM. The freshness
+  // token folds in commit.json's mtime/len and the deletes dir listing, so
+  // a publish (streaming append, rebuild) or a delete after the first query
+  // is picked up by the next one instead of silently serving stale results.
   private val searchers =
-    scala.collection.concurrent.TrieMap.empty[(String, String), IndexSearcher]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), IndexSearcher]
 
-  private[sources] def searcher(index: String, field: String): IndexSearcher =
-    searchers.getOrElseUpdate((index, field),
-      new IndexSearcher(SparkSession.active, index, field))
+  private def freshness(spark: SparkSession, index: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val c = new org.apache.hadoop.fs.Path(s"$index/commit.json")
+    val fs = c.getFileSystem(conf)
+    val cTok =
+      if (fs.exists(c)) { val st = fs.getFileStatus(c); s"${st.getModificationTime}:${st.getLen}" }
+      else "nocommit"
+    val d = new org.apache.hadoop.fs.Path(s"$index/deletes")
+    val dTok =
+      if (fs.exists(d))
+        fs.listStatus(d).map(s => s"${s.getPath.getName}:${s.getLen}")
+          .sorted.mkString("|").hashCode.toString
+      else "nodel"
+    s"$cTok/$dTok"
+  }
+
+  private[sources] def searcher(index: String, field: String): IndexSearcher = {
+    val spark = SparkSession.active
+    searchers.getOrElseUpdate((index, field, freshness(spark, index)),
+      new IndexSearcher(spark, index, field))
+  }
 }
 
 final class GraftSearchTable(options: CaseInsensitiveStringMap)

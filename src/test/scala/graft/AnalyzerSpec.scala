@@ -74,6 +74,16 @@ class AnalyzerSpec extends AnyFunSuite {
     // grams are overlap tokens: norms discount them
     assert(r.numOverlap == 3)
     assert(r.length - r.numOverlap == 6)
+    // inner chain stats carry through (grams ADD, they don't replace):
+    // wrap over a stop-filtered inner whose length already excludes stops
+    val inner = new SimpleAnalyzer(Set("of"))
+    val chained = new CommonGramsAnalyzer(inner, Set("the"))
+    val c = chained("history of the world")
+    // inner emits (history@0, the@2, world@3) with length 3; grams around
+    // 'the' add 2 → length 5, overlap 2
+    assert(c.tokens.map(t => (t.term, t.pos)).toSeq == Seq(
+      ("history", 0), ("history_the", 0), ("the", 2), ("the_world", 2), ("world", 3)))
+    assert(c.length == 5 && c.numOverlap == 2)
   }
 
   test("KeywordAnalyzer emits the whole value as one token") {

@@ -86,6 +86,16 @@ class FieldSearchSpec extends AnyFunSuite with SparkTestBase {
     }
     val ex = intercept[IllegalArgumentException](parser.parse("nosuchfield:x"))
     assert(ex.getMessage.contains("unknown field"))
+    // lenient mode: colon words are ordinary text (std::vector, URLs)
+    val lenient = new QueryParser(new StandardCodeAnalyzer(),
+      keywordFields = Set("lang"), strictFields = false)
+    lenient.parse("std::vector") match {
+      case BooleanQuery(cs, _, _) =>
+        assert(cs.map(_.query) == Seq(TermQuery("std"), TermQuery("vector")))
+      case other => fail(s"unexpected: $other")
+    }
+    // known fields still route in lenient mode
+    assert(lenient.parse("lang:go") == TermQuery("go", 1.0f, Some("lang")))
   }
 
   test("WAND covers fielded flat booleans with parity") {

@@ -62,6 +62,22 @@ class GraftSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(n == math.min(500L, expected.totalHits))
   }
 
+  test("index mutations after the first query are visible (no stale cache)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src-fresh").toString
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 128, numSegments = 4, segmentsPerWave = 4)
+    new IndexBuilder(spark, cfg).build(TestCorpus.corpus(300).toDF(), dir)
+    def hits(): Array[Long] = spark.read.format("graft-search")
+      .option("index", dir).option("query", "import").option("k", "300")
+      .load().collect().map(_.getLong(0))
+    val before = hits()
+    assert(before.nonEmpty)
+    // persisted delete AFTER the searcher was cached must take effect
+    Deletes.append(spark, dir, Seq(before.head))
+    val after = hits()
+    assert(after.length == before.length - 1 && !after.contains(before.head))
+  }
+
   test("wand option prunes with identical top-k") {
     val df = spark.read.format("graft-search")
       .option("index", indexPath).option("query", "parser buffer scorer")

@@ -97,8 +97,10 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(p2.size == 1 && p2.head.map(_.wave) == (0 until 10))
     // groups containing an over-max segment are skipped entirely
     assert(TieredMerge.planLog((0 until 11).map(i => w(i, 6L << 30))).isEmpty)
-    // under the factor → no merges
-    assert(TieredMerge.planLog((0 until 10).map(i => w(i, 10L << 20))).isEmpty)
+    // exactly mergeFactor in a level DOES merge (reference loop bound
+    // `end <= 1+upto`); one fewer does not
+    assert(TieredMerge.planLog((0 until 10).map(i => w(i, 10L << 20))).size == 1)
+    assert(TieredMerge.planLog((0 until 9).map(i => w(i, 10L << 20))).isEmpty)
     // merge(log-policy waves) ≡ build(union): query-level equivalence
     val single = java.nio.file.Files.createTempDirectory("graft-log-single").toString
     val waved = java.nio.file.Files.createTempDirectory("graft-log-waved").toString

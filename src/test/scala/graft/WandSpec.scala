@@ -108,6 +108,33 @@ class WandSpec extends AnyFunSuite with SparkTestBase {
     assert(wand.scoreDocs.map(_.docId).toSeq == exact.scoreDocs.map(_.docId).toSeq)
   }
 
+  test("duplicate clauses (same term, multiple occurs/boosts): pruned == exhaustive") {
+    // '+parser parser' — the require+boost idiom: the term scores once per
+    // CLAUSE, so the per-key bound must sum clause bounds or pruning drops
+    // true top-k docs
+    val reqBoost = BooleanQuery(Seq(
+      BooleanClause(Occur.MUST, TermQuery("parser")),
+      BooleanClause(Occur.SHOULD, TermQuery("parser"))))
+    assertSafe(reqBoost, k = 10, phase1 = 2)
+    // duplicated SHOULD with different boosts
+    val dupBoost = BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("parser", 2.0f)),
+      BooleanClause(Occur.SHOULD, TermQuery("parser", 0.5f)),
+      BooleanClause(Occur.SHOULD, TermQuery("buffer"))))
+    assertSafe(dupBoost, k = 10, phase1 = 2)
+    // msm over duplicate clauses: one distinct present term satisfies msm=2
+    val msmDup = BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("parser")),
+      BooleanClause(Occur.SHOULD, TermQuery("parser")),
+      BooleanClause(Occur.SHOULD, TermQuery("buffer"))), minShouldMatch = 2)
+    assertSafe(msmDup, k = 10, phase1 = 2)
+  }
+
+  test("empty boolean query: zero hits, no crash") {
+    val r = searcher.search(BooleanQuery(Nil), 10, ScoreMode.Ref32)
+    assert(r.totalHits == 0 && r.scoreDocs.isEmpty)
+  }
+
   test("65+ distinct terms: no bitmask cap; WAND parity holds") {
     // mixes present terms with many absent ones — exceeds the old 64-term cap
     val terms = Seq("parser", "buffer", "scorer", "merge", "import") ++
