@@ -77,6 +77,9 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     "dd_simhash" -> ((s, d) => Dedup.simhash32(docs(s, d), "text", "doc_id")
       .orderBy("doc_id")),
+    "dd_embed_pairs" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", tau = 0.25).orderBy("id_a", "id_b")),
 
     // ---- similarity search over embeddings ----
     "ann_cosine_topk" -> ((s, d) =>
@@ -358,6 +361,28 @@ object SparkEntry {
          |)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "dd_embed_pairs" -> // 4-plane/4-table md5-hyperplane buckets, tau=0.25
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), buck AS (
+         |  SELECT vec_id, tbl,
+         |    CAST(list_sum(list_transform(range(0, 4), p ->
+         |      CASE WHEN list_reduce(list_transform(range(1, len(embedding)+1), i ->
+         |          CAST(embedding[i] AS DOUBLE) * ($lshSignSql)),
+         |        (x,y) -> x+y) >= 0
+         |      THEN CAST(pow(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+         |  FROM n, (SELECT unnest([0,1,2,3]) AS tbl)
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buck a JOIN buck b USING (tbl, bucket)
+         |  WHERE a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b,
+         |  round(${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 4) AS cosine
+         |FROM cand JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
+         |WHERE round(${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 4) >= 0.25
+         |ORDER BY id_a, id_b""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH n AS (
          |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm

@@ -78,8 +78,9 @@ object Ann {
 
   /** (table, bucket) rows for every vector: ONE scan computes all `tables`
     * bucket keys as an array, then posexplode — not `tables` unioned scans.
+    * (Shared with Dedup.embeddingNearDupPairs.)
     */
-  private def bucketed(df: DataFrame, idCol: String, vecCol: String,
+  private[pipeline] def bucketed(df: DataFrame, idCol: String, vecCol: String,
       planes: Int, tables: Int) = {
     // embedding dimensionality probe (one tiny job; plans are per-dim)
     val dim = df.select(size(col(vecCol))).first().getInt(0)

@@ -152,6 +152,32 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates share a random-
+    * hyperplane LSH bucket in ≥1 of `tables` tables (fewer planes than the
+    * ANN path — near-DUP detection wants high recall at moderate cosine),
+    * then exact cosine keeps pairs ≥ tau. Shuffle is bounded by bucket
+    * sizes; never O(n²). Deterministic md5 hyperplanes → reproducible by
+    * the ANSI-SQL oracle.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, planes: Int = 4, tables: Int = 4): DataFrame = {
+    val b = Ann.bucketed(df, idCol, vecCol, planes, tables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = b.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"),
+      col("table"), col("bucket"))
+    val c = b.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
+      col("table"), col("bucket"))
+    a.join(c, Seq("table", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "va", "na", "vb", "nb")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          / (col("na") * col("nb")), 4))
+      .where(col("cosine") >= tau)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** SimHash-32: per-token md5, bit j = high bit of hex nibble j; per-doc
     * majority vote per bit (ties → 1), packed into a long. Hamming-close
     * simhashes ⇒ near-duplicate docs.
