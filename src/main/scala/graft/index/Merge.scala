@@ -33,23 +33,47 @@ object TieredMerge {
 
   final case class WaveInfo(wave: Int, bytes: Long, path: String)
 
-  /** Waves retired by past merges (from the merges_N.json logs): build
-    * resume must NOT re-invert segments whose wave was folded into a merged
-    * wave — the postings already live there.
-    */
-  def retiredWaves(spark: SparkSession, indexPath: String): Set[Int] = {
+  /** (mergedInto → sources) pairs from the merges_N.json logs. */
+  def mergeLog(spark: SparkSession, indexPath: String): Map[Int, Seq[Int]] = {
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Set.empty
+    if (!fs.exists(root)) return Map.empty
     fs.listStatus(root).toSeq
       .filter(s => s.getPath.getName.startsWith("merges_") && s.getPath.getName.endsWith(".json"))
       .flatMap { s =>
         val in = fs.open(s.getPath)
         val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-        """"merged":\[([0-9,]*)\]""".r.findFirstMatchIn(txt).toSeq
-          .flatMap(_.group(1).split(',').filter(_.nonEmpty).map(_.toInt))
+        for {
+          into <- """"into":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+          merged <- """"merged":\[([0-9,]*)\]""".r.findFirstMatchIn(txt)
+            .map(_.group(1).split(',').filter(_.nonEmpty).map(_.toInt).toSeq)
+        } yield into -> merged
       }
-      .toSet
+      .toMap
+  }
+
+  /** Waves retired by past merges: build resume must NOT re-invert segments
+    * whose wave was folded into a merged wave — the postings already live
+    * there.
+    */
+  def retiredWaves(spark: SparkSession, indexPath: String): Set[Int] =
+    mergeLog(spark, indexPath).values.flatten.toSet
+
+  /** Waves in GENERATIONAL (arrival) order: a merged wave sorts at its
+    * OLDEST source's position, resolved transitively from the merge logs.
+    * LogMergePolicy's positional selection assumes this order — raw wave
+    * numbers would sort merged waves (≥ MergeWaveBase) after newer
+    * streaming waves, repeatedly re-merging the big merged wave with
+    * handfuls of fresh tiny ones (quadratic write amplification).
+    */
+  def wavesByAge(spark: SparkSession, indexPath: String): Seq[WaveInfo] = {
+    val ws = waves(spark, indexPath)
+    val logs = mergeLog(spark, indexPath)
+    def oldest(w: Int, depth: Int): Double = logs.get(w) match {
+      case Some(srcs) if srcs.nonEmpty && depth < 64 => srcs.map(oldest(_, depth + 1)).min
+      case _ => w.toDouble
+    }
+    ws.sortBy(w => oldest(w.wave, 0))
   }
 
   def waves(spark: SparkSession, indexPath: String): Seq[WaveInfo] = {
@@ -161,13 +185,19 @@ object TieredMerge {
       segsPerTier: Int = 10, maxMergeAtOnce: Int = 10): Seq[Int] =
     maybeMergeWith(spark, indexPath, plan(_, segsPerTier, maxMergeAtOnce))
 
-  /** Merge driver loop with a pluggable policy (tiered or log). */
+  /** Merge driver loop with a pluggable policy. Size-based policies (tiered)
+    * see waves in number order; POSITIONAL policies (planLog) must receive
+    * generational order, so the driver feeds them [[wavesByAge]].
+    */
   def maybeMergeWith(spark: SparkSession, indexPath: String,
-      policy: Seq[WaveInfo] => Seq[Seq[WaveInfo]]): Seq[Int] = {
+      policy: Seq[WaveInfo] => Seq[Seq[WaveInfo]],
+      positional: Boolean = false): Seq[Int] = {
     val done = scala.collection.mutable.ArrayBuffer.empty[Int]
     var continue = true
     while (continue) {
-      val p = policy(waves(spark, indexPath))
+      val ws =
+        if (positional) wavesByAge(spark, indexPath) else waves(spark, indexPath)
+      val p = policy(ws)
       if (p.isEmpty) continue = false
       else p.foreach(g => done += execute(spark, indexPath, g))
     }

@@ -19,8 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  private def dotD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+  private[pipeline] def dotD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** round(cosine, 4) of two (vector, norm) column pairs — the ONE
+    * expression shape every cosine operator and its SQL oracle share.
+    */
+  private[pipeline] def cosineCol(va: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,
+      vb: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
+    round(dotD(va, vb) / (na * nb), 4)
 
   private def withNorm(df: DataFrame, idCol: String, vecCol: String) =
     df.select(
@@ -137,14 +144,17 @@ object Ann {
     val cents = all.where(col(idCol) < numCentroids)
       .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     // assignment: every vector → its closest centroid (broadcast: n×C
-    // cosines, C small); ties break toward the smaller centroid id
-    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid").asc)
+    // cosines, C small); ties break toward the smaller centroid id.
+    // max_by over (ccos, -cid) is a partial aggregation — the shuffle
+    // carries ONE row per vector, not the n×C expansion a window would
+    // (same deterministic argmax as ORDER BY ccos DESC, cid ASC)
     val assigned = all.crossJoin(broadcast(cents))
       .withColumn("ccos", dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("arank", row_number().over(wAssign))
-      .where(col("arank") === 1)
-      .select(col(idCol).as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"),
-        col("cid"))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"),
+        first(col("v")).as("nv"), first(col("nrm")).as("nn"))
+      .select(col(idCol).as("neighbor_id"), col("nv"), col("nn"), col("cid"))
     // probe: each query → its nprobe closest centroids
     val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid").asc)
     val probes = all.where(col(idCol) < queryMaxId)

@@ -153,27 +153,34 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates share a random-
-    * hyperplane LSH bucket in ≥1 of `tables` tables (fewer planes than the
-    * ANN path — near-DUP detection wants high recall at moderate cosine),
-    * then exact cosine keeps pairs ≥ tau. Shuffle is bounded by bucket
-    * sizes; never O(n²). Deterministic md5 hyperplanes → reproducible by
-    * the ANSI-SQL oracle.
+    * hyperplane LSH bucket in ≥1 of `tables` tables, then exact cosine keeps
+    * pairs ≥ tau. Deterministic md5 hyperplanes → reproducible by the
+    * ANSI-SQL oracle.
+    *
+    * Scale: with only 2^planes buckets per table, the self-join is n²/2^p
+    * per table UNLESS bounded — `planes` is the recall/cost dial (RAISE it
+    * with corpus size: buckets should outnumber docs/1000), and `maxBucket`
+    * is the hard skew cap: buckets above it are skipped (bounded recall
+    * loss, bounded shuffle — candidate volume ≤ tables × n × maxBucket).
+    * The persisted bucketed projection is evictable (MEMORY_AND_DISK, LRU);
+    * long-lived sessions doing many dedup sweeps should checkpoint instead.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      tau: Double, planes: Int = 4, tables: Int = 4): DataFrame = {
+      tau: Double, planes: Int = 4, tables: Int = 4, maxBucket: Int = 5000): DataFrame = {
     val b = Ann.bucketed(df, idCol, vecCol, planes, tables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = b.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"),
+    val sized = b.groupBy("table", "bucket").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBucket)
+    val capped = b.join(sized, Seq("table", "bucket"), "left_semi")
+    val a = capped.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"),
       col("table"), col("bucket"))
-    val c = b.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
+    val c = capped.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
       col("table"), col("bucket"))
     a.join(c, Seq("table", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "va", "na", "vb", "nb")
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", round(
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-          / (col("na") * col("nb")), 4))
+      .withColumn("cosine", Ann.cosineCol(col("va"), col("na"), col("vb"), col("nb")))
       .where(col("cosine") >= tau)
       .select("id_a", "id_b", "cosine")
   }

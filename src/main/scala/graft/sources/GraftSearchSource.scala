@@ -52,33 +52,48 @@ object GraftSearchTable {
     StructField("score", DoubleType, nullable = false)))
 
   // searchers are expensive to warm (manifest + stats cache) → share per
-  // (index, field, freshness) across queries in this JVM. The freshness
-  // token folds in commit.json's mtime/len and the deletes dir listing, so
-  // a publish (streaming append, rebuild) or a delete after the first query
-  // is picked up by the next one instead of silently serving stale results.
+  // (index, field) across queries in this JVM, keyed by a freshness token so
+  // any publish (streaming append, rebuild), delete, OR merge (which
+  // rewrites postings waves without touching commit.json) is picked up by
+  // the next query instead of silently serving stale results. One live
+  // searcher per (index, field): a token change EVICTS the previous
+  // generation (no unbounded growth under frequent publishes).
   private val searchers =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), IndexSearcher]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, IndexSearcher)]
 
   private def freshness(spark: SparkSession, index: String): String = {
     val conf = spark.sparkContext.hadoopConfiguration
+    def ls(dir: String): String = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) "-"
+      else fs.listStatus(p)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString("|")
+    }
     val c = new org.apache.hadoop.fs.Path(s"$index/commit.json")
     val fs = c.getFileSystem(conf)
-    val cTok =
-      if (fs.exists(c)) { val st = fs.getFileStatus(c); s"${st.getModificationTime}:${st.getLen}" }
-      else "nocommit"
-    val d = new org.apache.hadoop.fs.Path(s"$index/deletes")
-    val dTok =
-      if (fs.exists(d))
-        fs.listStatus(d).map(s => s"${s.getPath.getName}:${s.getLen}")
-          .sorted.mkString("|").hashCode.toString
-      else "nodel"
-    s"$cTok/$dTok"
+    val commitTxt =
+      if (!fs.exists(c)) "-"
+      else {
+        val in = fs.open(c)
+        try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      }
+    // full strings, no lossy hashing: commit content + deletes + wave dirs
+    s"$commitTxt/${ls(s"$index/deletes")}/${ls(s"$index/postings")}"
   }
 
   private[sources] def searcher(index: String, field: String): IndexSearcher = {
     val spark = SparkSession.active
-    searchers.getOrElseUpdate((index, field, freshness(spark, index)),
-      new IndexSearcher(spark, index, field))
+    val tok = freshness(spark, index)
+    val k = (index, field)
+    searchers.get(k) match {
+      case Some((t, s)) if t == tok => s
+      case _ =>
+        val s = new IndexSearcher(spark, index, field)
+        searchers.put(k, (tok, s))
+        s
+    }
   }
 }
 

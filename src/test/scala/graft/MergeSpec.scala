@@ -107,7 +107,7 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     build(single, wavesOf = 12)
     build(waved, wavesOf = 1)
     val merged = TieredMerge.maybeMergeWith(spark, waved,
-      TieredMerge.planLog(_, mergeFactor = 3, minMergeBytes = 1L))
+      TieredMerge.planLog(_, mergeFactor = 3, minMergeBytes = 1L), positional = true)
     assert(merged.nonEmpty)
     val sW = new IndexSearcher(spark, waved)
     val sS = new IndexSearcher(spark, single)
@@ -134,6 +134,14 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(merged.forall(_ >= TieredMerge.MergeWaveBase))
     val retired = TieredMerge.retiredWaves(spark, dir)
     assert(retired.nonEmpty)
+    // generational ordering: the merged wave (numbered ≥ 1e6) sorts at its
+    // OLDEST source's position, not after everything else
+    val byAge = TieredMerge.wavesByAge(spark, dir)
+    val mergedIdx = byAge.indexWhere(_.wave >= TieredMerge.MergeWaveBase)
+    assert(mergedIdx >= 0)
+    val oldestSource = TieredMerge.mergeLog(spark, dir)(byAge(mergedIdx).wave).min
+    assert(byAge.take(mergedIdx).forall(_.wave < oldestSource),
+      s"merged wave out of generational position: ${byAge.map(_.wave)}")
     val hitsBefore = new IndexSearcher(spark, dir)
       .search(TermQuery("import"), 5, ScoreMode.Ref32).totalHits
 
