@@ -165,6 +165,31 @@ class WandSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ExactDouble mode: pruned == exhaustive (bound covers exact dl too)") {
+    for (q <- Seq[Query](
+      TermQuery("import"),
+      BooleanQuery(Seq(
+        BooleanClause(Occur.MUST, TermQuery("parser")),
+        BooleanClause(Occur.SHOULD, TermQuery("buffer")))))) {
+      val exact = searcher.search(q, 10, ScoreMode.ExactDouble)
+      val wand = Wand.searchTopK(searcher, q, 10, ScoreMode.ExactDouble, phase1Ranges = 4)
+      assert(wand.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        exact.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"exact-mode parity for $q")
+    }
+  }
+
+  test("1024-term clause limit: boundary accepted, beyond rejected") {
+    // 1025 distinct terms → reference maxClauseCount exceeded
+    val tooMany = BooleanQuery((0 until 1025).map(i =>
+      BooleanClause(Occur.SHOULD, TermQuery(s"zz_$i"))))
+    val ex = intercept[IllegalArgumentException](searcher.search(tooMany, 5))
+    assert(ex.getMessage.contains("1024"))
+    // exactly at the limit works (all-absent terms → empty result)
+    val atLimit = BooleanQuery((0 until 1024).map(i =>
+      BooleanClause(Occur.SHOULD, TermQuery(s"zz_$i"))))
+    assert(searcher.search(atLimit, 5).totalHits == 0)
+  }
+
   test("missing terms: empty result, no crash") {
     val r = Wand.searchTopK(searcher, TermQuery("zzz_none"), 10)
     assert(r.totalHits == 0 && r.scoreDocs.isEmpty)
