@@ -96,6 +96,10 @@ object SparkEntry {
         queryMaxId = 5L, k = 5).orderBy("query_id", "rank")),
 
     // ---- text analysis ----
+    "ev_windowed" -> ((s, d) =>
+      graft.streaming.StreamingStats.windowedCountsBatch(s.read.parquet(s"$d/events.parquet"))
+        .orderBy("window_start", "event_type")),
+
     "ta_quality" -> ((s, d) => TextOps.quality(docs(s, d), "text", "doc_id").orderBy("doc_id")),
     "ta_langid" -> ((s, d) => TextOps.langId(docs(s, d), "text", "doc_id").orderBy("doc_id")),
     "ta_token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d), "text", "doc_id").orderBy("doc_id")),
@@ -434,6 +438,14 @@ object SparkEntry {
          |LEFT JOIN (SELECT * FROM lsh_ranked WHERE rank <= 5) l
          |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
          |GROUP BY e.query_id ORDER BY query_id""".stripMargin,
+
+    "ev_windowed" -> // DECIMAL sum = order-independent exactness on both sides
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "ta_quality" ->
       s"""$pipelinePrelude

@@ -55,6 +55,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(report.ok, report.problems.mkString("; "))
   }
 
+  test("windowed aggregation with watermark: windows finalize, late events drop") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val out = graft.streaming.StreamingStats.windowedCounts(
+      stream.toDF().toDF("ts", "event_type", "value"), watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ev_out")
+      .outputMode("append").start()
+    // window 10:00-11:00 fills; an event at 12:30 advances the watermark to
+    // 12:20 → the 10:00 window finalizes and emits
+    stream.addData((ts(10, 5), "click", 1.5), (ts(10, 40), "click", 2.0),
+      (ts(10, 50), "view", 4.25))
+    q.processAllAvailable()
+    stream.addData((ts(12, 30), "click", 1.0))
+    q.processAllAvailable()
+    // LATE event for the finalized 10:00 window: behind the watermark → dropped
+    stream.addData((ts(10, 59), "click", 100.0))
+    q.processAllAvailable()
+    stream.addData((ts(14, 0), "view", 1.0)) // advance watermark past 12:00 too
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT event_type, n_events, sum_value FROM ev_out WHERE hour(window_start) = 10 ORDER BY event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // the late 100.0 click never lands: counts frozen at finalization
+    assert(rows.toSeq == Seq(("click", 2L, 3.5), ("view", 1L, 4.25)))
+  }
+
   test("stateful streaming dedup emits each content once, first-seen wins") {
     import graft.streaming.StreamingDedup
     implicit val sqlCtx = spark.sqlContext
