@@ -136,7 +136,7 @@ object Bench {
     val docsPerSec = benchDocs / buildSec
 
     val searcher = new IndexSearcher(spark, buildDir)
-    val parser = new QueryParser(new StandardCodeAnalyzer())
+    val parser = new QueryParser(new StandardCodeAnalyzer(), strictFields = false)
     // ≥20 INTERLEAVED reps (q1,q2,…,q8, q1,q2,…): host-noise spikes spread
     // across queries instead of landing on whichever query owned the slow
     // window (round-1's max-of-5 "p95" promoted exactly such spikes to 3-5 s

@@ -44,7 +44,10 @@ object Cli {
       println(s"BUILT index at $indexDir: maxDoc=${m.maxDoc} docCount=${m.docCount}")
     case "search" :: indexDir :: k :: rest if rest.nonEmpty =>
       val searcher = new IndexSearcher(spark, indexDir)
-      val q = new QueryParser(new StandardCodeAnalyzer()).parse(rest.mkString(" "))
+      // lenient fields: free-text surface — colons are ordinary code/query
+      // characters (`std::vector`, URLs), not field prefixes to reject
+      val q = new QueryParser(new StandardCodeAnalyzer(), strictFields = false)
+        .parse(rest.mkString(" "))
       println(s"QUERY: $q")
       val top = searcher.search(q, k.toInt, ScoreMode.Ref32)
       println(s"totalHits=${top.totalHits}")

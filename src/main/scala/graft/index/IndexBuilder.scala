@@ -208,6 +208,12 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
 
   /** Stage 3: (re)publish terms dict, stats, segment metadata, commit. */
   def publish(indexPath: String): IndexManifest = {
+    // crash-consistency sweep: a merge that died mid-flight leaves either an
+    // uncommitted merged wave or logged-retired source dirs — both would
+    // double postings for every reader of <index>/postings. waves() deletes
+    // them on load (two-phase commit; see TieredMerge.waves). Merges must not
+    // run concurrently with publish.
+    TieredMerge.waves(spark, indexPath)
     val stagedPath = s"$indexPath/staged"
     val docsPath = s"$indexPath/docs"
     val termsPath = s"$indexPath/terms"

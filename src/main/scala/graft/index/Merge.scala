@@ -76,15 +76,39 @@ object TieredMerge {
     ws.sortBy(w => oldest(w.wave, 0))
   }
 
+  /** Live waves. Two-phase-commit discipline (the merges_N.json log is the
+    * commit point of a merge):
+    *  - a wave listed as `merged` in any log is DEAD even if its dir still
+    *    exists (crash after log write, before source deletion) — its postings
+    *    live in the merged wave; reading both would double df/freq/scores;
+    *  - a merge-numbered wave (≥ MergeWaveBase) with NO log is an UNCOMMITTED
+    *    merge output (crash after the merged wave's _SUCCESS, before the log)
+    *    — its sources are still live, so reading it would double postings.
+    * Both kinds of leftover are deleted here on load, restoring the invariant
+    * that the postings dir holds exactly the committed wave set.
+    */
   def waves(spark: SparkSession, indexPath: String): Seq[WaveInfo] = {
     val root = new Path(s"$indexPath/postings")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
+    val logs = mergeLog(spark, indexPath)
+    val retired = logs.values.flatten.toSet
+    val committedMerges = logs.keySet
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("wave="))
-      .map { s =>
-        val size = fs.getContentSummary(s.getPath).getLength
-        WaveInfo(s.getPath.getName.stripPrefix("wave=").toInt, size, s.getPath.toString)
+      .flatMap { s =>
+        val w = s.getPath.getName.stripPrefix("wave=").toInt
+        val dead = retired.contains(w) ||
+          (w >= MergeWaveBase && !committedMerges.contains(w))
+        if (dead) {
+          fs.delete(s.getPath, true)
+          val partial = new Path(s"$indexPath/termsPartial/wave=$w")
+          if (fs.exists(partial)) fs.delete(partial, true)
+          None
+        } else {
+          val size = fs.getContentSummary(s.getPath).getLength
+          Some(WaveInfo(w, size, s.getPath.toString))
+        }
       }
       .sortBy(_.wave)
   }
@@ -169,14 +193,19 @@ object TieredMerge {
       // invertWave → tight (field, term) row-group stats survive merges
       .write.mode("overwrite").parquet(target)
 
-    // retire sources only after the merged wave is durable (_SUCCESS)
+    // Two-phase commit (advisor round-2 fix): the merges log is written
+    // DURABLY before any source deletion. Crash windows:
+    //  - before the log: the merged wave is an uncommitted orphan — waves()
+    //    deletes it on next load, sources stay live (no double postings);
+    //  - after the log, before deletions: sources are logged-retired —
+    //    waves() treats them as dead and deletes the leftovers on load.
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    group.foreach(w => fs.delete(new Path(w.path), true))
     val log = fs.create(new Path(s"$indexPath/merges_$newWave.json"), true)
     log.write(
       s"""{"merged":[${group.map(_.wave).mkString(",")}],"into":$newWave,"bytes":${group.map(_.bytes).sum}}"""
         .getBytes("UTF-8"))
     log.close()
+    group.foreach(w => fs.delete(new Path(w.path), true))
     newWave
   }
 

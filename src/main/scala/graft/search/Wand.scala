@@ -16,7 +16,8 @@ import graft.codec.SmallFloat
   *
   *  1. evaluate the B highest-bound eligible ranges → candidate top-k →
   *     threshold τ = kth score;
-  *  2. evaluate only the remaining eligible ranges whose bound exceeds τ.
+  *  2. evaluate only the remaining eligible ranges whose bound reaches τ
+  *     (>= — an exactly-attainable bound can hide a tie-break winner).
   *
   * Ranges skipped in phase 2 provably contain no top-k doc, so the returned
   * top-k (docIds AND scores) is identical to the exhaustive search — verified
@@ -171,8 +172,12 @@ object Wand {
     // phase 2: only eligible ranges that can still beat τ. Collect a BOUNDED
     // prefix: small survivor sets get isin pushdown, anything larger stays a
     // distributed DataFrame feeding a broadcast semi-join.
+    // bound >= τ, NOT strict >: for norm-insensitive scorers (b=0) the bound
+    // is exactly attainable, and a doc scoring exactly τ with a smaller docId
+    // wins the (score desc, docId asc) tie-break — strict > would prune it
+    // and break 'pruned ≡ exhaustive' (advisor round-2 fix, WandSpec case)
     val survivorsDF = eligible
-      .where(col("rangeBound") > tau && !col("rangeId").isin(phase1Set.toSeq: _*))
+      .where(col("rangeBound") >= tau && !col("rangeId").isin(phase1Set.toSeq: _*))
       .select("rangeId")
     val probe = survivorsDF.limit(SurvivorCollectMax + 1).as[Long].collect()
     val merged = new BoundedHitQueue(k)

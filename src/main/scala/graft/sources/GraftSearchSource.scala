@@ -29,7 +29,9 @@ import graft.search._
   * Options: `index` (required), `query` (required, classic parser syntax),
   * `k` (default 10), `mode` (`ref32`|`exact`), `field` (default field,
   * default `content`), `keywordFields` (comma-separated, for `field:value`
-  * routing), `analyzer` (`standard`|`simple`), `wand` (`true` to prune).
+  * routing), `analyzer` (`standard`|`simple`), `wand` (`true` to prune),
+  * `strictFields` (`true` to reject unknown `field:` prefixes; default false
+  * — free-text queries with colons are searched, not errored).
   *
   * Catalyst integration: `LIMIT n` pushes down into `k`
   * (SupportsPushDownLimit) — `SELECT * FROM hits LIMIT 3` evaluates a k=3
@@ -138,7 +140,10 @@ final class GraftScan(options: CaseInsensitiveStringMap, limit: Int)
     }
     val kw = Option(options.get("keywordFields"))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
-    val q = new QueryParser(analyzer, field, kw).parse(queryStr)
+    // free-text surface → lenient by default (colons in `std::vector`/URLs
+    // are query text, not field prefixes); opt back in with strictFields=true
+    val strict = options.getBoolean("strictFields", false)
+    val q = new QueryParser(analyzer, field, kw, strictFields = strict).parse(queryStr)
     val searcher = GraftSearchTable.searcher(index, field)
     val top =
       if (options.getBoolean("wand", false)) Wand.searchTopK(searcher, q, k, mode)

@@ -172,6 +172,19 @@ class EndToEndSpec extends AnyFunSuite with SparkTestBase {
     assertParity(parser.parse("import OR zzz_not_a_term"))
   }
 
+  test("k=1000 distributed top-k: treeAggregate heap merge == oracle") {
+    // force the distributed path (no driver-local fast path) so the
+    // tree-merged per-partition heaps are what is being tested
+    val s = new IndexSearcher(spark, indexPath)
+    s.localSearchMaxPostings = 0
+    for (q <- Seq[Query](TermQuery("import"), parser.parse("parser OR buffer OR import"))) {
+      val got = s.search(q, 1000, ScoreMode.Ref32)
+      val (expTotal, expTop) = oracle.topK(q, 1000)
+      assert(got.totalHits == expTotal, s"totalHits for $q")
+      assert(got.scoreDocs.map(_.docId).toSeq == expTop.map(_._1), s"k=1000 rank order for $q")
+    }
+  }
+
   test("pagination: page 2 continues exactly where page 1 ended") {
     val all = searcher.search(TermQuery("parser"), 20, ScoreMode.Ref32)
     val p1 = searcher.searchPage(TermQuery("parser"), 0, 10, ScoreMode.Ref32)

@@ -162,6 +162,60 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(report.ok, report.problems.mkString("; "))
   }
 
+  private def copyDir(src: java.io.File, dst: java.io.File): Unit =
+    if (src.isDirectory) {
+      dst.mkdirs()
+      src.listFiles().foreach(f => copyDir(f, new java.io.File(dst, f.getName)))
+    } else
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+  test("merge crash windows: logged-retired leftovers and uncommitted outputs are swept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-crash").toString
+    val cfg = IndexConfig(analyzer = analyzer, docsPerRange = 128,
+      numSegments = 12, segmentsPerWave = 1, buildPartitions = 8)
+    new IndexBuilder(spark, cfg).build(TestCorpus.corpus(N).toDF(), dir)
+    val before = new IndexSearcher(spark, dir)
+      .search(TermQuery("import"), 5, ScoreMode.Ref32).totalHits
+
+    // snapshot all pre-merge waves (sources get deleted by the merge)
+    val snap = new java.io.File(s"$dir/postings_snapshot")
+    copyDir(new java.io.File(s"$dir/postings"), snap)
+    assert(TieredMerge.maybeMerge(spark, dir, segsPerTier = 1, maxMergeAtOnce = 10).nonEmpty)
+    val retired = TieredMerge.retiredWaves(spark, dir)
+    assert(retired.nonEmpty)
+    val mergedWave = TieredMerge.waves(spark, dir).maxBy(_.wave)
+    assert(mergedWave.wave >= TieredMerge.MergeWaveBase)
+    // WaveInfo.path is a Hadoop URI (file:/tmp/...) — localize for java.io
+    val mergedDir = new java.io.File(s"$dir/postings/wave=${mergedWave.wave}")
+
+    // crash window A: merges log written, a retired source dir still on disk
+    // (crash between log write and source deletion) — waves() must treat it
+    // as dead and delete the leftover, or readers double its postings
+    val r0 = retired.min
+    val leftover = new java.io.File(s"$dir/postings/wave=$r0")
+    copyDir(new java.io.File(snap, s"wave=$r0"), leftover)
+    assert(!TieredMerge.waves(spark, dir).exists(_.wave == r0))
+    assert(!leftover.exists(), "logged-retired leftover dir not deleted on load")
+
+    // crash window B: merged output durable but NO log (crash before the
+    // commit point) — the orphan must be swept; its sources are still live
+    val orphanWave = TieredMerge.MergeWaveBase + 777
+    val orphan = new java.io.File(s"$dir/postings/wave=$orphanWave")
+    copyDir(mergedDir, orphan)
+    assert(!TieredMerge.waves(spark, dir).exists(_.wave == orphanWave))
+    assert(!orphan.exists(), "uncommitted merge output not deleted on load")
+
+    // publish sweeps before reading → searcher sees exactly one copy of
+    // every posting after both crash shapes at once
+    copyDir(new java.io.File(snap, s"wave=$r0"), leftover)
+    copyDir(mergedDir, orphan)
+    new IndexBuilder(spark, cfg).publish(dir)
+    val after = new IndexSearcher(spark, dir)
+      .search(TermQuery("import"), 5, ScoreMode.Ref32).totalHits
+    assert(after == before, s"postings doubled after crash recovery: $after != $before")
+  }
+
   test("CheckIndex catches a broken manifest") {
     val dir = java.nio.file.Files.createTempDirectory("graft-chk").toString
     build(dir, wavesOf = 12)

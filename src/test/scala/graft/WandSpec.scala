@@ -190,6 +190,35 @@ class WandSpec extends AnyFunSuite with SparkTestBase {
     assert(searcher.search(atLimit, 5).totalHits == 0)
   }
 
+  test("norm-insensitive similarity (b=0): exactly-attainable bound == tau is not pruned") {
+    // advisor round-2 case: with b=0 the row bound s(maxFreq) is EXACTLY
+    // attainable. Range 1 (high docIds) holds x@freq2 and y@freq2 in
+    // different docs → bound 2·s(2), actual best s(2); range 0 holds x@freq2
+    // at doc 0 → bound s(2). Phase 1 (budget 1) picks range 1, τ = s(2).
+    // Range 0's bound == τ and its doc 0 ties the score with a SMALLER docId
+    // → it is the true winner; strict `> τ` pruned it.
+    val dir = java.nio.file.Files.createTempDirectory("graft-wand-b0").toString
+    val docs = Seq(
+      (0L, "r", "p0", "", "scala", "xterm xterm"),
+      (40L, "r", "p40", "", "scala", "xterm xterm"),
+      (41L, "r", "p41", "", "scala", "yterm yterm"),
+      (42L, "r", "p42", "", "scala", "yterm")
+    ).toDF("docId", "repo", "path", "commit", "lang", "content")
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(), docsPerRange = 32,
+      numSegments = 2, segmentsPerWave = 2, explicitDocIdCol = Some("docId"))
+    new IndexBuilder(spark, cfg).build(docs, dir)
+    val s = new IndexSearcher(spark, dir, "content", new Bm25Similarity(1.2f, 0f))
+    val q = BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("xterm")),
+      BooleanClause(Occur.SHOULD, TermQuery("yterm"))))
+    val exact = s.search(q, 1, ScoreMode.Ref32)
+    assert(exact.scoreDocs.head.docId == 0L) // score tie, smaller docId wins
+    val wand = Wand.searchTopK(s, q, 1, ScoreMode.Ref32, phase1Ranges = 1)
+    assert(wand.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+      exact.scoreDocs.map(d => (d.docId, d.score)).toSeq,
+      "bound==tau range pruned: tie-break winner lost")
+  }
+
   test("missing terms: empty result, no crash") {
     val r = Wand.searchTopK(searcher, TermQuery("zzz_none"), 10)
     assert(r.totalHits == 0 && r.scoreDocs.isEmpty)
