@@ -54,6 +54,8 @@ object SparkEntry {
     "ft_field_term" -> ((s, d) => FtQueries.matches(s, d,
       FtQueries.parser.parse("+lang:de +merge"))),
     "ft_deletes" -> ((s, d) => FtQueries.matchesWithDeletes(s, d, TermQuery("merge"), 10)),
+    "ft_deletes_bulk" -> ((s, d) => // 1/3 of the corpus deleted, ranged path
+      FtQueries.matchesWithDeletesBulk(s, d, TermQuery("data"), 3)),
     "ft_total_hits" -> ((s, d) => FtQueries.totalHitsDF(s, d, Seq(
       "and_merge_sort" -> BooleanQuery(Seq(
         BooleanClause(Occur.MUST, TermQuery("merge")),
@@ -77,9 +79,10 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     "dd_simhash" -> ((s, d) => Dedup.simhash32(docs(s, d), "text", "doc_id")
       .orderBy("doc_id")),
-    "dd_embed_pairs" -> ((s, d) =>
+    "dd_embed_pairs" -> ((s, d) => // planes pinned (oracle models 4); the
+      // library default is scale-aware (Dedup.autoPlanes)
       Dedup.embeddingNearDupPairs(s.read.parquet(s"$d/embeddings.parquet"),
-        "vec_id", "embedding", tau = 0.25).orderBy("id_a", "id_b")),
+        "vec_id", "embedding", tau = 0.25, planes = 4).orderBy("id_a", "id_b")),
 
     // ---- similarity search over embeddings ----
     "ann_cosine_topk" -> ((s, d) =>
@@ -259,6 +262,11 @@ object SparkEntry {
       s"""${ftBase(Seq("merge"))}
          |SELECT doc_id, round(${termScore("merge")}, 4) AS score_r
          |FROM base WHERE f_merge > 0 AND doc_id % 10 <> 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_deletes_bulk" ->
+      s"""${ftBase(Seq("data"))}
+         |SELECT doc_id, round(${termScore("data")}, 4) AS score_r
+         |FROM base WHERE f_data > 0 AND doc_id % 3 <> 0
          |ORDER BY doc_id""".stripMargin,
     "ft_req_opt" ->
       s"""${ftBase(Seq("merge", "spark"))}

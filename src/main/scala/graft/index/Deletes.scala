@@ -10,14 +10,20 @@ import org.apache.spark.sql.functions._
   *
   * The index stays append-only: a delete is one row in `<index>/deletes/`
   * (parquet, append mode). Searchers fold the delete set into the range
-  * evaluator as a sorted-docId broadcast, so deleted docs vanish from
-  * matches AND totalHits on every path (driver-local and distributed) with
-  * zero change to postings. Lucene semantics: collection/term statistics
-  * still count deleted docs until a rewrite reclaims them.
+  * evaluator so deleted docs vanish from matches AND totalHits on every path
+  * (driver-local and distributed) with zero change to postings. Lucene
+  * semantics: collection/term statistics still count deleted docs until a
+  * rewrite reclaims them.
   *
-  * Scale note: the broadcast holds 8 B/deleted-doc (10M deletes = 80 MB —
-  * beyond that, compact the index instead: filter+rebuild is one bounded
-  * Spark job, and training-data pipelines delete in bulk, not per-doc).
+  * Two read paths, selected by set size (IndexSearcher):
+  *  - SMALL (≤ deleteBroadcastMax): a sorted-docId broadcast, 8 B/delete —
+  *    zero per-query join cost;
+  *  - RANGED (the 100 TB path): per-rangeId sorted delete arrays
+  *    (the reference's per-segment liveDocs bitset,
+  *    /root/reference/core/codec/lucene40/bitVector.go, keyed by this
+  *    engine's docId ranges) joined onto the query's posting rows — nothing
+  *    delete-shaped is ever collected to the driver, and every aggregation
+  *    buffer is bounded by docsPerRange.
   */
 object Deletes {
 
@@ -30,13 +36,60 @@ object Deletes {
     append(spark, indexPath, docIds.toDF("docId"))
   }
 
-  /** Sorted distinct deleted docIds; empty when no deletes exist. */
-  def load(spark: SparkSession, indexPath: String): Array[Long] = {
-    val p = new Path(s"$indexPath/deletes")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Array.emptyLongArray
+  /** Delete every document containing ANY of the given (field, term) keys —
+    * the reference's delete-by-term (bufferedDeletes.go), restated as one
+    * distributed pass: decode the matching posting rows' docIds (parquet
+    * (field, term) pushdown, payload-only column read) and append them.
+    * No docId ever touches the driver.
+    */
+  def deleteByTerm(spark: SparkSession, indexPath: String,
+      keys: Seq[(String, String)]): Unit = {
+    if (keys.isEmpty) return
     import spark.implicits._
-    spark.read.parquet(p.toString).select("docId").as[Long]
-      .distinct().collect().sorted
+    val pred = keys.groupBy(_._1).map { case (f, ks) =>
+      col("field") === f && col("term").isin(ks.map(_._2).distinct: _*)
+    }.reduce(_ || _)
+    val ids = spark.read.parquet(s"$indexPath/postings")
+      .where(pred)
+      .select("payload")
+      .as[Array[Byte]]
+      .flatMap(p => graft.codec.PostingsCodec.decode(p).docIds)
+      .distinct()
+    append(spark, indexPath, ids.toDF("docId"))
   }
+
+  def exists(spark: SparkSession, indexPath: String): Boolean = {
+    val p = new Path(s"$indexPath/deletes")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Distinct deleted-doc count (0 fast-path when no deletes dir). */
+  def count(spark: SparkSession, indexPath: String): Long =
+    if (!exists(spark, indexPath)) 0L
+    else df(spark, indexPath).get.select("docId").distinct().count()
+
+  /** Raw (docId) delete rows when any exist. */
+  def df(spark: SparkSession, indexPath: String): Option[DataFrame] =
+    if (!exists(spark, indexPath)) None
+    else Some(spark.read.parquet(s"$indexPath/deletes").select(col("docId").cast("long")))
+
+  /** Sorted distinct deleted docIds — the SMALL-set broadcast path only;
+    * callers must gate on [[count]] (IndexSearcher.deleteBroadcastMax).
+    */
+  def load(spark: SparkSession, indexPath: String): Array[Long] = {
+    import spark.implicits._
+    df(spark, indexPath) match {
+      case None => Array.emptyLongArray
+      case Some(d) => d.as[Long].distinct().collect().sorted
+    }
+  }
+
+  /** Per-range sorted delete arrays: (rangeId, dels) — every aggregation
+    * buffer ≤ docsPerRange ids; joined onto posting rows at query time.
+    */
+  def byRange(deletes: DataFrame, docsPerRange: Int): DataFrame =
+    deletes
+      .select((col("docId") / docsPerRange).cast("long").as("rangeId"), col("docId"))
+      .groupBy("rangeId")
+      .agg(sort_array(collect_set(col("docId"))).as("dels"))
 }

@@ -39,13 +39,14 @@ private[search] object Explain {
   def forDoc(
       q: Query,
       ge: GroupEval,
-      rows: Array[(String, String, Long, Long, Array[Byte], Array[Byte])],
+      rows: Array[PRow],
       rangeId: Long,
       docId: Long,
       searcher: IndexSearcher,
       stats: Map[(String, String), TermStats],
       mode: ScoreMode): Explanation = {
-    if (!ge.live(docId))
+    val dels = if (rows.isEmpty) null else rows(0)._7
+    if (!ge.live(docId, dels))
       return Explanation(0.0, s"doc $docId: deleted (liveDocs)", Nil, isMatch = false)
     val acc = ge.fill(rangeId, rows.iterator)
     val slot = (docId - acc.base).toInt

@@ -187,24 +187,70 @@ final class IndexSearcher(
     indexPath: String,
     val field: String = "content",
     val similarity: Similarity = new Bm25Similarity(),
-    extraDeletes: Array[Long] = Array.emptyLongArray) extends Serializable {
+    extraDeletes: Array[Long] = Array.emptyLongArray,
+    extraDeletesDF: Option[DataFrame] = None) extends Serializable {
   import spark.implicits._
 
   val manifest: IndexManifest = IndexManifest.load(spark, indexPath)
 
-  /** liveDocs: persisted deletes (<index>/deletes) ∪ searcher-scoped extras,
-    * sorted for binary search inside the range evaluator. Applied on every
-    * path — matches, totalHits, explain — without touching postings.
+  /** Delete sets up to this size ship as a sorted-docId broadcast (8 B/doc);
+    * beyond it the searcher switches to the RANGED path: per-rangeId delete
+    * arrays joined onto the query's posting rows (per-segment liveDocs,
+    * /root/reference/core/codec/lucene40/bitVector.go) — no `.collect()` of
+    * deletes on the query path, so bulk refreshes (re-crawl 10% of a corpus)
+    * can never blow the driver.
     */
-  private lazy val deletedSorted: Array[Long] = {
-    val persisted = graft.index.Deletes.load(spark, indexPath)
-    if (extraDeletes.isEmpty) persisted
-    else (persisted ++ extraDeletes).distinct.sorted
+  var deleteBroadcastMax: Long = 1000000L
+
+  private lazy val persistedDeleteCount: Long =
+    graft.index.Deletes.count(spark, indexPath)
+
+  /** True when deletes evaluate via the distributed per-range join. */
+  lazy val rangedDeletes: Boolean =
+    extraDeletesDF.nonEmpty || persistedDeleteCount > deleteBroadcastMax
+
+  /** liveDocs SMALL path: persisted deletes ∪ searcher-scoped extras, sorted
+    * for binary search inside the range evaluator. Applied on every path —
+    * matches, totalHits, explain — without touching postings.
+    */
+  private lazy val deletedSorted: Array[Long] =
+    if (rangedDeletes) Array.emptyLongArray // all deletes ride the range join
+    else {
+      val persisted = graft.index.Deletes.load(spark, indexPath)
+      if (extraDeletes.isEmpty) persisted
+      else (persisted ++ extraDeletes).distinct.sorted
+    }
+
+  /** liveDocs RANGED path: (rangeId, sorted delete array) — every group
+    * bounded by docsPerRange; cached because deletes change rarely relative
+    * to query volume.
+    */
+  private lazy val delRangesDF: DataFrame = {
+    val parts =
+      graft.index.Deletes.df(spark, indexPath).toSeq ++
+        extraDeletesDF.map(d => d.select(col(d.columns.head).cast("long").as("docId"))).toSeq ++
+        (if (extraDeletes.isEmpty) Nil
+         else Seq(extraDeletes.toSeq.toDF("docId")))
+    graft.index.Deletes.byRange(parts.reduce(_ union _), manifest.docsPerRange)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** A view of this index with additional (non-persisted) deleted docIds. */
   def withDeletes(docIds: Array[Long]): IndexSearcher =
-    new IndexSearcher(spark, indexPath, field, similarity, extraDeletes ++ docIds)
+    new IndexSearcher(spark, indexPath, field, similarity,
+      extraDeletes ++ docIds, extraDeletesDF)
+
+  /** A view with an additional DISTRIBUTED delete set (first column = docId):
+    * always evaluates via the ranged join, whatever its size.
+    */
+  def withDeletesDF(docIds: DataFrame): IndexSearcher = {
+    val merged = extraDeletesDF match {
+      case Some(prev) => prev.select(col(prev.columns.head).cast("long").as("docId"))
+        .union(docIds.select(col(docIds.columns.head).cast("long").as("docId")))
+      case None => docIds
+    }
+    new IndexSearcher(spark, indexPath, field, similarity, extraDeletes, Some(merged))
+  }
 
   private lazy val termsDF: DataFrame = spark.read.parquet(s"$indexPath/terms")
   private lazy val postingsDF: DataFrame = spark.read.parquet(s"$indexPath/postings")
@@ -382,11 +428,14 @@ final class IndexSearcher(
       .select("field", "term", "rangeId", "docFreq", "maxFreq", "minDl")
 
   /** Posting rows of the query keys: (field, term, rangeId, firstDocId,
-    * payload, posPayload|null). Parquet prunes on (field, term) row-group
-    * min/max and drops `posPayload` unless a phrase needs it.
+    * payload, posPayload|null, dels|null). Parquet prunes on (field, term)
+    * row-group min/max and drops `posPayload` unless a phrase needs it.
+    * In RANGED delete mode each row carries its range's sorted delete array
+    * via a left join — the scale path for bulk deletes (duplication factor =
+    * #query terms per range, never O(corpus) driver state).
     */
   private def rowsFor(p: Prepared,
-      rangeFilter: Option[RangeSel] = None): Dataset[(String, String, Long, Long, Array[Byte], Array[Byte])] = {
+      rangeFilter: Option[RangeSel] = None): Dataset[PRow] = {
     val anyPos = p.ge.needPos.exists(identity)
     var rows = postingsDF.where(pairPredicate(p.keys))
     rangeFilter.foreach {
@@ -397,9 +446,14 @@ final class IndexSearcher(
     // no positions needed → posPayload column never read (parquet pruning);
     // a null literal keeps the plan columnar (no typed map ser/de)
     val posCol = if (anyPos) col("posPayload") else lit(null).cast("binary").as("posPayload")
-    rows.select(col("field"), col("term"), col("rangeId"), col("firstDocId"),
-      col("payload"), posCol)
-      .as[(String, String, Long, Long, Array[Byte], Array[Byte])]
+    val base = rows.select(col("field"), col("term"), col("rangeId"),
+      col("firstDocId"), col("payload"), posCol)
+    val withDels =
+      if (rangedDeletes) base.join(delRangesDF, Seq("rangeId"), "left")
+      else base.withColumn("dels", lit(null).cast("array<bigint>"))
+    withDels.select(col("field"), col("term"), col("rangeId"), col("firstDocId"),
+      col("payload"), col("posPayload"), col("dels"))
+      .as[PRow]
   }
 
   /** All matching docs with scores — the full scored result set as a Dataset
@@ -417,7 +471,7 @@ final class IndexSearcher(
       }
     else
       ds.groupByKey(_._3)
-        .flatMapGroups((rangeId: Long, it: Iterator[(String, String, Long, Long, Array[Byte], Array[Byte])]) =>
+        .flatMapGroups((rangeId: Long, it: Iterator[PRow]) =>
           geB.value.eval(rangeId, it))
   }
 
@@ -502,7 +556,7 @@ final class IndexSearcher(
           }
         else
           rowsFor(p, rangeFilter).groupByKey(_._3)
-            .flatMapGroups((rangeId: Long, it: Iterator[(String, String, Long, Long, Array[Byte], Array[Byte])]) =>
+            .flatMapGroups((rangeId: Long, it: Iterator[PRow]) =>
               geB.value.eval(rangeId, it))
       // per-partition heaps merge in O(log P) combiner rounds (treeAggregate,
       // depth 2): the driver receives O(√P) pre-merged k-heaps instead of P —
@@ -533,19 +587,25 @@ private[search] final class GroupEval(
     mode: ScoreMode,
     deleted: Array[Long] = Array.emptyLongArray) extends Serializable {
 
-  /** liveDocs check (sorted-array binary search, 8 B/delete broadcast). */
-  private[search] def live(docId: Long): Boolean =
-    deleted.isEmpty || java.util.Arrays.binarySearch(deleted, docId) < 0
+  /** liveDocs check: the small-set broadcast (sorted binary search) AND the
+    * range's joined delete array (RANGED mode) — whichever is populated.
+    */
+  private[search] def live(docId: Long, rangeDels: Array[Long]): Boolean =
+    (deleted.isEmpty || java.util.Arrays.binarySearch(deleted, docId) < 0) &&
+      (rangeDels == null || rangeDels.isEmpty ||
+        java.util.Arrays.binarySearch(rangeDels, docId) < 0)
 
-  def eval(rangeId: Long,
-      rows: Iterator[(String, String, Long, Long, Array[Byte], Array[Byte])]): Iterator[ScoredDoc] = {
-    val acc = fill(rangeId, rows)
+  def eval(rangeId: Long, rows: Iterator[PRow]): Iterator[ScoredDoc] = {
+    val arr = rows.toArray
+    // every row of a range carries the same joined delete array (or null)
+    val dels = if (arr.isEmpty) null else arr(0)._7
+    val acc = fill(rangeId, arr.iterator)
     val out = Array.newBuilder[ScoredDoc]
     var slot = 0
     mode match {
       case ScoreMode.ExactDouble =>
         while (slot < width) {
-          if (acc.touched(slot) && live(acc.base + slot)) {
+          if (acc.touched(slot) && live(acc.base + slot, dels)) {
             val s = Eval.evalD(plan, acc, slot)
             if (!s.isNaN) out += ScoredDoc(acc.base + slot, s)
           }
@@ -553,7 +613,7 @@ private[search] final class GroupEval(
         }
       case ScoreMode.Ref32 =>
         while (slot < width) {
-          if (acc.touched(slot) && live(acc.base + slot)) {
+          if (acc.touched(slot) && live(acc.base + slot, dels)) {
             val s = Eval.evalF(plan, acc, slot)
             if (!s.isNaN) out += ScoredDoc(acc.base + slot, s.toDouble)
           }
@@ -566,11 +626,10 @@ private[search] final class GroupEval(
   /** Decode this range's rows into the per-slot accumulator (shared with
     * Explain, which needs the raw leaf data too).
     */
-  private[search] def fill(rangeId: Long,
-      rows: Iterator[(String, String, Long, Long, Array[Byte], Array[Byte])]): RangeAccum = {
+  private[search] def fill(rangeId: Long, rows: Iterator[PRow]): RangeAccum = {
     val acc = new RangeAccum(rangeId * width, width, nTerms, nFields, needPos)
     // a (term, rangeId) can span two build waves → concat sorted slices
-    rows.toArray.sortBy(_._4).foreach { case (fieldName, term, _, _, payload, posPayload) =>
+    rows.toArray.sortBy(_._4).foreach { case (fieldName, term, _, _, payload, posPayload, _) =>
       val ti = termIdx((fieldName, term))
       val fi = fieldIdx(fieldName)
       val dec = PostingsCodec.decode(payload)

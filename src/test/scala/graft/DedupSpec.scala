@@ -42,6 +42,43 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"expected a near-dup edge among the variant docs, got ${pairs.toSeq}")
   }
 
+  test("capped collector: buffers bounded at cap+1 while counts stay exact") {
+    val agg = new graft.pipeline.CappedIdCollect(10)
+    // reduce: one pathological partition feeding 100k ids
+    var b = agg.zero
+    (0L until 100000L).foreach(i => b = agg.reduce(b, i))
+    assert(b.n == 100000L, "true count must survive truncation")
+    assert(b.ids.size == 11, s"buffer must cap at cap+1, got ${b.ids.size}")
+    // merge of two over-cap partials stays bounded and exact
+    val m = agg.merge(b, b)
+    assert(m.n == 200000L && m.ids.size == 11)
+    // under-cap buckets keep every id (pair explosion needs them all)
+    var s = agg.zero
+    (0L until 7L).foreach(i => s = agg.reduce(s, i))
+    assert(s.n == 7 && s.ids.sorted == (0L until 7L))
+    assert(agg.merge(s, agg.zero).ids.size == 7)
+  }
+
+  test("pathological band (every doc in one bucket): capped → dropped, raised cap → full pairs") {
+    // 60 docs with IDENTICAL shingle sets but distinct texts (the phrase
+    // repeated i times ≥ 2 yields the same circular 3-shingle set), so rep
+    // collapse keeps all of them and every band puts all 60 in ONE bucket
+    val docs = (0 until 60).map(i => (i.toLong, ("wa wb wc wd " * (i + 2)).trim))
+      .toDF("doc_id", "text")
+    val dropped = Dedup.minhashLshPairs(docs, "text", "doc_id", tau = 0.05, maxBucket = 10)
+    assert(dropped.count() == 0, "over-cap bucket must be skipped entirely")
+    val kept = Dedup.minhashLshPairs(docs, "text", "doc_id", tau = 0.05, maxBucket = 100)
+    assert(kept.count() == 60L * 59 / 2, "under-cap bucket yields all i<j pairs (jaccard 1.0)")
+  }
+
+  test("autoPlanes: buckets scale with corpus size") {
+    assert(Dedup.autoPlanes(500) == 4) // floor — matches the oracle's pinned 4
+    assert(Dedup.autoPlanes(16000) == 4)
+    assert(Dedup.autoPlanes(1000000) == 10) // 2^10 = 1024 buckets ≥ n/1000
+    assert(Dedup.autoPlanes(100000000L) == 17)
+    assert(Dedup.autoPlanes(Long.MaxValue / 2) == 24) // hard cap
+  }
+
   test("bucket-size cap drops oversized buckets (skew guard)") {
     val near = Seq(
       (1L, s"$common variantone"),

@@ -64,6 +64,74 @@ class DeletesSpec extends AnyFunSuite with SparkTestBase {
       pre.totalHits - 4)
   }
 
+  test("ranged deletes (beyond broadcast threshold): identical results, no driver collect") {
+    val s0 = new IndexSearcher(spark, indexPath)
+    val all = s0.search(TermQuery("import"), N, ScoreMode.Ref32)
+    // bulk delete: every third doc — a DISTRIBUTED delete set
+    val victims = (0L until N.toLong).filter(_ % 3 == 0)
+    val victimSet = victims.toSet
+    val expected = all.scoreDocs.filterNot(d => victimSet.contains(d.docId))
+
+    // path A: distributed DF deletes (always ranged, whatever the size)
+    val sDf = s0.withDeletesDF(victims.toDF("docId"))
+    assert(sDf.rangedDeletes, "withDeletesDF must select the ranged path")
+    val gotDf = sDf.search(TermQuery("import"), N, ScoreMode.Ref32)
+    assert(gotDf.totalHits == expected.length)
+    assert(gotDf.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+      expected.map(d => (d.docId, d.score)).toSeq)
+
+    // path B: persisted deletes above the broadcast threshold flip to ranged
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-del-bulk").toString
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 64, numSegments = 4, segmentsPerWave = 4)
+    new IndexBuilder(spark, cfg).build(TestCorpus.corpus(300).toDF(), dir2)
+    Deletes.append(spark, dir2, (0L until 300L).filter(_ % 3 == 0).toDF("docId"))
+    val sSmall = new IndexSearcher(spark, dir2) // default threshold → broadcast
+    assert(!sSmall.rangedDeletes)
+    val sRanged = new IndexSearcher(spark, dir2)
+    sRanged.deleteBroadcastMax = 10 // 100 persisted deletes > 10 → ranged
+    assert(sRanged.rangedDeletes)
+    for (q <- Seq[Query](TermQuery("import"),
+      BooleanQuery(Seq(
+        BooleanClause(Occur.MUST, TermQuery("import")),
+        BooleanClause(Occur.SHOULD, TermQuery("parser")))))) {
+      val a = sSmall.search(q, 300, ScoreMode.Ref32)
+      val b = sRanged.search(q, 300, ScoreMode.Ref32)
+      assert(a.totalHits == b.totalHits, s"totalHits parity for $q")
+      assert(a.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        b.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"ranged == broadcast for $q")
+    }
+    // distributed evaluation path with ranged deletes
+    sRanged.localSearchMaxPostings = 0
+    val dist = sRanged.search(TermQuery("import"), 300, ScoreMode.Ref32)
+    val loc = sSmall.search(TermQuery("import"), 300, ScoreMode.Ref32)
+    assert(dist.scoreDocs.map(_.docId).toSeq == loc.scoreDocs.map(_.docId).toSeq)
+    // explain honors ranged deletes too
+    val deletedHit = (0L until 300L).find(_ % 3 == 0).get
+    val ex = sRanged.explain(TermQuery("import"), deletedHit)
+    assert(!ex.isMatch)
+  }
+
+  test("delete-by-term: one distributed pass, no ids on the driver") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-del-term").toString
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 64, numSegments = 4, segmentsPerWave = 4)
+    new IndexBuilder(spark, cfg).build(TestCorpus.corpus(300).toDF(), dir)
+    val s0 = new IndexSearcher(spark, dir)
+    val parserHits = s0.search(TermQuery("parser"), 300).totalHits
+    val importHits = s0.search(TermQuery("import"), 300).totalHits
+    val bothHits = s0.search(BooleanQuery(Seq(
+      BooleanClause(Occur.MUST, TermQuery("import")),
+      BooleanClause(Occur.MUST, TermQuery("parser")))), 300).totalHits
+    assert(parserHits > 0 && bothHits > 0)
+    Deletes.deleteByTerm(spark, dir, Seq(("content", "parser")))
+    val s1 = new IndexSearcher(spark, dir)
+    assert(s1.search(TermQuery("parser"), 300).totalHits == 0,
+      "every doc containing the term must be deleted")
+    assert(s1.search(TermQuery("import"), 300).totalHits == importHits - bothHits,
+      "docs with import AND parser are gone; import-only docs survive")
+  }
+
   test("explain on a deleted doc reports non-match") {
     val s0 = new IndexSearcher(spark, indexPath)
     val hit = s0.search(TermQuery("parser"), 1).scoreDocs.head
