@@ -32,13 +32,17 @@ object FtQueries {
     cache.getOrElseUpdate(sfDir, {
       // format version + field-config tag in the cache key: postings-layout
       // or schema changes invalidate indexes cached across driver rounds
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}kws_" +
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mf_" +
         graft.index.Hashing.sha256Hex(sfDir).take(12)
       val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(
           col("doc_id"),
           col("source").as("repo"),
-          col("doc_id").cast("string").as("path"),
+          // second ANALYZED text field, derived deterministically so the SQL
+          // oracle reproduces it: 2 tokens (source, lang) + ' xtra' on every
+          // 5th doc (varying dl exercises the per-field length normalization)
+          concat(col("source"), lit(" "), col("lang"),
+            when(col("doc_id") % 5 === 0, lit(" xtra")).otherwise(lit(""))).as("path"),
           lit("").as("commit"),
           col("lang"),
           col("text").as("content"))
@@ -48,14 +52,18 @@ object FtQueries {
         numSegments = 8,
         segmentsPerWave = 4,
         explicitDocIdCol = Some("doc_id"),
-        keywordFields = Seq("lang", "repo")))
+        keywordFields = Seq("lang", "repo"),
+        analyzedFields = Seq("path")))
         .build(corpus, dir, resume = true)
       dir
     })
 
-  /** Parser wired to this surface's indexed fields (content + keywords). */
+  /** Parser wired to this surface's indexed fields (content + keyword lang/
+    * repo + analyzed path).
+    */
   def parser: QueryParser =
-    new QueryParser(analyzer, keywordFields = Set("lang", "repo"))
+    new QueryParser(analyzer, keywordFields = Set("lang", "repo"),
+      analyzedFields = Set("path"))
 
   private val searcherCache = scala.collection.concurrent.TrieMap.empty[String, IndexSearcher]
 

@@ -53,6 +53,12 @@ object SparkEntry {
       BooleanClause(Occur.SHOULD, TermQuery("spark")))))),
     "ft_field_term" -> ((s, d) => FtQueries.matches(s, d,
       FtQueries.parser.parse("+lang:de +merge"))),
+    "ft_field_text" -> ((s, d) => // second ANALYZED field: BM25 with the
+      // path field's own df/dl/avgdl, summed with a content clause
+      FtQueries.matches(s, d, FtQueries.parser.parse("+path:src1 +merge"))),
+    "ft_field_phrase" -> ((s, d) => // fielded exact phrase over the analyzed
+      // path field (positions + per-field stats)
+      FtQueries.matches(s, d, FtQueries.parser.parse("path:\"src1 de\""))),
     "ft_deletes" -> ((s, d) => FtQueries.matchesWithDeletes(s, d, TermQuery("merge"), 10)),
     "ft_deletes_bulk" -> ((s, d) => // 1/3 of the corpus deleted, ranged path
       FtQueries.matchesWithDeletesBulk(s, d, TermQuery("data"), 3)),
@@ -135,6 +141,31 @@ object SparkEntry {
        |  FROM docs
        |)""".stripMargin
   }
+
+  /** CTEs for the second ANALYZED field (path = source || ' ' || lang
+    * [|| ' xtra' on doc_id%5=0] — FtQueries' derived column), with the
+    * engine's post-stop token counting. The values never contain stopwords,
+    * so filtered token indexes double as positions for the phrase twin.
+    */
+  private val pathCtes =
+    s"""pfld AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(source || ' ' || lang || CASE WHEN doc_id % 5 = 0 THEN ' xtra' ELSE '' END), '[^a-z0-9]+'),
+       |      x -> x <> '' AND x NOT IN (${TextOpsOracle.stopSql})) AS ptk
+       |  FROM documents
+       |), pg AS (
+       |  SELECT CAST(sum(len(ptk)) AS DOUBLE) / (SELECT n FROM g) AS pavgdl FROM pfld
+       |)""".stripMargin
+
+  /** idf over the path field's df (float64, engine-identical expression). */
+  private def pidf(t: String): String =
+    s"""ln(1 + ((SELECT n FROM g) - (SELECT CAST(count(*) AS DOUBLE) FROM pfld WHERE list_contains(ptk, '$t')) + 0.5)
+       | / ((SELECT CAST(count(*) AS DOUBLE) FROM pfld WHERE list_contains(ptk, '$t')) + 0.5))""".stripMargin.replace("\n", "")
+
+  /** BM25 over the path field's dl/avgdl (engine ExactScorer shape). */
+  private def pscore(fExpr: String, idfExpr: String): String =
+    s"($idfExpr * ((CAST($fExpr AS DOUBLE) * (1.2 + 1)) / " +
+      s"(CAST($fExpr AS DOUBLE) + 1.2 * ((1 - 0.75) + (0.75 * CAST(len(ptk) AS DOUBLE)) / (SELECT pavgdl FROM pg)))))"
 
   // exact SQL twin of TextOps.tokens (regexp split, not space split — agrees
   // with the engine on ANY corpus, not just space-separated fixtures)
@@ -286,6 +317,26 @@ object SparkEntry {
          |  + ${termScore("merge")}, 4) AS score_r
          |FROM base b JOIN documents dd ON dd.doc_id = b.doc_id
          |WHERE f_merge > 0 AND dd.lang = 'de'
+         |ORDER BY doc_id""".stripMargin,
+    "ft_field_text" -> // MUST path:src1 (path-field BM25) + MUST merge
+      // (content BM25); engine sums must clauses in order: path then content
+      s"""${ftBase(Seq("merge"))}, $pathCtes
+         |SELECT b.doc_id AS doc_id, round(
+         |  ${pscore("len(list_filter(ptk, x -> x = 'src1'))", pidf("src1"))}
+         |  + ${termScore("merge")}, 4) AS score_r
+         |FROM base b JOIN pfld p ON p.doc_id = b.doc_id
+         |WHERE f_merge > 0 AND list_contains(ptk, 'src1')
+         |ORDER BY doc_id""".stripMargin,
+    "ft_field_phrase" -> // exact phrase over the analyzed path field:
+      // weight = sum of member idfs (engine idfExplainPhrase), freq = #exact
+      // adjacent occurrences, dl/avgdl = the path field's own
+      s"""$prelude, $pathCtes, ph AS (
+         |  SELECT doc_id, ptk,
+         |    len(list_filter(range(1, len(ptk)), i -> ptk[i] = 'src1' AND ptk[i+1] = 'de')) AS pf
+         |  FROM pfld
+         |)
+         |SELECT doc_id, round(${pscore("pf", s"(${pidf("src1")} + ${pidf("de")})")}, 4) AS score_r
+         |FROM ph WHERE pf > 0
          |ORDER BY doc_id""".stripMargin,
     "ft_total_hits" ->
       s"""${ftBase(Seq("merge", "sort", "spark", "batch"))}

@@ -39,7 +39,9 @@ object CheckIndex {
     val dupIds = docs.groupBy("docId").count().where(col("count") > 1).count()
     if (dupIds > 0) problems += s"$dupIds duplicate docIds"
 
-    // decode-level invariants, distributed: every posting row re-decoded
+    // decode-level invariants, distributed: every posting row re-decoded;
+    // per-field sums kept so fieldstats verify FIELD BY FIELD (compensating
+    // errors across fields must not cancel — advisor round-2 fix)
     val rowChecks = postings
       .select("field", "term", "rangeId", "firstDocId", "lastDocId", "docFreq", "ttf", "payload")
       .as[(String, String, Long, Long, Long, Int, Long, Array[Byte])]
@@ -57,9 +59,11 @@ object CheckIndex {
             i += 1
           }
         }
-        (if (bad == null) "" else bad, dec.length.toLong, dec.freqs.map(_.toLong).sum, 1L)
+        (field, if (bad == null) "" else bad, dec.length.toLong, dec.freqs.map(_.toLong).sum, 1L)
       }
-    val agg = rowChecks.toDF("bad", "df", "ttf", "rows")
+      .toDF("field", "bad", "df", "ttf", "rows")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agg = rowChecks
       .agg(
         sum(when(col("bad") =!= "", 1L).otherwise(0L)).as("badRows"),
         sum("df").as("sumDf"), sum("ttf").as("sumTtf"), sum("rows").as("rows"),
@@ -68,25 +72,46 @@ object CheckIndex {
     if (agg.getLong(0) > 0)
       problems += s"${agg.getLong(0)} bad posting rows (e.g. ${agg.getString(4)})"
 
-    // terms dict vs postings aggregate
+    // terms dict vs postings aggregate (global)
     val t = terms.agg(sum("docFreq"), sum("totalTermFreq"), count(lit(1))).collect()(0)
     if (t.getLong(0) != agg.getLong(1))
       problems += s"terms.sumDocFreq ${t.getLong(0)} != postings ${agg.getLong(1)}"
     if (t.getLong(1) != agg.getLong(2))
       problems += s"terms.sumTtf ${t.getLong(1)} != postings ${agg.getLong(2)}"
 
-    // published field stats vs recomputation — summed ACROSS fields (a
-    // multi-field index has one stats row per field; postings totals above
-    // are global)
-    val fs = stats.agg(
-      sum("sumTotalTermFreq"), sum("sumDocFreq"), sum("termCount"),
-      max("maxDoc"), max("docCount")).collect()(0)
-    if (fs.getLong(0) != agg.getLong(2)) problems += "fieldstats.sumTtf stale"
-    if (fs.getLong(1) != agg.getLong(1)) problems += "fieldstats.sumDocFreq stale"
-    if (fs.getLong(2) != t.getLong(2)) problems += "fieldstats.termCount stale"
-    if (fs.getLong(3) != nDocs) problems += "fieldstats.maxDoc stale"
+    // published field stats vs PER-FIELD recomputation: sums from decoded
+    // postings, termCount from the terms dict, docCount from the stored
+    // per-field dls (docs with ≥1 token in that field)
+    val perFieldPostings = rowChecks.groupBy("field")
+      .agg(sum("df").as("pSumDf"), sum("ttf").as("pSumTtf"))
+    val perFieldTerms = terms.groupBy("field").agg(count(lit(1)).as("pTermCount"))
+    val perFieldDocs = docs
+      .select(explode(col("fieldDls")).as(Seq("field", "fdl")))
+      .where(col("fdl") > 0)
+      .groupBy("field").agg(count(lit(1)).as("pDocCount"))
+    val fieldRows = stats
+      .join(perFieldPostings, Seq("field"), "full_outer")
+      .join(perFieldTerms, Seq("field"), "full_outer")
+      .join(perFieldDocs, Seq("field"), "full_outer")
+      .collect()
+    fieldRows.foreach { r =>
+      val f = r.getAs[String]("field")
+      def cmp(published: String, recomputed: String): Unit = {
+        val p = if (r.isNullAt(r.fieldIndex(published))) -1L else r.getAs[Long](published)
+        val c = if (r.isNullAt(r.fieldIndex(recomputed))) -1L else r.getAs[Long](recomputed)
+        if (p != c) problems += s"fieldstats[$f].$published $p != recomputed $c"
+      }
+      cmp("sumTotalTermFreq", "pSumTtf")
+      cmp("sumDocFreq", "pSumDf")
+      cmp("termCount", "pTermCount")
+      cmp("docCount", "pDocCount")
+      if (r.isNullAt(r.fieldIndex("maxDoc")) || r.getAs[Long]("maxDoc") != nDocs)
+        problems += s"fieldstats[$f].maxDoc stale"
+    }
+    rowChecks.unpersist()
 
-    Report(nDocs, fs.getLong(4), t.getLong(2), t.getLong(0), t.getLong(1),
+    val docCount = stats.agg(max("docCount")).collect()(0).getLong(0)
+    Report(nDocs, docCount, t.getLong(2), t.getLong(0), t.getLong(1),
       agg.getLong(3), problems.toSeq)
   }
 }

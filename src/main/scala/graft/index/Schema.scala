@@ -8,8 +8,12 @@ import graft.analysis.{Analyzer, StandardCodeAnalyzer}
 final case class CodeFile(repo: String, path: String, commit: String, lang: String, content: String)
 
 /** Stored-fields row: one per document. `contentSha` carries the per-row
-  * invariant (sha256 equality vs the corpus); `dl`/`norm` are the BM25
-  * document length and its byte315 quantization.
+  * invariant (sha256 equality vs the corpus); `dl`/`norm` are the primary
+  * field's BM25 document length and its byte315 quantization. `fieldDls`
+  * holds EVERY indexed field's per-doc length — analyzed fields' token
+  * counts, keyword fields' presence (1) — feeding per-field docCount stats
+  * and the singleton-pulsing read path (which reconstructs dl/norm without
+  * touching postings).
   */
 final case class DocRow(
     docId: Long,
@@ -20,7 +24,8 @@ final case class DocRow(
     lang: String,
     contentSha: String,
     dl: Int,
-    norm: Byte)
+    norm: Byte,
+    fieldDls: Map[String, Int] = Map.empty)
 
 /** One posting-list slice: all docs of `term` within docId range `rangeId`
   * (rangeId = docId / docsPerRange). Hot terms (df≈N) are thereby range-split
@@ -103,4 +108,11 @@ final case class IndexConfig(
       * StringField, /root/reference/core/document/field.go:16-48) with
       * dl=1 — `field:value` queries route here. Must be a subset of
       * {repo, path, commit, lang}. */
-    keywordFields: Seq[String] = Nil)
+    keywordFields: Seq[String] = Nil,
+    /** metadata columns additionally indexed as ANALYZED text fields (the
+      * reference's TextField on arbitrary named fields, field.go:16-48,
+      * fieldInfos.go:187): each is tokenized by the same analyzer with its
+      * own per-doc length/norm and positions — `field:term` queries and
+      * fielded phrases route here. Must be a subset of
+      * {repo, path, commit, lang}, disjoint from keywordFields. */
+    analyzedFields: Seq[String] = Nil)

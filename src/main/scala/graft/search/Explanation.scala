@@ -88,20 +88,21 @@ private[search] object Explain {
               s"fieldLength (dl=${acc.dls(fi)(slot)}, normByte=${acc.norms(fi)(slot)}, avgdl=${Bm25.avgdlExact(cs)})")))
       }
 
-    case (PhraseQuery(ts, boost), leaf @ CLeafPhrase(idxs, fi, _, _)) =>
+    case (PhraseQuery(ts, boost, f), leaf @ CLeafPhrase(idxs, fi, _, _)) =>
+      val fieldName = f.getOrElse(searcher.field)
       val v = evalAt(leaf, acc, slot, mode)
       val pf = Eval.phraseFreq(idxs, acc, slot)
       if (v.isNaN)
         Explanation(0.0, s"no match: phrase(\"${ts.mkString(" ")}\")", Nil, isMatch = false)
       else
         Explanation(v,
-          s"weight(${searcher.field}:\"${ts.mkString(" ")}\" in $docId) [phrase" +
+          s"weight($fieldName:\"${ts.mkString(" ")}\" in $docId) [phrase" +
             (if (boost != 1.0f) s", boost=$boost" else "") + "]",
           Seq(
             Explanation(pf.toDouble, s"phraseFreq=$pf"),
             Explanation(acc.dls(fi)(slot).toDouble, s"fieldLength (dl=${acc.dls(fi)(slot)})")))
 
-    case (PhraseQuery(ts, _), leaf: CLeafTerm) => // missing member term
+    case (PhraseQuery(ts, _, _), leaf: CLeafTerm) => // missing member term
       Explanation(0.0, s"no match: phrase(\"${ts.mkString(" ")}\") has unindexed terms",
         Nil, isMatch = false)
 

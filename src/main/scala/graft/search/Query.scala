@@ -14,8 +14,13 @@ sealed trait Query
 final case class TermQuery(term: String, boost: Float = 1.0f,
     field: Option[String] = None) extends Query
 
-/** Exact phrase, slop=0 (/root/reference/core/search/exactPhraseScorer.go). */
-final case class PhraseQuery(terms: Seq[String], boost: Float = 1.0f) extends Query
+/** Exact phrase, slop=0 (/root/reference/core/search/exactPhraseScorer.go).
+  * `field = None` targets the searcher's default field; `Some(f)` a named
+  * ANALYZED field (reference phrases are per-field,
+  * /root/reference/core/search/phrase.go:18-60).
+  */
+final case class PhraseQuery(terms: Seq[String], boost: Float = 1.0f,
+    field: Option[String] = None) extends Query
 
 sealed trait Occur
 object Occur {
@@ -40,17 +45,17 @@ object Query {
     val buf = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
     def walk(q: Query): Unit = q match {
       case TermQuery(t, _, f) => buf += ((f.getOrElse(defaultField), t))
-      case PhraseQuery(ts, _) => ts.foreach(t => buf += ((defaultField, t)))
+      case PhraseQuery(ts, _, f) => ts.foreach(t => buf += ((f.getOrElse(defaultField), t)))
       case BooleanQuery(cs, _, _) => cs.foreach(c => walk(c.query))
     }
     walk(q)
     buf.toSeq
   }
 
-  /** Terms that need positions decoded (phrase members). */
-  def phraseTerms(q: Query): Set[String] = q match {
-    case PhraseQuery(ts, _) => ts.toSet
-    case BooleanQuery(cs, _, _) => cs.flatMap(c => phraseTerms(c.query)).toSet
+  /** (field, term) keys that need positions decoded (phrase members). */
+  def phraseTerms(q: Query, defaultField: String): Set[(String, String)] = q match {
+    case PhraseQuery(ts, _, f) => ts.map(t => (f.getOrElse(defaultField), t)).toSet
+    case BooleanQuery(cs, _, _) => cs.flatMap(c => phraseTerms(c.query, defaultField)).toSet
     case _ => Set.empty
   }
 
@@ -60,7 +65,7 @@ object Query {
     * optional==minShouldMatch → promote to required (boolean.go:164-169).
     */
   def rewrite(q: Query): Query = q match {
-    case PhraseQuery(Seq(t), boost) => TermQuery(t, boost)
+    case PhraseQuery(Seq(t), boost, f) => TermQuery(t, boost, f)
     case t: TermQuery => t
     case bq @ BooleanQuery(cs, msm, boost) =>
       val rewritten = cs.map(c => c.copy(query = rewrite(c.query)))
@@ -80,7 +85,7 @@ object Query {
 
   private def foldBoost(q: Query, b: Float): Query = q match {
     case TermQuery(t, b0, f) => TermQuery(t, b0 * b, f)
-    case PhraseQuery(ts, b0) => PhraseQuery(ts, b0 * b)
+    case PhraseQuery(ts, b0, f) => PhraseQuery(ts, b0 * b, f)
     case BooleanQuery(cs, m, b0) => BooleanQuery(cs, m, b0 * b)
   }
 }

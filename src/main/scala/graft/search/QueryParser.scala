@@ -9,14 +9,23 @@ import graft.analysis.Analyzer
   * (/root/reference/queryparser/classic/queryBuilder.go:23-130): one token →
   * TermQuery, n tokens → BooleanQuery of SHOULD clauses, quoted → PhraseQuery.
   */
-/** @param strictFields when true (default), an unknown `field:` prefix is an
+/** @param keywordFields fields indexed as single unanalyzed terms
+  *   (StringField) — `field:value` takes the raw value; quoted phrases are
+  *   REJECTED (a keyword field has one position — a multi-token phrase can
+  *   never match, so silently degrading it to a raw term hid user mistakes).
+  * @param analyzedFields extra tokenized text fields — `field:text`
+  *   re-analyzes and routes each token (or phrase) to that field, the
+  *   reference's per-field TextField queries (queryBuilder.go:23-130,
+  *   phrase.go:18-60).
+  * @param strictFields when true (default), an unknown `field:` prefix is an
   *   error — never silently searched against the default field (the round-1
   *   bug). Set false for free-text surfaces where colons are ordinary
   *   characters (`std::vector`, URLs): unknown-prefix words are then
   *   analyzed whole as default-field text.
   */
 final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
-    keywordFields: Set[String] = Set.empty, strictFields: Boolean = true) {
+    keywordFields: Set[String] = Set.empty, strictFields: Boolean = true,
+    analyzedFields: Set[String] = Set.empty) {
 
   private sealed trait Tok
   private case object LParen extends Tok
@@ -105,7 +114,14 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
     (q, toks)
   }
 
-  /** One clause: group, quoted phrase, or bare term (with optional field:). */
+  private def unknownField(f: String): Nothing =
+    throw new IllegalArgumentException(
+      s"unknown field '$f' (known: '$defaultField'" +
+        (keywordFields ++ analyzedFields).toSeq.sorted.map(k => s", '$k'").mkString + ")")
+
+  /** One clause: group, quoted phrase (optionally `field:"..."`), or bare
+    * term (optionally `field:term`).
+    */
   private def parseClause(toks: List[Tok]): (Option[Query], List[Tok]) = toks match {
     case LParen :: rest =>
       val (q, rest2) = parseBoolean(rest)
@@ -114,35 +130,56 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
         case r => r
       }
       (Some(q), rest3)
+    // fielded phrase `f:"a b"` — the lexer yields Word("f:") then Quoted.
+    // Analyzed fields route the phrase (reference phrase.go:18-60); keyword
+    // fields REJECT it (single-position fields can never match a phrase);
+    // unknown fields: strict → error, lenient → fall through to the separate
+    // Word + Quoted handling (the colon is ordinary query text there)
+    case Word(w) :: Quoted(s) :: rest if w.length > 1 && w.endsWith(":") &&
+        (strictFields || fieldKnown(w.dropRight(1))) =>
+      val f = w.dropRight(1)
+      if (f == defaultField) (phrase(s, None), rest)
+      else if (analyzedFields.contains(f)) (phrase(s, Some(f)), rest)
+      else if (keywordFields.contains(f))
+        throw new IllegalArgumentException(
+          s"keyword field '$f' indexes one unanalyzed token — a phrase can never match; " +
+            s"use $f:value without quotes")
+      else unknownField(f)
     case Quoted(s) :: rest =>
-      val terms = analyzer(s).tokens.map(_.term).toSeq
-      terms match {
-        case Seq() => (None, rest)
-        case Seq(t) => (Some(TermQuery(t)), rest)
-        case ts => (Some(PhraseQuery(ts)), rest)
-      }
+      (phrase(s, None), rest)
     case Word(w) :: rest =>
       // `field:text` routes to a named field (queryBuilder.go:23-130):
-      // defaultField re-analyzes; keyword fields take the RAW value as a
-      // single unanalyzed term (StringField semantics); unknown fields are
-      // REJECTED — never silently searched against the default field
+      // defaultField and analyzed fields re-analyze; keyword fields take the
+      // RAW value as one unanalyzed term (StringField semantics); unknown
+      // fields are REJECTED — never silently searched against the default
       val ci = w.indexOf(':')
       if (ci > 0 && ci < w.length - 1) {
         val f = w.substring(0, ci)
         val text = w.substring(ci + 1)
-        if (f == defaultField) (analyzed(text), rest)
+        if (f == defaultField) (analyzed(text, None), rest)
+        else if (analyzedFields.contains(f)) (analyzed(text, Some(f)), rest)
         else if (keywordFields.contains(f)) (Some(TermQuery(text, 1.0f, Some(f))), rest)
-        else if (!strictFields) (analyzed(w), rest) // whole word as text
-        else throw new IllegalArgumentException(
-          s"unknown field '$f' (known: '$defaultField'${keywordFields.toSeq.sorted.map(k => s", '$k'").mkString})")
-      } else (analyzed(w), rest)
+        else if (!strictFields) (analyzed(w, None), rest) // whole word as text
+        else unknownField(f)
+      } else (analyzed(w, None), rest)
     case other => (None, if (other.isEmpty) Nil else other.tail)
   }
 
-  private def analyzed(text: String): Option[Query] =
+  private def fieldKnown(f: String): Boolean =
+    f == defaultField || keywordFields.contains(f) || analyzedFields.contains(f)
+
+  private def phrase(s: String, field: Option[String]): Option[Query] =
+    analyzer(s).tokens.map(_.term).toSeq match {
+      case Seq() => None
+      case Seq(t) => Some(TermQuery(t, 1.0f, field))
+      case ts => Some(PhraseQuery(ts, 1.0f, field))
+    }
+
+  private def analyzed(text: String, field: Option[String]): Option[Query] =
     analyzer(text).tokens.map(_.term).toSeq match {
       case Seq() => None
-      case Seq(t) => Some(TermQuery(t))
-      case ts => Some(BooleanQuery(ts.map(t => BooleanClause(Occur.SHOULD, TermQuery(t))).toList))
+      case Seq(t) => Some(TermQuery(t, 1.0f, field))
+      case ts => Some(BooleanQuery(
+        ts.map(t => BooleanClause(Occur.SHOULD, TermQuery(t, 1.0f, field))).toList))
     }
 }

@@ -320,13 +320,14 @@ final class IndexSearcher(
         stats.get((fld(f), t))
           .map(ts => sim.valueForNormalization(ts, collectionStats(fld(f)), boost * topBoost))
           .getOrElse(0f)
-      case PhraseQuery(ts, boost) =>
-        if (ts.forall(t => stats.contains((field, t))))
+      case PhraseQuery(ts, boost, f) =>
+        val fn = fld(f)
+        if (ts.forall(t => stats.contains((fn, t))))
           sim.valueForNormalization(
-            TermStats(field, ts.mkString(" "),
-              ts.map(t => stats((field, t)).docFreq).min,
-              ts.map(t => stats((field, t)).totalTermFreq).sum),
-            collectionStats, boost * topBoost)
+            TermStats(fn, ts.mkString(" "),
+              ts.map(t => stats((fn, t)).docFreq).min,
+              ts.map(t => stats((fn, t)).totalTermFreq).sum),
+            collectionStats(fn), boost * topBoost)
         else 0f
       case BooleanQuery(clauses, _, boost) =>
         clauses.filter(_.occur != Occur.MUST_NOT)
@@ -345,13 +346,14 @@ final class IndexSearcher(
               Bm25.exactScorer(ts, cs, boost = (boost * topBoost).toDouble))
           case None => CLeafTerm(-1, 0, null, null)
         }
-      case PhraseQuery(ts, boost) =>
-        if (ts.forall(t => stats.contains((field, t)))) {
-          val cs = collectionStats
+      case PhraseQuery(ts, boost, f) =>
+        val fn = fld(f)
+        if (ts.forall(t => stats.contains((fn, t)))) {
+          val cs = collectionStats(fn)
           // phrase weight = sum of member idfs (bm25.go idfExplainPhrase)
-          val idfD = ts.map(t => Bm25.idfExact(stats((field, t)).docFreq, cs.maxDoc)).sum
-          CLeafPhrase(ts.map(t => termIdx((field, t))).toArray, fieldIdx(field),
-            sim.phraseScorer(ts.map(t => stats((field, t))), cs, boost * topBoost).normalize(qn),
+          val idfD = ts.map(t => Bm25.idfExact(stats((fn, t)).docFreq, cs.maxDoc)).sum
+          CLeafPhrase(ts.map(t => termIdx((fn, t))).toArray, fieldIdx(fn),
+            sim.phraseScorer(ts.map(t => stats((fn, t))), cs, boost * topBoost).normalize(qn),
             new Bm25.ExactScorer(idfD * boost * topBoost, Bm25.avgdlExact(cs), 1.2, 0.75))
         } else CLeafTerm(-1, 0, null, null)
       case BooleanQuery(clauses, msm, boost) =>
@@ -383,8 +385,8 @@ final class IndexSearcher(
     val fieldIdx = fields.zipWithIndex.toMap
     val stats = termStats(keys)
     val plan = compile(q, stats, termIdx, fieldIdx)
-    val pts = Query.phraseTerms(q)
-    val needPos = keys.map { case (f, t) => f == field && pts.contains(t) }.toArray
+    val pts = Query.phraseTerms(q, field)
+    val needPos = keys.map(pts.contains).toArray
     Prepared(q, keys, stats,
       new GroupEval(manifest.docsPerRange, keys.size, fields.size, needPos,
         termIdx, fieldIdx, plan, mode, deletedSorted))
@@ -403,7 +405,8 @@ final class IndexSearcher(
   def docs(docIds: Seq[Long]): Seq[graft.index.DocRow] = {
     import spark.implicits._
     docsDF.where(col("docId").isin(docIds: _*))
-      .select("docId", "segId", "repo", "path", "commit", "lang", "contentSha", "dl", "norm")
+      .select("docId", "segId", "repo", "path", "commit", "lang", "contentSha",
+        "dl", "norm", "fieldDls")
       .as[graft.index.DocRow].collect().toSeq
   }
 

@@ -131,6 +131,111 @@ class FieldSearchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // ---- second ANALYZED field (round-3: multi-field text indexing) ----
+
+  private val M = 300
+  private lazy val mfCorpus = (0 until M).map(i => CodeFile(
+    repo = s"team${i % 3} proj${i % 5}", // 2-token analyzed text
+    path = f"p$i%05d",
+    commit = "",
+    lang = if (i == 0) "" else if (i % 2 == 0) "go" else "scala",
+    content = if (i == 1) "" else s"parser buffer tokn$i"))
+  private lazy val mfIndex = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf").toString
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 64, numSegments = 4, segmentsPerWave = 4,
+      keywordFields = Seq("lang"), analyzedFields = Seq("repo"))
+    new IndexBuilder(spark, cfg).build(mfCorpus.toDF(), dir)
+    dir
+  }
+  private lazy val mfSearcher = new IndexSearcher(spark, mfIndex)
+  private lazy val mfParser = new QueryParser(new StandardCodeAnalyzer(),
+    keywordFields = Set("lang"), analyzedFields = Set("repo"))
+
+  test("second analyzed field: tokenized terms score with that field's own stats") {
+    val hits = mfSearcher.search(TermQuery("team1", 1.0f, Some("repo")), M, ScoreMode.ExactDouble)
+    val df = mfCorpus.count(_.repo.startsWith("team1"))
+    assert(hits.totalHits == df)
+    // every repo value has exactly 2 tokens → dl = avgdl = 2 → tfNorm = 1 →
+    // score = idf(df, M) exactly, in float64
+    val expected = Bm25.idfExact(df, M)
+    hits.scoreDocs.foreach(d => assert(d.score == expected,
+      s"doc ${d.docId}: ${d.score} != $expected"))
+    // the term must NOT leak into the content field
+    assert(mfSearcher.search(TermQuery("team1"), M, ScoreMode.ExactDouble).totalHits == 0)
+  }
+
+  test("fielded phrase: exact adjacency within the analyzed field, order-sensitive") {
+    val q = PhraseQuery(Seq("team1", "proj2"), field = Some("repo"))
+    val hits = mfSearcher.search(q, M, ScoreMode.ExactDouble)
+    val expected = (0 until M).count(i => i % 3 == 1 && i % 5 == 2)
+    assert(expected > 0 && hits.totalHits == expected)
+    val dfTeam = mfCorpus.count(_.repo.startsWith("team1"))
+    val dfProj = mfCorpus.count(_.repo.endsWith("proj2"))
+    val want = Bm25.idfExact(dfTeam, M) + Bm25.idfExact(dfProj, M) // tfNorm = 1
+    hits.scoreDocs.foreach(d => assert(d.score == want))
+    // reversed order never matches (positions, not bag-of-words)
+    assert(mfSearcher.search(PhraseQuery(Seq("proj2", "team1"), field = Some("repo")),
+      M, ScoreMode.ExactDouble).totalHits == 0)
+    // Ref32 mode works too and explain reproduces it
+    val r32 = mfSearcher.search(q, 3, ScoreMode.Ref32)
+    val ex = mfSearcher.explain(q, r32.scoreDocs.head.docId, ScoreMode.Ref32)
+    assert(ex.isMatch && ex.value == r32.scoreDocs.head.score, ex.render)
+  }
+
+  test("parser: analyzed-field routing, fielded phrases, keyword-phrase rejection") {
+    assert(mfParser.parse("repo:team1") == TermQuery("team1", 1.0f, Some("repo")))
+    assert(mfParser.parse("repo:\"team1 proj2\"") ==
+      PhraseQuery(Seq("team1", "proj2"), 1.0f, Some("repo")))
+    // multi-token unquoted field text → SHOULD terms on that field
+    mfParser.parse("repo:team1proj2".replace("team1proj2", "team1")) // single stays term
+    // keyword field + phrase: rejected loudly (single-position field)
+    val ex = intercept[IllegalArgumentException](mfParser.parse("lang:\"a b\""))
+    assert(ex.getMessage.contains("keyword field"))
+    // unknown field + phrase: strict rejects; lenient treats as text + phrase
+    intercept[IllegalArgumentException](mfParser.parse("nosuch:\"a b\""))
+    val lenient = new QueryParser(new StandardCodeAnalyzer(), strictFields = false)
+    lenient.parse("nosuch:\"posting list\"") match {
+      case BooleanQuery(cs, _, _) =>
+        assert(cs.exists(_.query == TermQuery("nosuch")))
+        assert(cs.exists(_.query == PhraseQuery(Seq("posting", "list"))))
+      case other => fail(s"unexpected lenient parse: $other")
+    }
+  }
+
+  test("per-field docCount is each field's own non-empty count; CheckIndex verifies it") {
+    val stats = spark.read.parquet(s"$mfIndex/fieldstats")
+      .select("field", "docCount", "maxDoc")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats("content")._1 == M - 1) // doc 1 has empty content
+    assert(stats("lang")._1 == M - 1) // doc 0 has empty lang
+    assert(stats("repo")._1 == M)
+    assert(stats.values.forall(_._2 == M)) // maxDoc stays global
+    val report = CheckIndex.run(spark, mfIndex)
+    assert(report.ok, report.problems.mkString("; "))
+
+    // CheckIndex catches a corrupted per-field docCount (advisor round-2 fix:
+    // the summed check let compensating per-field errors pass)
+    val stPath = s"$mfIndex/fieldstats"
+    val rows = spark.read.parquet(stPath).collect()
+    val schema = spark.read.parquet(stPath).schema
+    val di = schema.fieldIndex("docCount")
+    val fi = schema.fieldIndex("field")
+    val corrupted = rows.map { r =>
+      val vals = r.toSeq.toArray
+      if (r.getString(fi) == "repo") vals(di) = 1L
+      org.apache.spark.sql.Row.fromSeq(vals.toSeq)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(corrupted.toSeq), schema)
+      .write.mode("overwrite").parquet(stPath)
+    val bad = CheckIndex.run(spark, mfIndex)
+    assert(!bad.ok && bad.problems.exists(_.contains("docCount")),
+      s"per-field docCount corruption must be caught: ${bad.problems}")
+    // restore for other tests
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+      .write.mode("overwrite").parquet(stPath)
+  }
+
   test("explain on a fielded query reproduces the score") {
     val q = parser.parse("+lang:go +parser")
     val top = searcher.search(q, 3, ScoreMode.Ref32)
