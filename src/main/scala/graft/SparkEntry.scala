@@ -103,6 +103,10 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       Ann.ivfCosineTopK(s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
         queryMaxId = 5L, k = 5).orderBy("query_id", "rank")),
+    "ann_ivf_recall" -> ((s, d) => // fixed-quantizer mode (oracle-stable);
+      // the trained k-means path is spec-verified (AnnSpec)
+      Ann.ivfRecallAtK(s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
+        queryMaxId = 5L, k = 5).orderBy("query_id")),
 
     // ---- text analysis ----
     "ev_windowed" -> ((s, d) =>
@@ -228,6 +232,38 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM lsh_scored
        |)""".stripMargin
+
+  /** IVF CTEs shared by ann_ivf_topk / ann_ivf_recall (fixed lowest-id
+    * quantizer - exactly the engine's oracle-stable default).
+    */
+  private val ivfCtes =
+    s"""WITH n AS (
+         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM n WHERE vec_id < 16
+         |), ac AS (
+         |  SELECT a.vec_id AS neighbor_id, a.embedding AS nv, a.nrm AS nn, c.cid,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${dotSql("a.embedding", "c.cv")} / (a.nrm * c.cn) DESC, c.cid) AS arank
+         |  FROM n a, cents c
+         |), assigned AS (
+         |  SELECT neighbor_id, nv, nn, cid FROM ac WHERE arank = 1
+         |), pr AS (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qv, q.nrm AS qn, c.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dotSql("q.embedding", "c.cv")} / (q.nrm * c.cn) DESC, c.cid) AS prank
+         |  FROM (SELECT * FROM n WHERE vec_id < 5) q, cents c
+         |), probes AS (
+         |  SELECT query_id, qv, qn, cid FROM pr WHERE prank <= 4
+         |), ivf_scored AS (
+         |  SELECT query_id, neighbor_id, round(${dotSql("qv", "nv")} / (qn * nn), 4) AS cosine
+         |  FROM probes JOIN assigned USING (cid) WHERE query_id <> neighbor_id
+         |), ivf_ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM ivf_scored
+         |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ft_term_stats" ->
@@ -447,35 +483,26 @@ object SparkEntry {
          |WHERE round(${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 4) >= 0.25
          |ORDER BY id_a, id_b""".stripMargin,
     "ann_ivf_topk" ->
-      s"""WITH n AS (
-         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
-         |  FROM embeddings
-         |), cents AS (
-         |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM n WHERE vec_id < 16
-         |), ac AS (
-         |  SELECT a.vec_id AS neighbor_id, a.embedding AS nv, a.nrm AS nn, c.cid,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY ${dotSql("a.embedding", "c.cv")} / (a.nrm * c.cn) DESC, c.cid) AS arank
-         |  FROM n a, cents c
-         |), assigned AS (
-         |  SELECT neighbor_id, nv, nn, cid FROM ac WHERE arank = 1
-         |), pr AS (
-         |  SELECT q.vec_id AS query_id, q.embedding AS qv, q.nrm AS qn, c.cid,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${dotSql("q.embedding", "c.cv")} / (q.nrm * c.cn) DESC, c.cid) AS prank
-         |  FROM (SELECT * FROM n WHERE vec_id < 5) q, cents c
-         |), probes AS (
-         |  SELECT query_id, qv, qn, cid FROM pr WHERE prank <= 4
-         |), ivf_scored AS (
-         |  SELECT query_id, neighbor_id, round(${dotSql("qv", "nv")} / (qn * nn), 4) AS cosine
-         |  FROM probes JOIN assigned USING (cid) WHERE query_id <> neighbor_id
-         |), ivf_ranked AS (
-         |  SELECT query_id, neighbor_id, cosine,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-         |  FROM ivf_scored
-         |)
+      s"""$ivfCtes
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
          |FROM ivf_ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_recall" ->
+      s"""$ivfCtes, exact_scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cosine
+         |  FROM (SELECT * FROM n WHERE vec_id < 5) a, n b
+         |  WHERE a.vec_id <> b.vec_id
+         |), exact_ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM exact_scored
+         |)
+         |SELECT e.query_id AS query_id,
+         |       round(CAST(count(l.neighbor_id) AS DOUBLE) / 5.0, 4) AS recall
+         |FROM (SELECT * FROM exact_ranked WHERE rank <= 5) e
+         |LEFT JOIN (SELECT * FROM ivf_ranked WHERE rank <= 5) l
+         |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id ORDER BY query_id""".stripMargin,
     "ann_lsh_topk" ->
       s"""$lshCtes
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine

@@ -139,10 +139,14 @@ object Ann {
     * assignment → probe join → re-rank) is identical.
     */
   def ivfCosineTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryMaxId: Long, k: Int, numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+      queryMaxId: Long, k: Int, numCentroids: Int = 16, nprobe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val all = withNorm(df, idCol, vecCol)
-    val cents = all.where(col(idCol) < numCentroids)
-      .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    // trained quantizer when provided (kmeansCentroids — the production
+    // path); the fixed lowest-id default stays for oracle reproducibility
+    val cents = centroids.getOrElse(
+      all.where(col(idCol) < numCentroids)
+        .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cn")))
     // assignment: every vector → its closest centroid (broadcast: n×C
     // cosines, C small); ties break toward the smaller centroid id.
     // max_by over (ccos, -cid) is a partial aggregation — the shuffle
@@ -173,6 +177,69 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic spherical k-means (Lloyd's) for the IVF quantizer:
+    * init = the k lowest-id vectors; assignment by cosine (broadcast
+    * centroids, one shuffle per iteration carrying 1 row/vector); new
+    * centroid = member mean. Per-dimension sums go through DECIMAL so the
+    * result is independent of partitioning/aggregation order — two runs
+    * yield bit-identical centroids. Only the k×dim centroid matrix touches
+    * the driver (per iteration); all per-vector work stays distributed.
+    * Returns (cid, cv, cn) ready for [[ivfCosineTopK]].
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val all = withNorm(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Seq[(Long, Seq[Double])] = all.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), col("v")).as[(Long, Seq[Double])].collect()
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toSeq
+    for (_ <- 1 to iters) {
+      val centDf = cents.toDF("cid", "cv")
+        .withColumn("cn", sqrt(dotD(col("cv"), col("cv"))))
+      val assigned = all.crossJoin(broadcast(centDf))
+        .withColumn("ccos", dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .groupBy(col(idCol))
+        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"),
+          first(col("v")).as("v"))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x").cast("decimal(38,18)")).as("sx"), count(lit(1)).as("m"))
+        .collect()
+      val byC = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, prev) =>
+        byC.get(cid) match {
+          case Some(rows) =>
+            val m = rows.head.getLong(3).toDouble
+            (cid, rows.sortBy(_.getInt(1)).map(_.getDecimal(2).doubleValue() / m).toSeq)
+          case None => (cid, prev) // empty cluster keeps its centroid
+        }
+      }
+    }
+    all.unpersist()
+    cents.toDF("cid", "cv").withColumn("cn", sqrt(dotD(col("cv"), col("cv"))))
+  }
+
+  /** Measured recall@k of the IVF path vs the exact brute-force top-k, per
+    * query — with either the fixed quantizer (oracle mode) or trained
+    * centroids.
+    */
+  def ivfRecallAtK(df: DataFrame, idCol: String, vecCol: String,
+      queryMaxId: Long, k: Int, numCentroids: Int = 16, nprobe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val exact = cosineTopK(df, idCol, vecCol, queryMaxId, k)
+      .select("query_id", "neighbor_id")
+    val ivf = ivfCosineTopK(df, idCol, vecCol, queryMaxId, k, numCentroids, nprobe, centroids)
+      .select(col("query_id"), col("neighbor_id").as("ivf_neighbor"))
+    exact
+      .join(ivf, exact("query_id") === ivf("query_id") &&
+        exact("neighbor_id") === ivf("ivf_neighbor"), "left")
+      .groupBy(exact("query_id").as("query_id"))
+      .agg(round(count(col("ivf_neighbor")).cast("double") / lit(k.toDouble), 4).as("recall"))
   }
 
   /** Measured recall@k of the LSH path vs the exact brute-force top-k, per

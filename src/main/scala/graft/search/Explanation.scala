@@ -68,7 +68,7 @@ private[search] object Explain {
       searcher: IndexSearcher, stats: Map[(String, String), TermStats],
       mode: ScoreMode): Explanation = (q, n) match {
 
-    case (TermQuery(t, boost, f), leaf @ CLeafTerm(idx, fi, _, _)) =>
+    case (TermQuery(t, boost, f), leaf @ CLeafTerm(idx, fi, refS, exactS)) =>
       val fieldName = f.getOrElse(searcher.field)
       val v = evalAt(leaf, acc, slot, mode)
       if (v.isNaN || idx < 0)
@@ -77,30 +77,44 @@ private[search] object Explain {
         val freq = acc.freqs(idx)(slot)
         val ts = stats((fieldName, t))
         val cs = searcher.collectionStats(fieldName)
-        val idf = Bm25.idfExact(ts.docFreq, cs.maxDoc)
+        // detail values COMPOSE: their product in mode arithmetic equals the
+        // node value exactly (reference term.go:163-193 — tfNorm × weight);
+        // the function arguments live in descriptions, not value nodes
+        val parts: Seq[(String, Double)] = mode match {
+          case ScoreMode.Ref32 =>
+            refS.explainFactors(freq.toFloat, acc.norms(fi)(slot))
+              .map { case (l, x) => (l, x.toDouble) }
+          case ScoreMode.ExactDouble =>
+            exactS.explainFactors(freq.toDouble, acc.dls(fi)(slot).toDouble)
+        }
+        val ctx = s"termFreq=$freq, docFreq=${ts.docFreq}, maxDoc=${cs.maxDoc}, " +
+          s"dl=${acc.dls(fi)(slot)}, normByte=${acc.norms(fi)(slot)}, avgdl=${Bm25.avgdlExact(cs)}"
         Explanation(v,
-          s"weight($fieldName:$t in $docId) [${searcher.similarity.name}" +
-            (if (boost != 1.0f) s", boost=$boost" else "") + "]",
-          Seq(
-            Explanation(freq.toDouble, s"termFreq=$freq"),
-            Explanation(idf, s"idf(docFreq=${ts.docFreq}, maxDoc=${cs.maxDoc})"),
-            Explanation(acc.dls(fi)(slot).toDouble,
-              s"fieldLength (dl=${acc.dls(fi)(slot)}, normByte=${acc.norms(fi)(slot)}, avgdl=${Bm25.avgdlExact(cs)})")))
+          s"product of: weight($fieldName:$t in $docId) [${searcher.similarity.name}" +
+            (if (boost != 1.0f) s", boost=$boost" else "") + s"] ($ctx)",
+          parts.map { case (l, x) => Explanation(x, l) })
       }
 
-    case (PhraseQuery(ts, boost, f), leaf @ CLeafPhrase(idxs, fi, _, _)) =>
+    case (PhraseQuery(ts, boost, f), leaf @ CLeafPhrase(idxs, fi, refS, exactS)) =>
       val fieldName = f.getOrElse(searcher.field)
       val v = evalAt(leaf, acc, slot, mode)
       val pf = Eval.phraseFreq(idxs, acc, slot)
       if (v.isNaN)
         Explanation(0.0, s"no match: phrase(\"${ts.mkString(" ")}\")", Nil, isMatch = false)
-      else
+      else {
+        val parts: Seq[(String, Double)] = mode match {
+          case ScoreMode.Ref32 =>
+            refS.explainFactors(pf.toFloat, acc.norms(fi)(slot))
+              .map { case (l, x) => (l, x.toDouble) }
+          case ScoreMode.ExactDouble =>
+            exactS.explainFactors(pf.toDouble, acc.dls(fi)(slot).toDouble)
+        }
         Explanation(v,
-          s"weight($fieldName:\"${ts.mkString(" ")}\" in $docId) [phrase" +
-            (if (boost != 1.0f) s", boost=$boost" else "") + "]",
-          Seq(
-            Explanation(pf.toDouble, s"phraseFreq=$pf"),
-            Explanation(acc.dls(fi)(slot).toDouble, s"fieldLength (dl=${acc.dls(fi)(slot)})")))
+          s"product of: weight($fieldName:\"${ts.mkString(" ")}\" in $docId) [phrase" +
+            (if (boost != 1.0f) s", boost=$boost" else "") +
+            s"] (phraseFreq=$pf, dl=${acc.dls(fi)(slot)})",
+          parts.map { case (l, x) => Explanation(x, l) })
+      }
 
     case (PhraseQuery(ts, _, _), leaf: CLeafTerm) => // missing member term
       Explanation(0.0, s"no match: phrase(\"${ts.mkString(" ")}\") has unindexed terms",
@@ -129,12 +143,23 @@ private[search] object Explain {
       } else {
         val matched = shouldEx.count(_.isMatch)
         val coordVal = coords(must.length + matched)
-        val kids = (mustEx ++ shouldEx) ++
-          (if (coordVal != 1.0f)
-            Seq(Explanation(coordVal.toDouble,
-              s"coord(${must.length + matched}/${must.length + should.length})"))
-          else Nil)
-        Explanation(v, s"sum of (minShouldMatch=$msm, ${mustNot.length} prohibited):", kids)
+        val kids = mustEx ++ shouldEx
+        // composition: value == fold-add of MATCHING details in listed order
+        // (must then should — the exact float summation order of Eval), then
+        // × coord when it applies (Ref32 only; ExactDouble never coords)
+        if (coordVal == 1.0f || mode == ScoreMode.ExactDouble)
+          Explanation(v,
+            s"sum of: boolean (minShouldMatch=$msm, ${mustNot.length} prohibited)", kids)
+        else {
+          val sumV = kids.filter(_.isMatch).map(_.value.toFloat)
+            .foldLeft(0.0f)(_ + _).toDouble
+          Explanation(v, "product of: boolean (coord-scaled)",
+            Seq(
+              Explanation(sumV,
+                s"sum of: clauses (minShouldMatch=$msm, ${mustNot.length} prohibited)", kids),
+              Explanation(coordVal.toDouble,
+                s"coord(${must.length + matched}/${must.length + should.length})")))
+        }
       }
 
     case _ =>

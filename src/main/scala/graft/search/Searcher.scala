@@ -271,6 +271,12 @@ final class IndexSearcher(
 
   private val statsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Option[TermStats]]
+  /** docId inlined in the terms dict for docFreq==1 terms (singleton pulsing,
+    * reference postingsWriter.go:412-417); filled by the same fetch as
+    * statsCache, so a cached key always has its singleton id too.
+    */
+  private val singletonIds =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 
   /** Driver-side stats lookup for the query's few (field, term) keys
     * (broadcast-join equivalent; the terms table never ships anywhere).
@@ -282,12 +288,15 @@ final class IndexSearcher(
     if (missing.nonEmpty) {
       val fetched = termsDF
         .where(pairPredicate(missing))
-        .select("field", "term", "docFreq", "totalTermFreq")
+        .select("field", "term", "docFreq", "totalTermFreq", "singletonDocId")
         .collect()
         .map(r => (r.getString(0), r.getString(1)) ->
-          TermStats(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          ((TermStats(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)), r.getLong(4))))
         .toMap
-      missing.foreach(k => statsCache.put(k, fetched.get(k)))
+      missing.foreach { k =>
+        statsCache.put(k, fetched.get(k).map(_._1))
+        fetched.get(k).foreach { case (_, sid) => singletonIds.put(k, sid) }
+      }
     }
     keys.flatMap(k => statsCache(k).map(k -> _)).toMap
   }
@@ -510,6 +519,41 @@ final class IndexSearcher(
   private def searchFiltered(q: Query, k: Int, mode: ScoreMode,
       rangeFilter: Option[RangeSel]): TopDocs = {
     val p = prepare(q, mode)
+
+    // singleton pulsing (reference postingsWriter.go:412-417,571-575): when
+    // EVERY present query term has docFreq == 1, its docId is already inlined
+    // in the terms dict and its freq equals its totalTermFreq — the ≤1024
+    // candidate docs' dl/norm come from the stored per-field dls, so the
+    // query completes with ZERO postings reads (terms + docs point lookups
+    // only). Phrases (need positions) and ranged deletes fall through.
+    val present = p.keys.flatMap(kk => p.stats.get(kk).map(kk -> _))
+    if (rangeFilter.isEmpty && !rangedDeletes && !p.ge.needPos.exists(identity) &&
+      present.nonEmpty &&
+      present.forall { case (kk, ts) => ts.docFreq == 1 && singletonIds.get(kk).exists(_ >= 0) }) {
+      val docIds = present.map { case (kk, _) => singletonIds(kk) }.distinct
+      val byId = docs(docIds).map(d => d.docId -> d).toMap
+      val rows: Array[PRow] = present.flatMap { case ((f, t), ts) =>
+        val docId = singletonIds((f, t))
+        byId.get(docId).map { d =>
+          val dl = if (f == field) d.dl else d.fieldDls.getOrElse(f, 1)
+          val enc = PostingsCodec.encode(
+            Array(graft.codec.PostingEntry(docId, ts.totalTermFreq.toInt, dl,
+              graft.codec.SmallFloat.encodeNorm(dl, 0), Array.emptyIntArray)),
+            withPositions = false)
+          (f, t, docId / manifest.docsPerRange, docId, enc.payload,
+            null: Array[Byte], null: Array[Long])
+        }
+      }.toArray
+      val heap = new BoundedHitQueue(k)
+      var total = 0L
+      rows.groupBy(_._3).foreach { case (rangeId, rs) =>
+        p.ge.eval(rangeId, rs.iterator).foreach { sd =>
+          total += 1; heap.insert(sd.docId, sd.score)
+        }
+      }
+      return TopDocs(total, heap.toSortedArray)
+    }
+
     val dfSum = p.keys.map(k => p.stats.get(k).map(_.docFreq).getOrElse(0L)).sum
     // positions scale with totalTermFreq, not docFreq — when the query needs
     // posPayload, gate the driver-local collect on summed ttf too, or a hot

@@ -27,6 +27,14 @@ object Similarity {
     def score(freq: Float, normByte: Byte): Float
     /** multiplied in after queryNorm is known (TF-IDF two-phase weighting) */
     def normalize(queryNorm: Float): Scorer = this
+
+    /** Multiplicative factors whose float32 product IN ORDER equals
+      * score(freq, normByte) exactly — the reference Explanation's
+      * "product of:" composition (explanation.go, term.go:163-193).
+      * Models whose score does not factor return the score itself.
+      */
+    def explainFactors(freq: Float, normByte: Byte): Seq[(String, Float)] =
+      Seq(("score", score(freq, normByte)))
   }
 
   /** norm byte → decoded doc length 1/f² (shared by BM25 + SimilarityBase). */
@@ -53,6 +61,10 @@ class Bm25Similarity(k1: Float = 1.2f, b: Float = 0.75f) extends Similarity {
     private val cache = Array.tabulate(256)(i => Similarity.docLenTable(i) / avgdl)
     def score(freq: Float, normByte: Byte): Float =
       weight * tfNorm(freq, cache(normByte & 0xff))
+    // same expression split at its one multiply: weight × tfNorm == score
+    override def explainFactors(freq: Float, normByte: Byte): Seq[(String, Float)] =
+      Seq(("queryWeight(idf×boost)", weight),
+        ("tfNorm", tfNorm(freq, cache(normByte & 0xff))))
   }
 
   override def termScorer(ts: TermStats, cs: CollectionStats, boost: Float): Similarity.Scorer =
@@ -364,6 +376,11 @@ class TfIdfSimilarity extends Similarity {
     private var value = queryWeight * idfVal // weight*idf (normalize(1) default)
     def score(freq: Float, normByte: Byte): Float =
       value * math.sqrt(freq.toDouble).toFloat * SmallFloat.byte315ToFloat(normByte)
+    // left-assoc product mirrors score(): (value × tf) × fieldNorm
+    override def explainFactors(freq: Float, normByte: Byte): Seq[(String, Float)] =
+      Seq(("queryWeight×idf", value),
+        ("tf=sqrt(freq)", math.sqrt(freq.toDouble).toFloat),
+        ("fieldNorm", SmallFloat.byte315ToFloat(normByte)))
     override def normalize(qn: Float): Similarity.Scorer = {
       val s = new S(idfVal, boost)
       s.queryWeight = idfVal * boost * qn

@@ -50,6 +50,12 @@ object Bm25 {
       extends Serializable {
     def score(freq: Double, dl: Double): Double =
       weight * ((freq * (k1 + 1)) / (freq + k1 * (1 - b + b * dl / avgdl)))
+    /** Factors whose float64 product IN ORDER equals score() exactly
+      * (Explanation composition): weight × tfNorm.
+      */
+    def explainFactors(freq: Double, dl: Double): Seq[(String, Double)] =
+      Seq(("queryWeight(idf×boost)", weight),
+        ("tfNorm", (freq * (k1 + 1)) / (freq + k1 * (1 - b + b * dl / avgdl))))
   }
 
   def exactScorer(ts: TermStats, cs: CollectionStats, k1: Double = 1.2,

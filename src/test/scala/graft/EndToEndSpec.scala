@@ -207,7 +207,8 @@ class EndToEndSpec extends AnyFunSuite with SparkTestBase {
     val ex = searcher.explain(TermQuery("parser"), hit.docId)
     assert(ex.isMatch && ex.value == hit.score,
       s"explain value ${ex.value} != search score ${hit.score}\n${ex.render}")
-    assert(ex.render.contains("parser") && ex.render.contains("idf("))
+    assert(ex.render.contains("parser") && ex.render.contains("docFreq=") &&
+      ex.render.contains("tfNorm"))
   }
 
   test("pluggable similarities run end-to-end and rank plausibly") {

@@ -68,7 +68,57 @@ class ExplainSpec extends AnyFunSuite with SparkTestBase {
     val top = searcher.search(q, 3, ScoreMode.Ref32)
     val ex = searcher.explain(q, top.scoreDocs.head.docId, ScoreMode.Ref32)
     assert(ex.isMatch && ex.value == top.scoreDocs.head.score)
-    assert(ex.details.exists(_.description.startsWith("phraseFreq=")))
+    assert(ex.description.contains("phraseFreq="))
+  }
+
+  /** Every internal node's value equals the composition of its details, in
+    * the mode's arithmetic: "product of" nodes multiply ALL details in order;
+    * "sum of" nodes fold-add the MATCHING details in order (the reference's
+    * Explanation composition, explanation.go / term.go:163-193).
+    */
+  private def assertComposes(e: Explanation, mode: ScoreMode): Unit =
+    if (e.isMatch && e.details.nonEmpty) {
+      if (e.description.startsWith("product of")) {
+        val got = mode match {
+          case ScoreMode.Ref32 => e.details.map(_.value.toFloat).reduce(_ * _).toDouble
+          case ScoreMode.ExactDouble => e.details.map(_.value).reduce(_ * _)
+        }
+        assert(got == e.value, s"product != value:\n${e.render}")
+      } else if (e.description.startsWith("sum of")) {
+        val ms = e.details.filter(_.isMatch)
+        val got = mode match {
+          case ScoreMode.Ref32 => ms.map(_.value.toFloat).foldLeft(0.0f)(_ + _).toDouble
+          case ScoreMode.ExactDouble => ms.map(_.value).foldLeft(0.0)(_ + _)
+        }
+        assert(got == e.value, s"sum != value:\n${e.render}")
+      } else fail(s"internal node lacks a composition op: ${e.description}")
+      e.details.foreach(assertComposes(_, mode))
+    }
+
+  test("every internal node equals the composition of its details (both modes)") {
+    for ((name, q) <- queries; mode <- Seq[ScoreMode](ScoreMode.Ref32, ScoreMode.ExactDouble)) {
+      val top = searcher.search(q, 5, mode)
+      for (hit <- top.scoreDocs) {
+        val ex = searcher.explain(q, hit.docId, mode)
+        assert(ex.value == hit.score, s"$name/$mode root != score")
+        assertComposes(ex, mode)
+      }
+    }
+  }
+
+  test("TF-IDF: coord factor composes as a product node, root still == score") {
+    val s = new IndexSearcher(spark, indexPath, similarity = new TfIdfSimilarity())
+    val q = parser.parse("parser OR buffer OR uniqtoken_3")
+    val top = s.search(q, 5, ScoreMode.Ref32)
+    assert(top.scoreDocs.nonEmpty)
+    for (hit <- top.scoreDocs) {
+      val ex = s.explain(q, hit.docId, ScoreMode.Ref32)
+      assert(ex.value == hit.score, s"tfidf root != score:\n${ex.render}")
+      assertComposes(ex, ScoreMode.Ref32)
+      // partial-match docs get coord < 1 → explicit product wrap
+      if (ex.description.startsWith("product of"))
+        assert(ex.details.exists(_.description.startsWith("coord(")))
+    }
   }
 
   test("non-match explains why") {
