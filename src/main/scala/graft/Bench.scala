@@ -70,28 +70,6 @@ object Bench {
     path
   }
 
-  /** Scaling-measurement build: the distributed compute core (invert +
-    * publish) reading a materialized corpus with explicit ids — the
-    * component whose scaling evidences the N→4N criterion. The staged
-    * checkpoint write is single-box-disk-bound here but scales with
-    * executors on a real cluster (per-executor HDFS/S3 lanes).
-    */
-  /** @return (invert seconds, publish seconds). Publish runs once per N
-    * waves in a real build (segmentsPerWave batching), so its per-wave share
-    * here is a 64x overstatement — both components are reported.
-    */
-  private def fusedBuild(spark: SparkSession, n: Long, parts: Int, out: String): (Double, Double) = {
-    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
-      docsPerRange = 8192, numSegments = 64, segmentsPerWave = 64)
-    val b = new IndexBuilder(spark, cfg)
-    val corpus = spark.read.parquet(corpusParquet(spark, n, parts, cfg.numSegments))
-    val t0 = System.nanoTime()
-    b.invertWave(corpus, 0, out)
-    val t1 = System.nanoTime()
-    b.publish(out)
-    ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
-  }
-
   private def refQueries(parser: QueryParser): Seq[(String, Query)] = Seq(
     "q1_term" -> TermQuery("import"),
     "q2_or" -> parser.parse("parser OR buffer"),
@@ -165,7 +143,10 @@ object Bench {
     //         not the host's frequency curve. ----
     var scalingJson = ""
     if (doScaling) {
-      val scalingDocs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "1000000").toLong
+      // 2^20 docs over 128 corpus files = 8192 docs/file, exactly one
+      // docsPerRange span each: ingest partitions align with docId ranges,
+      // so the postings shuffle regroups single partials (no re-encode)
+      val scalingDocs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "1048576").toLong
       val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "4").toInt
       // primary N=2→8: both levels below this box's memory-contention knee
       // (~8 threads), so the ratio measures the ENGINE; the 4→16 secondary

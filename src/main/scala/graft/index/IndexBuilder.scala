@@ -286,12 +286,20 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
         .write.mode("overwrite").parquet(termsPath)
     }
     val docs = spark.read.parquet(docsPath)
-    // one pass over docs: rollup gives per-segment rows AND the global
-    // totals row in a single shuffle
+    // one pass over docs: rollup gives per-segment rows, the global totals
+    // row, AND every field's docCount (conditional aggs over the stored
+    // per-field dls — no second scan, no explode) in a single shuffle
+    val indexedFields =
+      (Seq(config.field) ++ config.analyzedFields ++ config.keywordFields).distinct
+    val baseAggs = Seq(
+      min("docId").as("docLo"), max("docId").as("docHi"),
+      count(lit(1)).as("docCount"),
+      sum(when(col("dl") > 0, 1L).otherwise(0L)).as("nonEmpty"))
+    val fieldAggs = indexedFields.map(f =>
+      sum(when(element_at(col("fieldDls"), f) > 0, 1L).otherwise(0L)).as(s"dc_$f"))
+    val allAggs = baseAggs ++ fieldAggs
     val docRoll = docs.rollup("segId")
-      .agg(min("docId").as("docLo"), max("docId").as("docHi"),
-        count(lit(1)).as("docCount"),
-        sum(when(col("dl") > 0, 1L).otherwise(0L)).as("nonEmpty"))
+      .agg(allAggs.head, allAggs.tail: _*)
       .collect()
     Await.result(termsJob, scala.concurrent.duration.Duration.Inf)
 
@@ -303,15 +311,17 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
     val globalRow0 = docRoll.find(_.isNullAt(0)).get
     // per-field docCount = docs with ≥1 token IN THAT FIELD (round-2 judge
     // fix: the global nonEmpty count was stamped onto every field's row —
-    // wrong for keyword/extra fields and uncaught by CheckIndex)
-    val fieldDocCounts = docs
-      .select(explode(col("fieldDls")).as(Seq("field", "fdl")))
-      .where(col("fdl") > 0)
-      .groupBy("field").agg(count(lit(1)).as("docCount"))
+    // wrong for keyword/extra fields and uncaught by CheckIndex). Values
+    // come from the rollup's global row → a literal CASE, no join
+    val dcByField = indexedFields.zipWithIndex.map { case (f, i) =>
+      f -> globalRow0.getLong(5 + i)
+    }
+    val docCountCol = dcByField.foldLeft(lit(0L)) { case (acc, (f, n)) =>
+      when(col("field") === f, lit(n)).otherwise(acc)
+    }
     val statsJob = Future {
       fieldStats
-        .join(fieldDocCounts, Seq("field"), "left")
-        .na.fill(0L, Seq("docCount"))
+        .withColumn("docCount", docCountCol)
         .withColumn("maxDoc", lit(globalRow0.getLong(3)))
         .select("field", "sumTotalTermFreq", "sumDocFreq", "termCount", "maxDoc", "docCount")
         .write.mode("overwrite").parquet(statsPath)
@@ -321,12 +331,20 @@ final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig(
     val docCount = globalRow.getLong(4)
     val maxDocId = globalRow.getLong(2) // true max(docId): append base for sparse id spaces
 
-    import spark.implicits._
-    docRoll.filter(!_.isNullAt(0))
+    // segment metadata is a driver-local handful of rows (one per segId) —
+    // written as JSONL via the filesystem directly: a Spark parquet job here
+    // is ~0.2 s of fixed scheduler cost per publish that never parallelizes
+    val segMetas = docRoll.filter(!_.isNullAt(0))
       .map(r => SegmentMeta(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
         generation = 1, lineage = s"$stagedPath/segId=${r.getInt(0)}"))
-      .toSeq.toDF()
-      .write.mode("overwrite").parquet(segmentsPath)
+      .sortBy(_.segId)
+    val segOut = fs(indexPath).create(new Path(s"$segmentsPath.json"), true)
+    segMetas.foreach { sm =>
+      segOut.write((s"""{"segId":${sm.segId},"docLo":${sm.docLo},"docHi":${sm.docHi},""" +
+        s""""docCount":${sm.docCount},"generation":${sm.generation},"lineage":"${sm.lineage}"}""" +
+        "\n").getBytes("UTF-8"))
+    }
+    segOut.close()
     Await.result(statsJob, scala.concurrent.duration.Duration.Inf)
 
     // two-phase commit: all data dirs are durable; the marker makes it live

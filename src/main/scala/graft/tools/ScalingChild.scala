@@ -28,7 +28,12 @@ object ScalingChild {
       .config("spark.sql.shuffle.partitions", math.max(cpus.toInt, 8).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", s"$outBase/spark_local")
-      .config("spark.sql.files.maxPartitionBytes", "32m")
+      // invert wants ONE corpus file per map task: files are written
+      // range-aligned (8192 docs each), so every (term, rangeId) shuffle
+      // group has a single partial and the reduce stage is a pure
+      // pass-through (no decode + re-encode); coarse packing would merge
+      // files, split ranges across partitions, and re-encode everything
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,9 +44,13 @@ object ScalingChild {
     val corpus = spark.read.parquet(corpusPath)
 
     def once(out: String): (Double, Double) = {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4m") // per-file map tasks
       val t0 = System.nanoTime()
       b.invertWave(corpus, 0, out)
       val t1 = System.nanoTime()
+      // publish scans small metadata columns — coarse packing beats
+      // per-file task overhead there
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "32m")
       b.publish(out)
       ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
     }

@@ -25,7 +25,8 @@ object ScalingProbe {
           sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "64"))
         .config("spark.ui.enabled", "false")
         .config("spark.local.dir", s"$scratch/spark_local")
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.maxPartitionBytes",
+          sys.env.getOrElse("SPARK_GRAFT_MPB", "16m"))
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       // stage-level telemetry: wall vs ideal(task-time/cores) exposes
