@@ -28,8 +28,9 @@ import graft.search._
   *
   * Options: `index` (required), `query` (required, classic parser syntax),
   * `k` (default 10), `mode` (`ref32`|`exact`), `field` (default field,
-  * default `content`), `keywordFields` (comma-separated, for `field:value`
-  * routing), `analyzer` (`standard`|`simple`), `wand` (`true` to prune),
+  * default `content`), `keywordFields` / `analyzedFields` (comma-separated,
+  * for `field:value` and fielded text/phrase routing),
+  * `analyzer` (`standard`|`simple`), `wand` (`true` to prune),
   * `strictFields` (`true` to reject unknown `field:` prefixes; default false
   * — free-text queries with colons are searched, not errored).
   *
@@ -138,12 +139,15 @@ final class GraftScan(options: CaseInsensitiveStringMap, limit: Int)
       case "simple" => new SimpleAnalyzer(Analyzer.EnglishStopWords)
       case _ => new StandardCodeAnalyzer()
     }
-    val kw = Option(options.get("keywordFields"))
+    def fieldSet(opt: String): Set[String] = Option(options.get(opt))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    val kw = fieldSet("keywordFields")
+    val af = fieldSet("analyzedFields")
     // free-text surface → lenient by default (colons in `std::vector`/URLs
     // are query text, not field prefixes); opt back in with strictFields=true
     val strict = options.getBoolean("strictFields", false)
-    val q = new QueryParser(analyzer, field, kw, strictFields = strict).parse(queryStr)
+    val q = new QueryParser(analyzer, field, kw, strictFields = strict,
+      analyzedFields = af).parse(queryStr)
     val searcher = GraftSearchTable.searcher(index, field)
     val top =
       if (options.getBoolean("wand", false)) Wand.searchTopK(searcher, q, k, mode)

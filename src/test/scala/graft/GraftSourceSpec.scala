@@ -78,6 +78,20 @@ class GraftSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(after.length == before.length - 1 && !after.contains(before.head))
   }
 
+  test("free-text default is lenient: colon queries search; strictFields opts back in") {
+    // std::vector-style text must not throw on the SQL surface
+    val df = spark.read.format("graft-search")
+      .option("index", indexPath).option("query", "std::vector OR import")
+      .option("k", "5").load()
+    assert(df.count() > 0)
+    val strict = spark.read.format("graft-search")
+      .option("index", indexPath).option("query", "nosuchfield:x")
+      .option("strictFields", "true").option("k", "5").load()
+    val ex = intercept[Exception](strict.count())
+    assert(ex.getMessage.contains("unknown field") ||
+      Option(ex.getCause).exists(_.getMessage.contains("unknown field")))
+  }
+
   test("wand option prunes with identical top-k") {
     val df = spark.read.format("graft-search")
       .option("index", indexPath).option("query", "parser buffer scorer")
