@@ -28,33 +28,19 @@ object FtQueries {
     */
   val analyzer = new graft.analysis.SimpleAnalyzer(graft.analysis.Analyzer.EnglishStopWords)
 
+  /** Main surface index. The corpus maps documents.parquet to the CodeFile
+    * shape with a derived second ANALYZED text field `path` = source ||
+    * ' ' || lang (|| ' xtra' on every 5th doc — varying dl exercises the
+    * per-field length normalization); lang/repo are keyword fields. Cache
+    * key carries format version + field-config tag: postings-layout or
+    * schema changes invalidate indexes cached across driver rounds.
+    */
   def indexPath(spark: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(sfDir, {
-      // format version + field-config tag in the cache key: postings-layout
-      // or schema changes invalidate indexes cached across driver rounds
       val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mf_" +
         graft.index.Hashing.sha256Hex(sfDir).take(12)
-      val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(
-          col("doc_id"),
-          col("source").as("repo"),
-          // second ANALYZED text field, derived deterministically so the SQL
-          // oracle reproduces it: 2 tokens (source, lang) + ' xtra' on every
-          // 5th doc (varying dl exercises the per-field length normalization)
-          concat(col("source"), lit(" "), col("lang"),
-            when(col("doc_id") % 5 === 0, lit(" xtra")).otherwise(lit(""))).as("path"),
-          lit("").as("commit"),
-          col("lang"),
-          col("text").as("content"))
-      new IndexBuilder(spark, IndexConfig(
-        analyzer = analyzer,
-        docsPerRange = 1024,
-        numSegments = 8,
-        segmentsPerWave = 4,
-        explicitDocIdCol = Some("doc_id"),
-        keywordFields = Seq("lang", "repo"),
-        analyzedFields = Seq("path")))
-        .build(corpus, dir, resume = true)
+      new IndexBuilder(spark, surfaceConfig())
+        .build(surfaceCorpus(spark, sfDir), dir, resume = true)
       dir
     })
 
@@ -64,6 +50,73 @@ object FtQueries {
   def parser: QueryParser =
     new QueryParser(analyzer, keywordFields = Set("lang", "repo"),
       analyzedFields = Set("path"))
+
+  private def surfaceConfig(extra: IndexConfig => IndexConfig = identity): IndexConfig =
+    extra(IndexConfig(
+      analyzer = analyzer,
+      docsPerRange = 1024,
+      numSegments = 8,
+      segmentsPerWave = 4,
+      explicitDocIdCol = Some("doc_id"),
+      keywordFields = Seq("lang", "repo"),
+      analyzedFields = Seq("path")))
+
+  private def surfaceCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id"),
+        col("source").as("repo"),
+        concat(col("source"), lit(" "), col("lang"),
+          when(col("doc_id") % 5 === 0, lit(" xtra")).otherwise(lit(""))).as("path"),
+        lit("").as("commit"),
+        col("lang"),
+        col("text").as("content"))
+
+  /** A TIERED-MERGED twin of the main index: 8 single-segment waves built
+    * then folded by TieredMerge — queries against it driver-verify the merge
+    * execution path (merge(build waves) ≡ build(union), this time against
+    * the DuckDB oracle, not just the sbt property test).
+    */
+  def mergedIndexPath(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#merged", {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfm_" +
+        graft.index.Hashing.sha256Hex(sfDir).take(12)
+      val built = new IndexBuilder(spark, surfaceConfig(_.copy(segmentsPerWave = 1)))
+      built.build(surfaceCorpus(spark, sfDir), dir, resume = true)
+      if (graft.index.TieredMerge.waves(spark, dir).size > 1) {
+        graft.index.TieredMerge.maybeMerge(spark, dir, segsPerTier = 1, maxMergeAtOnce = 10)
+        built.publish(dir)
+      }
+      dir
+    })
+
+  /** A STREAM-APPENDED twin: docs with id < splitAt built as a batch, the
+    * rest appended through StreamingIndexer.appendBatch (explicit ids) —
+    * queries against it driver-verify the streaming append + republish path.
+    */
+  def streamedIndexPath(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#streamed", {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfs_" +
+        graft.index.Hashing.sha256Hex(sfDir).take(12)
+      val corpus = surfaceCorpus(spark, sfDir)
+      val splitAt = corpus.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2 + 1
+      val builder = new IndexBuilder(spark, surfaceConfig())
+      builder.build(corpus.where(col("doc_id") < splitAt), dir, resume = true)
+      val streamWave = graft.streaming.StreamingIndexer.StreamingWaveBase
+      val p = new org.apache.hadoop.fs.Path(s"$dir/postings/wave=$streamWave/_SUCCESS")
+      if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        graft.streaming.StreamingIndexer.appendBatch(spark, builder,
+          corpus.where(col("doc_id") >= splitAt), batchId = 0L, dir)
+      dir
+    })
+
+  /** Matches against an explicitly-provided index (merged/streamed twins). */
+  def matchesAt(spark: SparkSession, indexDir: String, q: Query): DataFrame =
+    searcherCache.getOrElseUpdate(indexDir, new IndexSearcher(spark, indexDir))
+      .scoredDocs(q, ScoreMode.ExactDouble)
+      .toDF("doc_id", "score")
+      .select(col("doc_id"), round(col("score"), 4).as("score_r"))
+      .orderBy("doc_id")
 
   private val searcherCache = scala.collection.concurrent.TrieMap.empty[String, IndexSearcher]
 

@@ -59,6 +59,19 @@ object SparkEntry {
     "ft_field_phrase" -> ((s, d) => // fielded exact phrase over the analyzed
       // path field (positions + per-field stats)
       FtQueries.matches(s, d, FtQueries.parser.parse("path:\"src1 de\""))),
+    "ft_merged" -> ((s, d) => // tiered-merge execution path, oracle-verified:
+      // 8 single-segment waves folded by TieredMerge, then searched
+      FtQueries.matchesAt(s, FtQueries.mergedIndexPath(s, d), TermQuery("window"))),
+    "ft_streamed" -> ((s, d) => // streaming append path, oracle-verified:
+      // half the corpus batch-built, half appended via foreachBatch waves
+      FtQueries.matchesAt(s, FtQueries.streamedIndexPath(s, d), TermQuery("batch"))),
+    "ft_field_stats" -> ((s, d) => // the published per-field collection stats
+      // (incl. per-field docCount) against a from-scratch SQL recomputation
+      s.read.parquet(s"${FtQueries.indexPath(s, d)}/fieldstats")
+        .select(col("field"), col("maxDoc").as("max_doc"), col("docCount").as("doc_count"),
+          col("sumTotalTermFreq").as("sum_ttf"), col("sumDocFreq").as("sum_df"),
+          col("termCount").as("n_terms"))
+        .orderBy("field")),
     "ft_deletes" -> ((s, d) => FtQueries.matchesWithDeletes(s, d, TermQuery("merge"), 10)),
     "ft_deletes_bulk" -> ((s, d) => // 1/3 of the corpus deleted, ranged path
       FtQueries.matchesWithDeletesBulk(s, d, TermQuery("data"), 3)),
@@ -330,6 +343,48 @@ object SparkEntry {
          |SELECT doc_id, round(${termScore("merge")}, 4) AS score_r
          |FROM base WHERE f_merge > 0 AND doc_id % 10 <> 0
          |ORDER BY doc_id""".stripMargin,
+    "ft_merged" -> // identical scores to a single-shot build: merge preserves
+      // postings and stats exactly
+      s"""${ftBase(Seq("window"))}
+         |SELECT doc_id, round(${termScore("window")}, 4) AS score_r
+         |FROM base WHERE f_window > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_streamed" -> // batch+streamed halves must score as one corpus
+      s"""${ftBase(Seq("batch"))}
+         |SELECT doc_id, round(${termScore("batch")}, 4) AS score_r
+         |FROM base WHERE f_batch > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_field_stats" ->
+      s"""$prelude, $pathCtes
+         |SELECT * FROM (
+         |  SELECT 'content' AS field,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS max_doc,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM docs WHERE len(tk) > 0) AS doc_count,
+         |    (SELECT CAST(sum(len(tk)) AS BIGINT) FROM docs) AS sum_ttf,
+         |    (SELECT CAST(sum(len(list_distinct(tk))) AS BIGINT) FROM docs) AS sum_df,
+         |    (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM (SELECT unnest(tk) AS tok FROM docs)) AS n_terms
+         |  UNION ALL
+         |  SELECT 'lang',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE lang IS NOT NULL AND lang <> ''),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE lang IS NOT NULL AND lang <> ''),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE lang IS NOT NULL AND lang <> ''),
+         |    (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents WHERE lang IS NOT NULL AND lang <> '')
+         |  UNION ALL
+         |  SELECT 'path',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM pfld WHERE len(ptk) > 0),
+         |    (SELECT CAST(sum(len(ptk)) AS BIGINT) FROM pfld),
+         |    (SELECT CAST(sum(len(list_distinct(ptk))) AS BIGINT) FROM pfld),
+         |    (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM (SELECT unnest(ptk) AS tok FROM pfld)) AS n_terms
+         |  UNION ALL
+         |  SELECT 'repo',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE source IS NOT NULL AND source <> ''),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE source IS NOT NULL AND source <> ''),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE source IS NOT NULL AND source <> ''),
+         |    (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents WHERE source IS NOT NULL AND source <> '')
+         |) ORDER BY field""".stripMargin,
     "ft_deletes_bulk" ->
       s"""${ftBase(Seq("data"))}
          |SELECT doc_id, round(${termScore("data")}, 4) AS score_r

@@ -31,7 +31,7 @@ import graft.codec.{PostingEntry, PostingsCodec, SmallFloat}
   *     (two-phase: parquet dirs first, then a commit marker — SegmentInfos
   *     semantics, /root/reference/core/index/segmentInfos.go:747-851).
   */
-final class IndexBuilder(spark: SparkSession, config: IndexConfig = IndexConfig()) {
+final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexConfig()) {
   import spark.implicits._
 
   private def fs(path: String) =

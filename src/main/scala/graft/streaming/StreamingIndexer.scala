@@ -42,24 +42,37 @@ object StreamingIndexer {
     writer.start()
   }
 
-  /** One micro-batch → one wave. Exposed for testing/foreachBatch reuse. */
+  /** One micro-batch → one wave. Exposed for testing/foreachBatch reuse.
+    * With `config.explicitDocIdCol` set, the batch's own ids are used
+    * verbatim (caller guarantees uniqueness vs the committed id space);
+    * otherwise ids continue as ranks from the committed maxDocId.
+    */
   def appendBatch(spark: SparkSession, builder: IndexBuilder, batch: DataFrame,
       batchId: Long, indexPath: String): Unit = {
     if (batch.isEmpty) return
-    // append base = max assigned id + 1 (NOT the doc count — sparse explicit
-    // id spaces would collide and silently corrupt postings)
-    val base = IndexManifest.load(spark, indexPath).maxDocId + 1
     val wave = StreamingWaveBase + batchId.toInt
-    // docIds: deterministic rank within the batch, offset by committed maxDoc.
-    // The unpartitioned window is a deliberate single-task sort: a micro-batch
-    // is bounded by the trigger; switch to the bucketed two-pass assignment
-    // (IndexBuilder stage 1) if batches grow beyond one task's comfort.
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("repo", "path")
-    val staged = batch
-      .withColumn("docId", row_number().over(w).cast("long") + lit(base - 1))
-      .withColumn("segId", lit(wave))
-      .select("docId", "segId", "repo", "path", "commit", "lang", "content")
+    val staged = builder.config.explicitDocIdCol match {
+      case Some(idCol) =>
+        batch
+          .withColumn("docId", col(idCol).cast("long"))
+          .withColumn("segId", lit(wave))
+          .select("docId", "segId", "repo", "path", "commit", "lang", "content")
+      case None =>
+        // append base = max assigned id + 1 (NOT the doc count — sparse
+        // explicit id spaces would collide and silently corrupt postings)
+        val base = IndexManifest.load(spark, indexPath).maxDocId + 1
+        // docIds: deterministic rank within the batch, offset by the base.
+        // The unpartitioned window is a deliberate single-task sort: a
+        // micro-batch is bounded by the trigger; switch to the bucketed
+        // two-pass assignment (IndexBuilder stage 1) if batches grow beyond
+        // one task's comfort.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("repo", "path")
+        batch
+          .withColumn("docId", row_number().over(w).cast("long") + lit(base - 1))
+          .withColumn("segId", lit(wave))
+          .select("docId", "segId", "repo", "path", "commit", "lang", "content")
+    }
     builder.invertWave(staged, wave, indexPath)
     builder.publish(indexPath)
   }

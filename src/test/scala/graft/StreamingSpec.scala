@@ -55,6 +55,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(report.ok, report.problems.mkString("; "))
   }
 
+  test("appendBatch with explicit ids: caller ids used verbatim, stats global") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ids").toString
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 64, numSegments = 4, segmentsPerWave = 4,
+      explicitDocIdCol = Some("docId"))
+    val builder = new IndexBuilder(spark, cfg)
+    val all = (0 until 300).map(i => (i.toLong, TestCorpus.corpus(300)(i)))
+    def df(rows: Seq[(Long, graft.index.CodeFile)]) =
+      rows.map { case (id, f) => (id, f.repo, f.path, f.commit, f.lang, f.content) }
+        .toDF("docId", "repo", "path", "commit", "lang", "content")
+    builder.build(df(all.take(150)), dir)
+    StreamingIndexer.appendBatch(spark, builder, df(all.drop(150)), batchId = 0L, dir)
+
+    // equivalence with a single-shot build over the union, id-for-id
+    val singleDir = java.nio.file.Files.createTempDirectory("graft-stream-ids-s").toString
+    new IndexBuilder(spark, cfg).build(df(all), singleDir)
+    val sA = new IndexSearcher(spark, dir)
+    val sB = new IndexSearcher(spark, singleDir)
+    for (q <- Seq[Query](TermQuery("import"),
+      BooleanQuery(Seq(
+        BooleanClause(Occur.MUST, TermQuery("parser")),
+        BooleanClause(Occur.SHOULD, TermQuery("buffer")))))) {
+      val a = sA.search(q, 300, ScoreMode.Ref32)
+      val b = sB.search(q, 300, ScoreMode.Ref32)
+      assert(a.totalHits == b.totalHits, s"totalHits for $q")
+      assert(a.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        b.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"streamed ≡ single-shot for $q")
+    }
+    assert(CheckIndex.run(spark, dir).ok)
+  }
+
   test("windowed aggregation with watermark: windows finalize, late events drop") {
     import java.sql.Timestamp
     implicit val sqlCtx = spark.sqlContext
