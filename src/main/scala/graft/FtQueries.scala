@@ -37,7 +37,7 @@ object FtQueries {
     */
   def indexPath(spark: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(sfDir, {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mf_" +
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mf2_" +
         graft.index.Hashing.sha256Hex(sfDir).take(12)
       new IndexBuilder(spark, surfaceConfig())
         .build(surfaceCorpus(spark, sfDir), dir, resume = true)
@@ -48,7 +48,7 @@ object FtQueries {
     * repo + analyzed path).
     */
   def parser: QueryParser =
-    new QueryParser(analyzer, keywordFields = Set("lang", "repo"),
+    new QueryParser(analyzer, keywordFields = Set("lang", "repo", "commit"),
       analyzedFields = Set("path"))
 
   private def surfaceConfig(extra: IndexConfig => IndexConfig = identity): IndexConfig =
@@ -58,7 +58,7 @@ object FtQueries {
       numSegments = 8,
       segmentsPerWave = 4,
       explicitDocIdCol = Some("doc_id"),
-      keywordFields = Seq("lang", "repo"),
+      keywordFields = Seq("lang", "repo", "commit"),
       analyzedFields = Seq("path")))
 
   private def surfaceCorpus(spark: SparkSession, sfDir: String): DataFrame =
@@ -68,7 +68,9 @@ object FtQueries {
         col("source").as("repo"),
         concat(col("source"), lit(" "), col("lang"),
           when(col("doc_id") % 5 === 0, lit(" xtra")).otherwise(lit(""))).as("path"),
-        lit("").as("commit"),
+        // commit <- doc_id: a keyword field whose every term has df == 1,
+        // so singleton-pulsing (zero-postings reads) is driver-verifiable
+        col("doc_id").cast("string").as("commit"),
         col("lang"),
         col("text").as("content"))
 
@@ -79,7 +81,7 @@ object FtQueries {
     */
   def mergedIndexPath(spark: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(s"$sfDir#merged", {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfm_" +
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfm2_" +
         graft.index.Hashing.sha256Hex(sfDir).take(12)
       val built = new IndexBuilder(spark, surfaceConfig(_.copy(segmentsPerWave = 1)))
       built.build(surfaceCorpus(spark, sfDir), dir, resume = true)
@@ -96,7 +98,7 @@ object FtQueries {
     */
   def streamedIndexPath(spark: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(s"$sfDir#streamed", {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfs_" +
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfs2_" +
         graft.index.Hashing.sha256Hex(sfDir).take(12)
       val corpus = surfaceCorpus(spark, sfDir)
       val splitAt = corpus.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2 + 1
@@ -109,6 +111,18 @@ object FtQueries {
           corpus.where(col("doc_id") >= splitAt), batchId = 0L, dir)
       dir
     })
+
+  /** Top-k through searcher.search() — the collector/singleton-pulsing
+    * path, unlike matches()' full scored-Dataset path.
+    */
+  def topDocsDF(spark: SparkSession, sfDir: String, q: Query, k: Int): DataFrame = {
+    import spark.implicits._
+    searcher(spark, sfDir).search(q, k, ScoreMode.ExactDouble)
+      .scoreDocs.map(d => (d.docId, d.score)).toSeq
+      .toDF("doc_id", "score")
+      .select(col("doc_id"), round(col("score"), 4).as("score_r"))
+      .orderBy("doc_id")
+  }
 
   /** Matches against an explicitly-provided index (merged/streamed twins). */
   def matchesAt(spark: SparkSession, indexDir: String, q: Query): DataFrame =

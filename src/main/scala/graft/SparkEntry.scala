@@ -59,6 +59,10 @@ object SparkEntry {
     "ft_field_phrase" -> ((s, d) => // fielded exact phrase over the analyzed
       // path field (positions + per-field stats)
       FtQueries.matches(s, d, FtQueries.parser.parse("path:\"src1 de\""))),
+    "ft_singleton" -> ((s, d) => // singleton pulsing via search(): the commit
+      // keyword field's terms all have df == 1 → the query resolves from the
+      // terms dict + stored dls with ZERO postings reads
+      FtQueries.topDocsDF(s, d, TermQuery("42", 1.0f, Some("commit")), 5)),
     "ft_merged" -> ((s, d) => // tiered-merge execution path, oracle-verified:
       // 8 single-segment waves folded by TieredMerge, then searched
       FtQueries.matchesAt(s, FtQueries.mergedIndexPath(s, d), TermQuery("window"))),
@@ -343,6 +347,17 @@ object SparkEntry {
          |SELECT doc_id, round(${termScore("merge")}, 4) AS score_r
          |FROM base WHERE f_merge > 0 AND doc_id % 10 <> 0
          |ORDER BY doc_id""".stripMargin,
+    "ft_singleton" -> // commit:'42' → df=1, freq=1, dl=1, avgdl(commit)=1
+      s"""$prelude, cf AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS df FROM documents WHERE CAST(doc_id AS VARCHAR) = '42'
+         |), ct AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS ttf FROM documents
+         |)
+         |SELECT doc_id, round(
+         |  (ln(1 + ((SELECT n FROM g) - (SELECT df FROM cf) + 0.5) / ((SELECT df FROM cf) + 0.5))
+         |   * ((1.0 * (1.2 + 1)) / (1.0 + 1.2 * ((1 - 0.75) + (0.75 * 1.0) / ((SELECT ttf FROM ct) / (SELECT n FROM g)))))), 4) AS score_r
+         |FROM documents WHERE CAST(doc_id AS VARCHAR) = '42'
+         |ORDER BY doc_id""".stripMargin,
     "ft_merged" -> // identical scores to a single-shot build: merge preserves
       // postings and stats exactly
       s"""${ftBase(Seq("window"))}
@@ -363,6 +378,13 @@ object SparkEntry {
          |    (SELECT CAST(sum(len(tk)) AS BIGINT) FROM docs) AS sum_ttf,
          |    (SELECT CAST(sum(len(list_distinct(tk))) AS BIGINT) FROM docs) AS sum_df,
          |    (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM (SELECT unnest(tk) AS tok FROM docs)) AS n_terms
+         |  UNION ALL
+         |  SELECT 'commit',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents),
+         |    (SELECT CAST(count(DISTINCT CAST(doc_id AS VARCHAR)) AS BIGINT) FROM documents)
          |  UNION ALL
          |  SELECT 'lang',
          |    (SELECT CAST(count(*) AS BIGINT) FROM documents),
