@@ -447,9 +447,12 @@ final class IndexSearcher(
     * #query terms per range, never O(corpus) driver state).
     */
   private def rowsFor(p: Prepared,
-      rangeFilter: Option[RangeSel] = None): Dataset[PRow] = {
-    val anyPos = p.ge.needPos.exists(identity)
-    var rows = postingsDF.where(pairPredicate(p.keys))
+      rangeFilter: Option[RangeSel] = None): Dataset[PRow] =
+    rowsForKeys(p.keys, p.ge.needPos.exists(identity), rangeFilter)
+
+  private def rowsForKeys(keys: Seq[(String, String)], anyPos: Boolean,
+      rangeFilter: Option[RangeSel]): Dataset[PRow] = {
+    var rows = postingsDF.where(pairPredicate(keys))
     rangeFilter.foreach {
       case RangeSel.Ids(rs) => rows = rows.where(col("rangeId").isin(rs: _*))
       case RangeSel.Df(rdf) =>
@@ -466,6 +469,66 @@ final class IndexSearcher(
     withDels.select(col("field"), col("term"), col("rangeId"), col("firstDocId"),
       col("payload"), col("posPayload"), col("dels"))
       .as[PRow]
+  }
+
+  /** Per-searcher posting-row cache (the reference's query-cache analogue,
+    * natural here because a searcher IS a point-in-time view — Lucene
+    * IndexReader semantics — so entries can never go stale within it).
+    * Caches the collected rows per (field, term, positionsLoaded) when the
+    * driver-local path fetches them: repeated query terms cost ZERO Spark
+    * jobs. Byte-bounded LRU ([[rowCacheMaxBytes]]); disabled under ranged
+    * deletes (rows would bake in a join product).
+    */
+  var rowCacheMaxBytes: Long = 64L << 20
+  private var rowCacheBytes = 0L
+  private val rowCache =
+    new java.util.LinkedHashMap[(String, String, Boolean), Array[PRow]](64, 0.75f, true)
+
+  private def rowBytes(rs: Array[PRow]): Long =
+    rs.map(r => 64L + r._5.length + (if (r._6 == null) 0 else r._6.length)).sum
+
+  /** Collected rows for a full-key (unfiltered) driver-local evaluation,
+    * served from / inserted into the cache per term.
+    */
+  private def collectRows(p: Prepared): Array[PRow] = {
+    if (rangedDeletes) return rowsFor(p).collect()
+    val wantPos = p.keys.zipWithIndex.map { case (k, i) => k -> p.ge.needPos(i) }.toMap
+    val (hits, missing) = rowCache.synchronized {
+      val h = scala.collection.mutable.ArrayBuffer.empty[Array[PRow]]
+      val m = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      p.keys.foreach { k =>
+        val cached = rowCache.get((k._1, k._2, wantPos(k)))
+        if (cached != null) h += cached else m += k
+      }
+      (h.toArray, m.toSeq)
+    }
+    val fetched =
+      if (missing.isEmpty) Array.empty[PRow]
+      else {
+        val anyPos = missing.exists(wantPos)
+        val rows = rowsForKeys(missing, anyPos, None).collect()
+        val byKey = rows.groupBy(r => (r._1, r._2))
+        rowCache.synchronized {
+          missing.foreach { k =>
+            val rs = byKey.getOrElse(k, Array.empty[PRow])
+            val key = (k._1, k._2, wantPos(k))
+            if (rowCache.get(key) == null) {
+              rowCache.put(key, rs)
+              rowCacheBytes += rowBytes(rs)
+              val it = rowCache.entrySet().iterator()
+              while (rowCacheBytes > rowCacheMaxBytes && it.hasNext) {
+                val e = it.next()
+                if (e.getKey != key) { // never evict what this query needs
+                  rowCacheBytes -= rowBytes(e.getValue)
+                  it.remove()
+                }
+              }
+            }
+          }
+        }
+        rows
+      }
+    hits.flatten ++ fetched
   }
 
   /** All matching docs with scores — the full scored result set as a Dataset
@@ -572,8 +635,12 @@ final class IndexSearcher(
     if (localOk || smallRangeList) {
       // local fast path: fetch the (few) posting rows, evaluate on the
       // driver — ranges decode/score in parallel (the serial loop was a
-      // single-threaded latency floor at the 2M-posting threshold)
-      val rows = rowsFor(p, rangeFilter).collect()
+      // single-threaded latency floor at the 2M-posting threshold).
+      // Unfiltered fetches go through the per-term row cache: a repeated
+      // query term costs zero Spark jobs on this searcher
+      val rows =
+        if (rangeFilter.isEmpty) collectRows(p)
+        else rowsFor(p, rangeFilter).collect()
       val grouped = rows.groupBy(_._3).toSeq
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
