@@ -242,6 +242,62 @@ object Ann {
       .agg(round(count(col("ivf_neighbor")).cast("double") / lit(k.toDouble), 4).as("recall"))
   }
 
+  /** Persist an IVF index: `<path>/centroids` (tiny) + `<path>/assignments`
+    * PARTITIONED BY the coarse-quantizer cell `cid`. Query-time probes then
+    * read only `nprobe` partitions per query — Spark partition pruning is
+    * the inverted-file seek, so a 100 TB embedding corpus costs
+    * O(corpus/numCentroids × nprobe) scan per query batch, never a full
+    * scan. Centroids come from [[kmeansCentroids]] unless supplied.
+    */
+  def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String, path: String,
+      numCentroids: Int = 16, iters: Int = 5,
+      centroids: Option[DataFrame] = None): Unit = {
+    val cents = centroids.getOrElse(kmeansCentroids(df, idCol, vecCol, numCentroids, iters))
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val all = withNorm(df, idCol, vecCol)
+    val written = cents.sparkSession.read.parquet(s"$path/centroids")
+    all.crossJoin(broadcast(written))
+      .withColumn("ccos", dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"),
+        first(col("v")).as("nv"), first(col("nrm")).as("nn"))
+      .select(col(idCol).as("neighbor_id"), col("nv"), col("nn"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/assignments")
+  }
+
+  /** Top-k over a persisted IVF index. The probed cells reach the
+    * assignments scan as a `cid IN (...)` pushdown → partition pruning
+    * reads only those directories.
+    */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotD(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("prank", row_number().over(wProbe))
+      .where(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // collect ONLY the distinct probed cell ids (≤ queries × nprobe, tiny):
+    // as an isin literal they prune assignment PARTITIONS at the source
+    val cids = probes.select("cid").distinct().collect().map(_.getLong(0))
+    val candidates = spark.read.parquet(s"$path/assignments")
+      .where(col("cid").isin(cids: _*))
+    val scored = probes.join(candidates, "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(dotD(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   /** Measured recall@k of the LSH path vs the exact brute-force top-k, per
     * query — the accuracy/cost dial for tuning (planes, tables).
     */

@@ -69,7 +69,14 @@ object Wand {
     val q = Query.rewrite(q0)
     flatten(q) match {
       case None => searcher.search(q, k, mode)
-      case Some(fb) => pruned(searcher, q, fb, k, mode, phase1Ranges)
+      case Some(fb) =>
+        // every present term df==1 → the searcher's singleton-pulsing path
+        // answers with ZERO postings reads; WAND's metadata scan would be
+        // strictly more work (stats are cached, so this check is free)
+        val keys = Query.leafKeys(q, searcher.field)
+        if (searcher.termStats(keys).values.forall(_.docFreq == 1) && keys.nonEmpty)
+          searcher.search(q, k, mode)
+        else pruned(searcher, q, fb, k, mode, phase1Ranges)
     }
   }
 

@@ -35,6 +35,24 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(axes.size == 4, s"expected 4 distinct cluster axes, got $axes")
   }
 
+  test("persisted IVF index: partition-pruned probes ≡ the in-memory path") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    val cents = Ann.kmeansCentroids(vecs, "vec_id", "embedding", k = 4, iters = 3)
+    Ann.writeIvfIndex(vecs, "vec_id", "embedding", path, centroids = Some(cents))
+    val got = Ann.ivfIndexTopK(spark, path, vecs.where(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    val want = Ann.ivfCosineTopK(vecs, "vec_id", "embedding", queryMaxId = 5, k = 5,
+      numCentroids = 4, nprobe = 2, centroids = Some(cents))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(norm(got) == norm(want), "persisted index must answer like the in-memory path")
+    // the probed cells prune assignment PARTITIONS at the scan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "expected a partition-pruned assignments scan")
+  }
+
   test("trained centroids: IVF recall@k is perfect on separated clusters, nprobe=1") {
     val cents = Ann.kmeansCentroids(vecs, "vec_id", "embedding", k = 4, iters = 3)
     val rec = Ann.ivfRecallAtK(vecs, "vec_id", "embedding", queryMaxId = 5, k = 5,
