@@ -99,14 +99,17 @@ object Dedup {
     val aggs = (0 until numHashes).map(s =>
       min(md5(concat(lit(s.toString), lit("|"), col("sh")))).as(s"m$s"))
     val wide = exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    val stackExpr =
-      s"stack($numHashes, ${(0 until numHashes).map(s => s"$s, m$s").mkString(", ")}) as (seed, minhash)"
-    val sig = wide.select(col("id"), expr(stackExpr))
-    val bands = sig
-      .withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))
-      .groupBy(col("id"), col("band"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
-        p => p.getField("minhash")), ",").as("band_key"))
+    // band keys come straight off the wide signature row (comma-join of the
+    // band's minhashes in seed order — same key the SQL oracle builds with
+    // string_agg ORDER BY seed): no per-(id, band) re-grouping shuffle
+    val bandStructs = (0 until numHashes by rowsPerBand).zipWithIndex.map { case (s0, b) =>
+      struct(lit(b).as("band"),
+        concat_ws(",",
+          (s0 until math.min(s0 + rowsPerBand, numHashes)).map(s => col(s"m$s")): _*).as("band_key"))
+    }
+    val bands = wide
+      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
     // one aggregation materializes each bucket's member list via the CAPPED
     // collector (buffers bounded at maxBucket+1 ids even for a pathological
     // 10⁷-member band — round-2 judge fix: the plain collect_list built the
