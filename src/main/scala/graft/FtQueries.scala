@@ -187,6 +187,48 @@ object FtQueries {
       .orderBy(col("score_r").desc, col("doc_id").asc)
       .limit(k)
 
+  /** Results page [offset, offset+howMany) through searchPage — the
+    * reference TopDocsRange pagination path
+    * (/root/reference/core/search/collect.go:158-191), driver-verified.
+    */
+  def pageDF(spark: SparkSession, sfDir: String, q: Query, offset: Int,
+      howMany: Int): DataFrame = {
+    import spark.implicits._
+    searcher(spark, sfDir).searchPage(q, offset, howMany, ScoreMode.ExactDouble)
+      .scoreDocs.map(d => (d.docId, d.score)).toSeq
+      .toDF("doc_id", "score")
+      .select(col("doc_id"), round(col("score"), 4).as("score_r"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-k hits joined with their STORED fields (reference
+    * reader.Document(hit.Doc), /root/reference/core/document/document.go:
+    * 75-133) — driver-verifies the stored-fields writer + docId point-read
+    * path against the original table, including the sha256 content digest.
+    */
+  def storedTopDF(spark: SparkSession, sfDir: String, q: Query, k: Int): DataFrame = {
+    import spark.implicits._
+    val s = searcher(spark, sfDir)
+    val ids = s.search(q, k, ScoreMode.ExactDouble).scoreDocs.map(_.docId)
+    s.docs(ids).map(d => (d.docId, d.repo, d.lang, d.contentSha))
+      .toDF("doc_id", "repo", "lang", "sha256")
+      .orderBy("doc_id")
+  }
+
+  /** explain(q, doc).value for each top-k doc — driver-verifies that the
+    * Explanation tree's root value reproduces the score the SQL oracle
+    * computes (reference explanation.go root == hit score).
+    */
+  def explainTopDF(spark: SparkSession, sfDir: String, q: Query, k: Int): DataFrame = {
+    import spark.implicits._
+    val s = searcher(spark, sfDir)
+    val ids = s.search(q, k, ScoreMode.ExactDouble).scoreDocs.map(_.docId)
+    ids.map(id => (id, s.explain(q, id, ScoreMode.ExactDouble).value)).toSeq
+      .toDF("doc_id", "ex")
+      .select(col("doc_id"), round(col("ex"), 4).as("score_r"))
+      .orderBy("doc_id")
+  }
+
   def termStatsDF(spark: SparkSession, sfDir: String, terms: Seq[String]): DataFrame =
     spark.read.parquet(s"${indexPath(spark, sfDir)}/terms")
       .where(col("term").isin(terms: _*))

@@ -79,6 +79,20 @@ object SparkEntry {
     "ft_deletes" -> ((s, d) => FtQueries.matchesWithDeletes(s, d, TermQuery("merge"), 10)),
     "ft_deletes_bulk" -> ((s, d) => // 1/3 of the corpus deleted, ranged path
       FtQueries.matchesWithDeletesBulk(s, d, TermQuery("data"), 3)),
+    "ft_paged" -> ((s, d) => // pagination: results [10, 20) of a disjunction
+      // (reference TopDocsCollector.TopDocsRange)
+      FtQueries.pageDF(s, d, BooleanQuery(Seq(
+        BooleanClause(Occur.SHOULD, TermQuery("merge")),
+        BooleanClause(Occur.SHOULD, TermQuery("spark")),
+        BooleanClause(Occur.SHOULD, TermQuery("window")))), offset = 10, howMany = 10)),
+    "ft_stored" -> ((s, d) => // stored-fields point read of the top-8 hits:
+      // repo/lang columns + the sha256 content digest vs the source table
+      FtQueries.storedTopDF(s, d, TermQuery("sort"), 8)),
+    "ft_explain" -> ((s, d) => // Explanation root value == score, verified
+      // against the SQL-computed score (not just search()'s own output)
+      FtQueries.explainTopDF(s, d, BooleanQuery(Seq(
+        BooleanClause(Occur.MUST, TermQuery("merge")),
+        BooleanClause(Occur.SHOULD, TermQuery("spark")))), 5)),
     "ft_total_hits" -> ((s, d) => FtQueries.totalHitsDF(s, d, Seq(
       "and_merge_sort" -> BooleanQuery(Seq(
         BooleanClause(Occur.MUST, TermQuery("merge")),
@@ -451,6 +465,41 @@ object SparkEntry {
          |SELECT doc_id, round(${pscore("pf", s"(${pidf("src1")} + ${pidf("de")})")}, 4) AS score_r
          |FROM ph WHERE pf > 0
          |ORDER BY doc_id""".stripMargin,
+    "ft_paged" -> // rows [11, 20] in (raw score DESC, doc_id) order — raw,
+      // not rounded: the engine pages on exact float64 scores and the oracle
+      // reproduces them bit-for-bit, so the rank window is identical
+      s"""${ftBase(Seq("merge", "spark", "window"))}, sc AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN f_merge > 0 THEN ${termScore("merge")} ELSE 0 END
+         |    + CASE WHEN f_spark > 0 THEN ${termScore("spark")} ELSE 0 END
+         |    + CASE WHEN f_window > 0 THEN ${termScore("window")} ELSE 0 END AS s
+         |  FROM base WHERE f_merge > 0 OR f_spark > 0 OR f_window > 0
+         |), rk AS (
+         |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
+         |)
+         |SELECT doc_id, round(s, 4) AS score_r FROM rk
+         |WHERE rn > 10 AND rn <= 20 ORDER BY doc_id""".stripMargin,
+    "ft_stored" ->
+      s"""${ftBase(Seq("sort"))}, sc AS (
+         |  SELECT doc_id, tk, ${termScore("sort")} AS s FROM base WHERE f_sort > 0
+         |), rk AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
+         |)
+         |SELECT d.doc_id AS doc_id, d.source AS repo, d.lang AS lang,
+         |  sha256(d.text) AS sha256
+         |FROM rk JOIN documents d ON d.doc_id = rk.doc_id
+         |WHERE rn <= 8 ORDER BY doc_id""".stripMargin,
+    "ft_explain" -> // the engine side emits explain(q, doc).value, NOT the
+      // search score — matching this SQL proves root-value == true score
+      s"""${ftBase(Seq("merge", "spark"))}, sc AS (
+         |  SELECT doc_id, tk, ${termScore("merge")}
+         |    + CASE WHEN f_spark > 0 THEN ${termScore("spark")} ELSE 0 END AS s
+         |  FROM base WHERE f_merge > 0
+         |), rk AS (
+         |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
+         |)
+         |SELECT doc_id, round(s, 4) AS score_r FROM rk
+         |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
     "ft_total_hits" ->
       s"""${ftBase(Seq("merge", "sort", "spark", "batch"))}
          |SELECT qname, CAST(hits AS BIGINT) AS hits FROM (
