@@ -137,6 +137,25 @@ object FtQueries {
   def searcher(spark: SparkSession, sfDir: String): IndexSearcher =
     searcherCache.getOrElseUpdate(sfDir, new IndexSearcher(spark, indexPath(spark, sfDir)))
 
+  /** A searcher over the SAME shared index scored by an alternative
+    * similarity (cached per model name).
+    */
+  def searcherWith(spark: SparkSession, sfDir: String, simName: String,
+      sim: => Similarity): IndexSearcher =
+    searcherCache.getOrElseUpdate(s"${indexPath(spark, sfDir)}#sim=$simName",
+      new IndexSearcher(spark, indexPath(spark, sfDir), similarity = sim))
+
+  /** Matching docs scored by `sim`'s exact-double twin — driver-verifies
+    * alternative ranking models (TF-IDF coord/queryNorm pipeline, LM
+    * Dirichlet) against their SQL formulas, not just unit vectors.
+    */
+  def matchesSim(spark: SparkSession, sfDir: String, q: Query, simName: String,
+      sim: => Similarity): DataFrame =
+    searcherWith(spark, sfDir, simName, sim).scoredDocs(q, ScoreMode.ExactDouble)
+      .toDF("doc_id", "score")
+      .select(col("doc_id"), round(col("score"), 4).as("score_r"))
+      .orderBy("doc_id")
+
   /** Matching docs with round(score, 4), ordered by docId. */
   def matches(spark: SparkSession, sfDir: String, q: Query): DataFrame =
     searcher(spark, sfDir).scoredDocs(q, ScoreMode.ExactDouble)

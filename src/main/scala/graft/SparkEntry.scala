@@ -79,6 +79,14 @@ object SparkEntry {
     "ft_deletes" -> ((s, d) => FtQueries.matchesWithDeletes(s, d, TermQuery("merge"), 10)),
     "ft_deletes_bulk" -> ((s, d) => // 1/3 of the corpus deleted, ranged path
       FtQueries.matchesWithDeletesBulk(s, d, TermQuery("data"), 3)),
+    "ft_tfidf" -> ((s, d) => // classic TF-IDF: idf=ln(N/(df+1))+1, queryNorm
+      // = 1/√Σw², coord = overlap/maxOverlap — the full two-phase weighting
+      // pipeline, oracle-verified (not just unit vectors)
+      FtQueries.matchesSim(s, d, BooleanQuery(Seq(
+        BooleanClause(Occur.MUST, TermQuery("merge")),
+        BooleanClause(Occur.SHOULD, TermQuery("spark")))), "tfidf", new TfIdfSimilarity)),
+    "ft_lm_dirichlet" -> ((s, d) => // LM Dirichlet μ=2000 with the 0-clamp
+      FtQueries.matchesSim(s, d, TermQuery("merge"), "lmd", new LMDirichletSimilarity)),
     "ft_paged" -> ((s, d) => // pagination: results [10, 20) of a disjunction
       // (reference TopDocsCollector.TopDocsRange)
       FtQueries.pageDF(s, d, BooleanQuery(Seq(
@@ -464,6 +472,39 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(${pscore("pf", s"(${pidf("src1")} + ${pidf("de")})")}, 4) AS score_r
          |FROM ph WHERE pf > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_tfidf" -> // engine expression shape: idf=ln(N/(df+1))+1; v=Σ(idf·b)²
+      // clause-order; qn=1/√v; leaf=((idf·qn)·idf)·√f·(1/√dl); sum must then
+      // should; × coord (float32 overlap/maxOverlap, widened — 0.5/1.0 exact)
+      s"""${ftBase(Seq("merge", "spark"))}, ti AS (
+         |  SELECT
+         |    (ln((SELECT n FROM g) / ((SELECT CAST(count(*) AS DOUBLE) FROM docs WHERE ${freqCol("merge")} > 0) + 1)) + 1.0) AS im,
+         |    (ln((SELECT n FROM g) / ((SELECT CAST(count(*) AS DOUBLE) FROM docs WHERE ${freqCol("spark")} > 0) + 1)) + 1.0) AS i_s
+         |), tq AS (
+         |  SELECT im, i_s, 1.0 / sqrt((im * im) + (i_s * i_s)) AS qn FROM ti
+         |)
+         |SELECT b.doc_id AS doc_id, round(
+         |  ( ((im * qn) * im) * sqrt(CAST(f_merge AS DOUBLE)) * (1.0 / sqrt(CAST(len(tk) AS DOUBLE)))
+         |    + CASE WHEN f_spark > 0
+         |        THEN ((i_s * qn) * i_s) * sqrt(CAST(f_spark AS DOUBLE)) * (1.0 / sqrt(CAST(len(tk) AS DOUBLE)))
+         |        ELSE 0 END
+         |  ) * (CASE WHEN f_spark > 0 THEN 1.0 ELSE 0.5 END), 4) AS score_r
+         |FROM base b, tq
+         |WHERE f_merge > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_lm_dirichlet" -> // p=(ttf+1)/(sumTtf+1); s=ln(1+f/(μp))+ln(μ/(dl+μ));
+      // negative clamps to 0 but the doc still matches
+      s"""${ftBase(Seq("merge"))}, lm AS (
+         |  SELECT CAST((SELECT sum(${freqCol("merge")}) FROM docs) + 1 AS DOUBLE) /
+         |         CAST((SELECT sum(len(tk)) FROM docs) + 1 AS DOUBLE) AS p
+         |)
+         |SELECT doc_id, round(
+         |  CASE WHEN (ln(1 + CAST(f_merge AS DOUBLE) / (2000.0 * (SELECT p FROM lm)))
+         |           + ln(2000.0 / (CAST(len(tk) AS DOUBLE) + 2000.0))) > 0
+         |       THEN (ln(1 + CAST(f_merge AS DOUBLE) / (2000.0 * (SELECT p FROM lm)))
+         |           + ln(2000.0 / (CAST(len(tk) AS DOUBLE) + 2000.0)))
+         |       ELSE 0 END, 4) AS score_r
+         |FROM base WHERE f_merge > 0
          |ORDER BY doc_id""".stripMargin,
     "ft_paged" -> // rows [11, 20] in (raw score DESC, doc_id) order — raw,
       // not rounded: the engine pages on exact float64 scores and the oracle

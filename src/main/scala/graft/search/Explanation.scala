@@ -145,14 +145,18 @@ private[search] object Explain {
         val coordVal = coords(must.length + matched)
         val kids = mustEx ++ shouldEx
         // composition: value == fold-add of MATCHING details in listed order
-        // (must then should — the exact float summation order of Eval), then
-        // × coord when it applies (Ref32 only; ExactDouble never coords)
-        if (coordVal == 1.0f || mode == ScoreMode.ExactDouble)
+        // (must then should — the exact summation order of Eval in each
+        // mode's arithmetic), then × coord when it is not 1
+        if (coordVal == 1.0f)
           Explanation(v,
             s"sum of: boolean (minShouldMatch=$msm, ${mustNot.length} prohibited)", kids)
         else {
-          val sumV = kids.filter(_.isMatch).map(_.value.toFloat)
-            .foldLeft(0.0f)(_ + _).toDouble
+          val sumV = mode match {
+            case ScoreMode.Ref32 =>
+              kids.filter(_.isMatch).map(_.value.toFloat).foldLeft(0.0f)(_ + _).toDouble
+            case ScoreMode.ExactDouble =>
+              kids.filter(_.isMatch).map(_.value).foldLeft(0.0)(_ + _)
+          }
           Explanation(v, "product of: boolean (coord-scaled)",
             Seq(
               Explanation(sumV,

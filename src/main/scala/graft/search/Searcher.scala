@@ -15,9 +15,9 @@ import graft.index.IndexManifest
   */
 private[search] sealed trait CNode extends Serializable
 private[search] final case class CLeafTerm(
-    idx: Int, fi: Int, ref: Similarity.Scorer, exact: Bm25.ExactScorer) extends CNode
+    idx: Int, fi: Int, ref: Similarity.Scorer, exact: Similarity.ExactScorer) extends CNode
 private[search] final case class CLeafPhrase(
-    idxs: Array[Int], fi: Int, ref: Similarity.Scorer, exact: Bm25.ExactScorer) extends CNode
+    idxs: Array[Int], fi: Int, ref: Similarity.Scorer, exact: Similarity.ExactScorer) extends CNode
 /** coords(i) = similarity.coord(i, maxOverlap) — 1.0 for BM25-family. */
 private[search] final case class CBool(
     must: Array[CNode], should: Array[CNode], mustNot: Array[CNode], msm: Int,
@@ -68,7 +68,7 @@ private[search] object Eval {
     case CLeafPhrase(idxs, fi, _, exact) =>
       val pf = phraseFreq(idxs, acc, slot)
       if (pf > 0) exact.score(pf.toDouble, acc.dls(fi)(slot).toDouble) else Double.NaN
-    case CBool(must, should, mustNot, msm, _) =>
+    case CBool(must, should, mustNot, msm, coords) =>
       var score = 0.0
       var i = 0
       while (i < mustNot.length) {
@@ -91,7 +91,9 @@ private[search] object Eval {
       }
       if (matched < msm) return Double.NaN
       if (must.isEmpty && matched == 0) return Double.NaN
-      score
+      // coord is 1.0f for every model but TF-IDF, where the float32 factor
+      // (widened) is what the SQL oracle reproduces (×1.0 is bit-exact)
+      score * coords(must.length + matched).toDouble
   }
 
   /** float32 evaluation (reference score parity: float32 sums of float32
@@ -344,6 +346,28 @@ final class IndexSearcher(
     }
     val qn = sim.queryNorm(math.max(v(Query.rewrite(q0), 1.0f), Float.MinPositiveValue))
 
+    // exact-double queryNorm twin (1 for every model except TF-IDF)
+    def vD(q: Query, topBoost: Double): Double = q match {
+      case TermQuery(t, boost, f) =>
+        stats.get((fld(f), t))
+          .map(ts => sim.exactValueForNormalization(ts, collectionStats(fld(f)),
+            boost.toDouble * topBoost))
+          .getOrElse(0.0)
+      case PhraseQuery(ts, boost, f) =>
+        val fn = fld(f)
+        if (ts.forall(t => stats.contains((fn, t))))
+          sim.exactValueForNormalization(
+            TermStats(fn, ts.mkString(" "),
+              ts.map(t => stats((fn, t)).docFreq).min,
+              ts.map(t => stats((fn, t)).totalTermFreq).sum),
+            collectionStats(fn), boost.toDouble * topBoost)
+        else 0.0
+      case BooleanQuery(clauses, _, boost) =>
+        clauses.filter(_.occur != Occur.MUST_NOT)
+          .map(c => vD(c.query, boost.toDouble * topBoost)).sum
+    }
+    val qnD = sim.exactQueryNorm(math.max(vD(Query.rewrite(q0), 1.0), Double.MinPositiveValue))
+
     def node(q: Query, topBoost: Float): CNode = q match {
       case TermQuery(t, boost, f) =>
         val fn = fld(f)
@@ -352,18 +376,17 @@ final class IndexSearcher(
             val cs = collectionStats(fn)
             CLeafTerm(termIdx((fn, t)), fieldIdx(fn),
               sim.termScorer(ts, cs, boost * topBoost).normalize(qn),
-              Bm25.exactScorer(ts, cs, boost = (boost * topBoost).toDouble))
+              sim.exactTermScorer(ts, cs, (boost * topBoost).toDouble).normalize(qnD))
           case None => CLeafTerm(-1, 0, null, null)
         }
       case PhraseQuery(ts, boost, f) =>
         val fn = fld(f)
         if (ts.forall(t => stats.contains((fn, t)))) {
           val cs = collectionStats(fn)
-          // phrase weight = sum of member idfs (bm25.go idfExplainPhrase)
-          val idfD = ts.map(t => Bm25.idfExact(stats((fn, t)).docFreq, cs.maxDoc)).sum
           CLeafPhrase(ts.map(t => termIdx((fn, t))).toArray, fieldIdx(fn),
             sim.phraseScorer(ts.map(t => stats((fn, t))), cs, boost * topBoost).normalize(qn),
-            new Bm25.ExactScorer(idfD * boost * topBoost, Bm25.avgdlExact(cs), 1.2, 0.75))
+            sim.exactPhraseScorer(ts.map(t => stats((fn, t))), cs,
+              (boost * topBoost).toDouble).normalize(qnD))
         } else CLeafTerm(-1, 0, null, null)
       case BooleanQuery(clauses, msm, boost) =>
         val b = boost * topBoost

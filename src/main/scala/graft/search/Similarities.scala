@@ -20,6 +20,22 @@ trait Similarity extends Serializable {
   def queryNorm(valueForNormalization: Float): Float = 1.0f
   /** (idf-ish weight)^2 used for queryNorm accumulation; 0 unless TF-IDF. */
   def valueForNormalization(ts: TermStats, cs: CollectionStats, boost: Float): Float = 0.0f
+
+  // ---- exact-double twins (ScoreMode.ExactDouble, the ANSI-SQL-oracle
+  // arithmetic: float64 over TRUE doc lengths). Ref32 stays the
+  // reference-parity mode; models without a defined exact twin fall back to
+  // reference-default BM25 exact (the driver surface's model). ----
+
+  def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    Bm25.exactScorer(ts, cs, boost = boost)
+
+  /** Phrase exact twin: weight = Σ member idf (bm25.go idfExplainPhrase). */
+  def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Bm25.ExactScorer(tss.map(t => Bm25.idfExact(t.docFreq, cs.maxDoc)).sum * boost,
+      Bm25.avgdlExact(cs), 1.2, 0.75)
+
+  def exactValueForNormalization(ts: TermStats, cs: CollectionStats, boost: Double): Double = 0.0
+  def exactQueryNorm(v: Double): Double = 1.0
 }
 
 object Similarity {
@@ -35,6 +51,18 @@ object Similarity {
       */
     def explainFactors(freq: Float, normByte: Byte): Seq[(String, Float)] =
       Seq(("score", score(freq, normByte)))
+  }
+
+  /** Float64 twin of [[Scorer]] over exact doc length (ExactDouble mode —
+    * the arithmetic the DuckDB oracle reproduces bit-for-bit).
+    * `explainFactors`: float64 product IN ORDER equals score exactly.
+    */
+  trait ExactScorer extends Serializable {
+    def score(freq: Double, dl: Double): Double
+    /** multiplied in after the exact queryNorm is known (TF-IDF two-phase) */
+    def normalize(queryNorm: Double): ExactScorer = this
+    def explainFactors(freq: Double, dl: Double): Seq[(String, Double)] =
+      Seq(("score", score(freq, dl)))
   }
 
   /** norm byte → decoded doc length 1/f² (shared by BM25 + SimilarityBase). */
@@ -154,6 +182,27 @@ class LMDirichletSimilarity(mu: Float = 2000f) extends SimilarityBase {
       math.log((mu / (docLen + mu)).toDouble)).toFloat
     if (s > 0) s else 0
   }
+
+  // ---- exact-double twin (oracle-reproducible): float64 over true dl,
+  // p = (ttf+1)/(fieldTokens+1) in float64; negative clamps to 0 (a clamped
+  // doc still matches, scoring 0). ----
+
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val muD = mu.toDouble
+      private val p = (ts.totalTermFreq + 1).toDouble / (cs.sumTotalTermFreq + 1).toDouble
+      def score(freq: Double, dl: Double): Double = {
+        val s = boost * (math.log(1 + freq / (muD * p)) + math.log(muD / (dl + muD)))
+        if (s > 0) s else 0.0
+      }
+    }
+
+  /** phrase exact = Σ member exact scorers at phraseFreq (multiSimScorer). */
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
+      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
+    }
 }
 
 /** LM Jelinek-Mercer (lmJelinek.go:30-44). */
@@ -394,6 +443,37 @@ class TfIdfSimilarity extends Similarity {
 
   override def phraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Float): Similarity.Scorer =
     new S(tss.map(t => idf(t.docFreq, cs.maxDoc)).sum, boost)
+
+  // ---- exact-double twin (oracle-reproducible): idf = ln(N/(df+1)) + 1 in
+  // float64, fieldNorm = 1/√dl over the TRUE doc length (no byte315 loss),
+  // score = ((idf×boost×qn)×idf) × √freq × (1/√dl) left-assoc. ----
+
+  private def idfExactD(df: Long, n: Long): Double =
+    math.log(n.toDouble / (df.toDouble + 1)) + 1.0
+
+  override def exactValueForNormalization(ts: TermStats, cs: CollectionStats, boost: Double): Double = {
+    val w = idfExactD(ts.docFreq, cs.maxDoc) * boost
+    w * w
+  }
+  override def exactQueryNorm(v: Double): Double = 1.0 / math.sqrt(v)
+
+  private final class ExactS(idfVal: Double, boost: Double, qn: Double)
+      extends Similarity.ExactScorer {
+    private val value = (idfVal * boost * qn) * idfVal
+    def score(freq: Double, dl: Double): Double =
+      value * math.sqrt(freq) * (1.0 / math.sqrt(dl))
+    override def explainFactors(freq: Double, dl: Double): Seq[(String, Double)] =
+      Seq(("queryWeight×idf", value),
+        ("tf=sqrt(freq)", math.sqrt(freq)),
+        ("fieldNorm=1/sqrt(dl)", 1.0 / math.sqrt(dl)))
+    override def normalize(qn2: Double): Similarity.ExactScorer =
+      new ExactS(idfVal, boost, qn2)
+  }
+
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new ExactS(idfExactD(ts.docFreq, cs.maxDoc), boost, 1.0)
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new ExactS(tss.map(t => idfExactD(t.docFreq, cs.maxDoc)).sum, boost, 1.0)
 }
 
 /** Per-field similarity routing (reference PerFieldSimilarityWrapper,
@@ -413,6 +493,13 @@ class PerFieldSimilarityWrapper(default: Similarity,
   override def queryNorm(v: Float): Float = default.queryNorm(v)
   override def valueForNormalization(ts: TermStats, cs: CollectionStats, boost: Float): Float =
     forField(ts.field).valueForNormalization(ts, cs, boost)
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    forField(ts.field).exactTermScorer(ts, cs, boost)
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    forField(cs.field).exactPhraseScorer(tss, cs, boost)
+  override def exactValueForNormalization(ts: TermStats, cs: CollectionStats, boost: Double): Double =
+    forField(ts.field).exactValueForNormalization(ts, cs, boost)
+  override def exactQueryNorm(v: Double): Double = default.exactQueryNorm(v)
 }
 
 /** Arithmetic mean of sub-similarities (multiSimilarity.go:14). */
@@ -430,6 +517,18 @@ class MultiSimilarity(subs: Seq[Similarity]) extends Similarity {
     new Similarity.Scorer {
       def score(freq: Float, normByte: Byte): Float =
         ss.map(_.score(freq, normByte)).sum / ss.size
+    }
+  }
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer = {
+    val ss = subs.map(_.exactTermScorer(ts, cs, boost))
+    new Similarity.ExactScorer {
+      def score(freq: Double, dl: Double): Double = ss.map(_.score(freq, dl)).sum / ss.size
+    }
+  }
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer = {
+    val ss = subs.map(_.exactPhraseScorer(tss, cs, boost))
+    new Similarity.ExactScorer {
+      def score(freq: Double, dl: Double): Double = ss.map(_.score(freq, dl)).sum / ss.size
     }
   }
 }

@@ -47,13 +47,13 @@ object Bm25 {
     * idf * (freq*(k1+1)) / (freq + k1*(1 - b + b*dl/avgdl)).
     */
   final class ExactScorer(val weight: Double, avgdl: Double, k1: Double, b: Double)
-      extends Serializable {
+      extends Similarity.ExactScorer {
     def score(freq: Double, dl: Double): Double =
       weight * ((freq * (k1 + 1)) / (freq + k1 * (1 - b + b * dl / avgdl)))
     /** Factors whose float64 product IN ORDER equals score() exactly
       * (Explanation composition): weight × tfNorm.
       */
-    def explainFactors(freq: Double, dl: Double): Seq[(String, Double)] =
+    override def explainFactors(freq: Double, dl: Double): Seq[(String, Double)] =
       Seq(("queryWeight(idf×boost)", weight),
         ("tfNorm", (freq * (k1 + 1)) / (freq + k1 * (1 - b + b * dl / avgdl))))
   }
