@@ -248,6 +248,19 @@ object FtQueries {
       .orderBy("doc_id")
   }
 
+  /** Block-max WAND pruned top-k (Wand.searchTopK) — driver-verified against
+    * the exhaustive SQL ranking, proving pruned ≡ exhaustive on real data
+    * (WandSpec asserts it property-style; this asserts it vs DuckDB).
+    */
+  def wandTopKDF(spark: SparkSession, sfDir: String, q: Query, k: Int): DataFrame = {
+    import spark.implicits._
+    Wand.searchTopK(searcher(spark, sfDir), q, k, ScoreMode.ExactDouble)
+      .scoreDocs.map(d => (d.docId, d.score)).toSeq
+      .toDF("doc_id", "score")
+      .select(col("doc_id"), round(col("score"), 4).as("score_r"))
+      .orderBy("doc_id")
+  }
+
   def termStatsDF(spark: SparkSession, sfDir: String, terms: Seq[String]): DataFrame =
     spark.read.parquet(s"${indexPath(spark, sfDir)}/terms")
       .where(col("term").isin(terms: _*))

@@ -101,6 +101,12 @@ object SparkEntry {
       FtQueries.explainTopDF(s, d, BooleanQuery(Seq(
         BooleanClause(Occur.MUST, TermQuery("merge")),
         BooleanClause(Occur.SHOULD, TermQuery("spark")))), 5)),
+    "ft_wand_topk" -> ((s, d) => // block-max WAND pruning vs the exhaustive
+      // SQL ranking — pruned ≡ exhaustive on real data
+      FtQueries.wandTopKDF(s, d, BooleanQuery(Seq(
+        BooleanClause(Occur.SHOULD, TermQuery("spark")),
+        BooleanClause(Occur.SHOULD, TermQuery("window")),
+        BooleanClause(Occur.SHOULD, TermQuery("batch")))), 10)),
     "ft_total_hits" -> ((s, d) => FtQueries.totalHitsDF(s, d, Seq(
       "and_merge_sort" -> BooleanQuery(Seq(
         BooleanClause(Occur.MUST, TermQuery("merge")),
@@ -157,6 +163,15 @@ object SparkEntry {
     "ta_token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d), "text", "doc_id").orderBy("doc_id")),
     "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d), "text", "doc_id").orderBy("doc_id")),
     "ta_commongrams" -> ((s, d) => TextOps.commonGramStats(docs(s, d), "text", "doc_id").orderBy("doc_id")),
+    "ta_code_tokens" -> ((s, d) => // the tokenize_code Catalyst expression
+      // (ICU UAX#29 + stop-filter with position gaps) vs the SQL token twin —
+      // exact on this corpus, whose text is plain lowercase words (UAX#29 ≡
+      // alphanumeric-run split there)
+      docs(s, d).where(col("doc_id") < 30)
+        .select(col("doc_id"),
+          explode(graft.functions.Functions.tokenizeCode(col("text"))).as("t"))
+        .select(col("doc_id"), col("t.pos").as("pos"), col("t.term").as("term"))
+        .orderBy("doc_id", "pos")),
 
     // ---- multimodal (binary columns; decode stubbed, plumbing real) ----
     "mm_blob_stats" -> ((s, d) => Multimodal.blobStats(docs(s, d), "doc_id", "text")
@@ -541,6 +556,19 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(s, 4) AS score_r FROM rk
          |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+    "ft_wand_topk" -> // raw-score rank window (same bit-for-bit basis as
+      // ft_paged); matching proves the pruned result IS the exhaustive one
+      s"""${ftBase(Seq("spark", "window", "batch"))}, sc AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN f_spark > 0 THEN ${termScore("spark")} ELSE 0 END
+         |    + CASE WHEN f_window > 0 THEN ${termScore("window")} ELSE 0 END
+         |    + CASE WHEN f_batch > 0 THEN ${termScore("batch")} ELSE 0 END AS s
+         |  FROM base WHERE f_spark > 0 OR f_window > 0 OR f_batch > 0
+         |), rk AS (
+         |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
+         |)
+         |SELECT doc_id, round(s, 4) AS score_r FROM rk
+         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     "ft_total_hits" ->
       s"""${ftBase(Seq("merge", "sort", "spark", "batch"))}
          |SELECT qname, CAST(hits AS BIGINT) AS hits FROM (
@@ -744,6 +772,16 @@ object SparkEntry {
          |  CAST(len(list_filter(range(1, len(tk)), i ->
          |    tk[i] IN (${TextOpsOracle.stopSql}) OR tk[i+1] IN (${TextOpsOracle.stopSql}))) AS BIGINT) AS n_grams
          |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "ta_code_tokens" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk_all
+         |  FROM documents WHERE doc_id < 30
+         |)
+         |SELECT doc_id, CAST(pos AS INT) AS pos, term FROM (
+         |  SELECT doc_id, unnest(tk_all) AS term, generate_subscripts(tk_all, 1) - 1 AS pos FROM raw
+         |) WHERE term NOT IN (${TextOpsOracle.stopSql})
+         |ORDER BY doc_id, pos""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id,
