@@ -92,6 +92,24 @@ object FtQueries {
       dir
     })
 
+  /** A LOG-MERGED twin: like [[mergedIndexPath]] but folded by the
+    * LogByteSize policy (generational wave order) — queries against it
+    * driver-verify the second merge policy's execution end to end.
+    */
+  def logMergedIndexPath(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#logmerged", {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfl2_" +
+        graft.index.Hashing.sha256Hex(sfDir).take(12)
+      val built = new IndexBuilder(spark, surfaceConfig(_.copy(segmentsPerWave = 1)))
+      built.build(surfaceCorpus(spark, sfDir), dir, resume = true)
+      if (graft.index.TieredMerge.waves(spark, dir).size > 1) {
+        graft.index.TieredMerge.maybeMergeWith(spark, dir,
+          graft.index.TieredMerge.planLog(_, mergeFactor = 3), positional = true)
+        built.publish(dir)
+      }
+      dir
+    })
+
   /** A STREAM-APPENDED twin: docs with id < splitAt built as a batch, the
     * rest appended through StreamingIndexer.appendBatch (explicit ids) —
     * queries against it driver-verify the streaming append + republish path.

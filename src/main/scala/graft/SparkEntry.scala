@@ -66,6 +66,12 @@ object SparkEntry {
     "ft_merged" -> ((s, d) => // tiered-merge execution path, oracle-verified:
       // 8 single-segment waves folded by TieredMerge, then searched
       FtQueries.matchesAt(s, FtQueries.mergedIndexPath(s, d), TermQuery("window"))),
+    "ft_merged_log" -> ((s, d) => // LogByteSize merge policy execution path,
+      // oracle-verified (generational wave windows, mergeFactor=3)
+      FtQueries.matchesAt(s, FtQueries.logMergedIndexPath(s, d), TermQuery("group"))),
+    "ft_lm_jm" -> ((s, d) => // LM Jelinek-Mercer λ=0.1 (no clamp: the +ln λ
+      // background term takes scores negative)
+      FtQueries.matchesSim(s, d, TermQuery("batch"), "lmjm", new LMJelinekMercerSimilarity)),
     "ft_streamed" -> ((s, d) => // streaming append path, oracle-verified:
       // half the corpus batch-built, half appended via foreachBatch waves
       FtQueries.matchesAt(s, FtQueries.streamedIndexPath(s, d), TermQuery("batch"))),
@@ -400,6 +406,24 @@ object SparkEntry {
       s"""${ftBase(Seq("window"))}
          |SELECT doc_id, round(${termScore("window")}, 4) AS score_r
          |FROM base WHERE f_window > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_merged_log" -> // log-policy merge preserves postings/stats exactly:
+      // identical scores to a single-shot build
+      s"""${ftBase(Seq("group"))}
+         |SELECT doc_id, round(${termScore("group")}, 4) AS score_r
+         |FROM base WHERE f_group > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_lm_jm" -> // λ as widened float32; s=ln(1+((1-λ)f/dl)/(λp))+ln(λ)
+      s"""${ftBase(Seq("batch"))}, lj AS (
+         |  SELECT CAST(CAST(0.1 AS REAL) AS DOUBLE) AS l,
+         |    CAST((SELECT sum(${freqCol("batch")}) FROM docs) + 1 AS DOUBLE) /
+         |    CAST((SELECT sum(len(tk)) FROM docs) + 1 AS DOUBLE) AS p
+         |)
+         |SELECT doc_id, round(
+         |  (ln(1 + (((1 - (SELECT l FROM lj)) * CAST(f_batch AS DOUBLE)) / CAST(len(tk) AS DOUBLE))
+         |        / ((SELECT l FROM lj) * (SELECT p FROM lj)))
+         |   + ln((SELECT l FROM lj))), 4) AS score_r
+         |FROM base WHERE f_batch > 0
          |ORDER BY doc_id""".stripMargin,
     "ft_streamed" -> // batch+streamed halves must score as one corpus
       s"""${ftBase(Seq("batch"))}

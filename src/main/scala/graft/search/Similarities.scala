@@ -213,6 +213,24 @@ class LMJelinekMercerSimilarity(lambda: Float = 0.1f) extends SimilarityBase {
     st.totalBoost * (math.log(1 + ((1 - lambda.toDouble) * freq / docLen) / (lambda.toDouble * p)) +
       math.log(lambda.toDouble)).toFloat
   }
+
+  // ---- exact-double twin: λ enters as the widened float32 value (the SQL
+  // twin writes CAST(CAST(λ AS REAL) AS DOUBLE)); no clamp — scores go
+  // negative via the +ln(λ) background term, as in the reference. ----
+
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val lamD = lambda.toDouble
+      private val p = (ts.totalTermFreq + 1).toDouble / (cs.sumTotalTermFreq + 1).toDouble
+      def score(freq: Double, dl: Double): Double =
+        boost * (math.log(1 + ((1 - lamD) * freq / dl) / (lamD * p)) + math.log(lamD))
+    }
+
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
+      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
+    }
 }
 
 /** LM Hiemstra (lmHiemstra.go:25-39, λ=0.15 default): clamped at 0. */
