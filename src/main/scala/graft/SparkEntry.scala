@@ -93,6 +93,12 @@ object SparkEntry {
         BooleanClause(Occur.SHOULD, TermQuery("spark")))), "tfidf", new TfIdfSimilarity)),
     "ft_lm_dirichlet" -> ((s, d) => // LM Dirichlet μ=2000 with the 0-clamp
       FtQueries.matchesSim(s, d, TermQuery("merge"), "lmd", new LMDirichletSimilarity)),
+    "ft_dfr" -> ((s, d) => // DFR default config IF-L-H2 (c=1): tfn length
+      // normalization, information-frequency basic model, Laplace after-effect
+      FtQueries.matchesSim(s, d, TermQuery("window"), "dfr", new DFRSimilarity)),
+    "ft_ib" -> ((s, d) => // information-based LL×DF (log-logistic over the
+      // document-frequency lambda), H2-style tfn
+      FtQueries.matchesSim(s, d, TermQuery("sort"), "ib", new IBSimilarity)),
     "ft_paged" -> ((s, d) => // pagination: results [10, 20) of a disjunction
       // (reference TopDocsCollector.TopDocsRange)
       FtQueries.pageDF(s, d, BooleanQuery(Seq(
@@ -545,6 +551,30 @@ object SparkEntry {
          |       ELSE 0 END, 4) AS score_r
          |FROM base WHERE f_merge > 0
          |ORDER BY doc_id""".stripMargin,
+    "ft_dfr" -> // IF-L-H2, c=1: tfn = f·log2(1+avgdl/dl); score =
+      // tfn·log2(1+(N+1)/(ttf+0.5)) · 1/(tfn+1); log2(x) ≡ ln(x)/ln(2)
+      s"""${ftBase(Seq("window"))}, dp AS (
+         |  SELECT CAST((SELECT sum(${freqCol("window")}) FROM docs) AS DOUBLE) AS ttf
+         |), tf AS (
+         |  SELECT doc_id,
+         |    CAST(f_window AS DOUBLE) * (ln(1 + (SELECT avgdl FROM g) / CAST(len(tk) AS DOUBLE)) / ln(2)) AS tfn
+         |  FROM base WHERE f_window > 0
+         |)
+         |SELECT doc_id, round(
+         |  (tfn * (ln(1 + ((SELECT n FROM g) + 1) / ((SELECT ttf FROM dp) + 0.5)) / ln(2)))
+         |  * (1 / (tfn + 1)), 4) AS score_r
+         |FROM tf ORDER BY doc_id""".stripMargin,
+    "ft_ib" -> // LL-DF: λ=(df+1)/(N+1); tfn as in DFR H2; s=-ln(λ/(tfn+λ))
+      s"""${ftBase(Seq("sort"))}, ip AS (
+         |  SELECT ((SELECT CAST(count(*) AS DOUBLE) FROM docs WHERE ${freqCol("sort")} > 0) + 1)
+         |       / ((SELECT n FROM g) + 1) AS lam
+         |), tf AS (
+         |  SELECT doc_id,
+         |    CAST(f_sort AS DOUBLE) * (ln(1 + (SELECT avgdl FROM g) / CAST(len(tk) AS DOUBLE)) / ln(2)) AS tfn
+         |  FROM base WHERE f_sort > 0
+         |)
+         |SELECT doc_id, round(-ln((SELECT lam FROM ip) / (tfn + (SELECT lam FROM ip))), 4) AS score_r
+         |FROM tf ORDER BY doc_id""".stripMargin,
     "ft_paged" -> // rows [11, 20] in (raw score DESC, doc_id) order — raw,
       // not rounded: the engine pages on exact float64 scores and the oracle
       // reproduces them bit-for-bit, so the rank window is identical

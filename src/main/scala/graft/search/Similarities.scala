@@ -393,6 +393,88 @@ class DFRSimilarity(basicModel: String = "IF", afterEffect: String = "L",
     val t = tfn(st, freq, docLen)
     st.totalBoost * basic(st, t) * after(st, t)
   }
+
+  // ---- exact-double twin (oracle-reproducible): the same model family
+  // evaluated entirely in float64 over true doc lengths; log2(x) stays
+  // ln(x)/ln(2) so the SQL twin can reproduce it term for term. ----
+
+  private def tfnD(cs: CollectionStats, ts: TermStats, tf: Double, len: Double): Double = {
+    val avg = Bm25.avgdlExact(cs)
+    val cD = c.toDouble
+    val sumT1 = cs.sumTotalTermFreq.toDouble + 1
+    normalization match {
+      case "H1" => tf * cD * avg / len
+      case "H2" => tf * (math.log(1 + cD * avg / len) / LOG2)
+      case "H2Exp" => tf * math.log(1 + cD * avg / len)
+      case "H3" => cD * (tf + cD * (ts.totalTermFreq.toDouble + 1) / sumT1) / (len + cD)
+      case "BM25" => tf / (1 - cD + cD * (len / avg))
+      case "F" => tf * (cD * len / avg)
+      case "J" =>
+        val mleC = (ts.totalTermFreq.toDouble + 1) / sumT1
+        ((1 - cD) * (tf / len) + cD * mleC) * len
+      case "Jn" =>
+        val mleC = (ts.docFreq.toDouble + 1) / sumT1
+        ((1 - cD) * (tf / len) + cD * mleC) * len
+      case "P" | "Z" => tf * math.pow(avg / len, cD)
+      case "DP" =>
+        val mleC = (ts.totalTermFreq.toDouble + 1) / sumT1
+        cD * (tf + cD * mleC) / (len + cD)
+      case _ => tf
+    }
+  }
+
+  private def basicD(cs: CollectionStats, ts: TermStats, tfn: Double): Double = {
+    val nDocs = cs.maxDoc.toDouble
+    basicModel match {
+      case "BE" =>
+        val fF = ts.totalTermFreq.toDouble + 1 + tfn
+        val n = fF + nDocs
+        def f(a: Double, m: Double): Double = (m + 0.5) * log2(a / m) + (a - m) * log2(a)
+        -log2((n - 1) * math.E) + f(n + fF - 1, n + fF - tfn - 2) - f(fF, fF - tfn)
+      case "D" =>
+        val fF = ts.totalTermFreq.toDouble + 1 + tfn
+        val phi = tfn / fF
+        val nphi = 1 - phi
+        val p = 1.0 / (nDocs + 1)
+        val dD = phi * log2(phi / p) + nphi * log2(nphi / (1 - p))
+        dD * fF + 0.5 * log2(1 + 2 * math.Pi * tfn * nphi)
+      case "G" =>
+        val f = ts.totalTermFreq.toDouble + 1
+        val lambda = f / (nDocs + f)
+        log2(lambda + 1) + tfn * log2((1 + lambda) / lambda)
+      case "In" => tfn * log2((nDocs + 1) / (ts.docFreq.toDouble + 0.5))
+      case "Ine" =>
+        val f = ts.totalTermFreq.toDouble
+        val ne = nDocs * (1 - math.pow((nDocs - 1) / nDocs, f))
+        tfn * log2((nDocs + 1) / (ne + 0.5))
+      case "P" =>
+        val lambda = (ts.totalTermFreq.toDouble + 1) / (nDocs + 1)
+        tfn * log2(tfn / lambda) + (lambda + 1 / (12 * tfn) - tfn) * (1 / LOG2) +
+          0.5 * log2(2 * math.Pi * tfn)
+      case _ => tfn * log2(1 + (nDocs + 1) / (ts.totalTermFreq.toDouble + 0.5))
+    }
+  }
+
+  private def afterD(ts: TermStats, tfn: Double): Double = afterEffect match {
+    case "B" => (ts.totalTermFreq.toDouble + 1 + 1) / ((ts.docFreq.toDouble + 1) * (tfn + 1))
+    case "L" => 1 / (tfn + 1)
+    case _ => 1.0
+  }
+
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      def score(freq: Double, dl: Double): Double = {
+        val t = tfnD(cs, ts, freq, dl)
+        boost * basicD(cs, ts, t) * afterD(ts, t)
+      }
+    }
+
+  /** phrase exact = Σ member exact scorers at phraseFreq (multiSimScorer). */
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
+      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
+    }
 }
 
 /** Information-based models (ib.go:70): distribution LL/SPL × lambda DF/TTF
@@ -415,6 +497,34 @@ class IBSimilarity(distribution: String = "LL", lambdaKind: String = "DF",
     }
     st.totalBoost * d
   }
+
+  // ---- exact-double twin (oracle-reproducible): float64 over true dl. ----
+
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val cD = c.toDouble
+      private val lambda0 = lambdaKind match {
+        case "TTF" => (ts.totalTermFreq.toDouble + 1) / (cs.maxDoc.toDouble + 1)
+        case _ => (ts.docFreq.toDouble + 1) / (cs.maxDoc.toDouble + 1)
+      }
+      def score(freq: Double, dl: Double): Double = {
+        val tfn = freq * (math.log(1 + cD * Bm25.avgdlExact(cs) / dl) / math.log(2))
+        val d = distribution match {
+          case "SPL" =>
+            val l = if (lambda0 == 1) 0.99 else lambda0
+            -math.log((math.pow(l, tfn / (tfn + 1)) - l) / (1 - l))
+          case _ => -math.log(lambda0 / (tfn + lambda0))
+        }
+        boost * d
+      }
+    }
+
+  /** phrase exact = Σ member exact scorers at phraseFreq (multiSimScorer). */
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
+      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
+    }
 }
 
 /** Classic TF-IDF (DefaultSimilarity, default.go:41-119 / tfidf.go):
