@@ -116,7 +116,9 @@ object FtQueries {
     */
   def streamedIndexPath(spark: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(s"$sfDir#streamed", {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfs2_" +
+      // cache tag mfs3: the append half now publishes INCREMENTALLY
+      // (generational terms dict) — a fresh twin must exercise that path
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfs3_" +
         graft.index.Hashing.sha256Hex(sfDir).take(12)
       val corpus = surfaceCorpus(spark, sfDir)
       val splitAt = corpus.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2 + 1
@@ -214,6 +216,22 @@ object FtQueries {
       .orderBy("doc_id")
   }
 
+  /** Delete-by-term view (reference bufferedDeletes.go): every doc containing
+    * (delField, delTerm) is deleted via the distributed postings-resolution
+    * pass (Deletes.idsByTerm) + ranged delete join — no docId ever touches
+    * the driver — then the query evaluates against the view.
+    */
+  def matchesWithDeletesByTerm(spark: SparkSession, sfDir: String, q: Query,
+      delField: String, delTerm: String): DataFrame = {
+    val ids = graft.index.Deletes
+      .idsByTerm(spark, indexPath(spark, sfDir), Seq((delField, delTerm))).get
+    searcher(spark, sfDir).withDeletesDF(ids)
+      .scoredDocs(q, ScoreMode.ExactDouble)
+      .toDF("doc_id", "score")
+      .select(col("doc_id"), round(col("score"), 4).as("score_r"))
+      .orderBy("doc_id")
+  }
+
   /** Top-k by rounded score (rounding first keeps ordering identical to the
     * SQL oracle), tie-break ascending docId.
     */
@@ -280,7 +298,8 @@ object FtQueries {
   }
 
   def termStatsDF(spark: SparkSession, sfDir: String, terms: Seq[String]): DataFrame =
-    spark.read.parquet(s"${indexPath(spark, sfDir)}/terms")
+    spark.read.parquet(
+      graft.index.IndexManifest.load(spark, indexPath(spark, sfDir)).termsLocation)
       .where(col("term").isin(terms: _*))
       .select(col("term"), col("docFreq").as("df"), col("totalTermFreq").as("ttf"))
       .orderBy("term")

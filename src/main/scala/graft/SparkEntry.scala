@@ -77,7 +77,7 @@ object SparkEntry {
       FtQueries.matchesAt(s, FtQueries.streamedIndexPath(s, d), TermQuery("batch"))),
     "ft_field_stats" -> ((s, d) => // the published per-field collection stats
       // (incl. per-field docCount) against a from-scratch SQL recomputation
-      s.read.parquet(s"${FtQueries.indexPath(s, d)}/fieldstats")
+      s.read.parquet(graft.index.IndexManifest.load(s, FtQueries.indexPath(s, d)).statsLocation)
         .select(col("field"), col("maxDoc").as("max_doc"), col("docCount").as("doc_count"),
           col("sumTotalTermFreq").as("sum_ttf"), col("sumDocFreq").as("sum_df"),
           col("termCount").as("n_terms"))
@@ -85,6 +85,10 @@ object SparkEntry {
     "ft_deletes" -> ((s, d) => FtQueries.matchesWithDeletes(s, d, TermQuery("merge"), 10)),
     "ft_deletes_bulk" -> ((s, d) => // 1/3 of the corpus deleted, ranged path
       FtQueries.matchesWithDeletesBulk(s, d, TermQuery("data"), 3)),
+    "ft_deletes_term" -> ((s, d) => // delete-by-term: drop every doc
+      // containing 'window', then search 'sort' (distributed resolution +
+      // ranged join; mechanism-distinct from MUST_NOT evaluation)
+      FtQueries.matchesWithDeletesByTerm(s, d, TermQuery("sort"), "content", "window")),
     "ft_tfidf" -> ((s, d) => // classic TF-IDF: idf=ln(N/(df+1))+1, queryNorm
       // = 1/√Σw², coord = overlap/maxOverlap — the full two-phase weighting
       // pipeline, oracle-verified (not just unit vectors)
@@ -99,6 +103,19 @@ object SparkEntry {
     "ft_ib" -> ((s, d) => // information-based LL×DF (log-logistic over the
       // document-frequency lambda), H2-style tfn
       FtQueries.matchesSim(s, d, TermQuery("sort"), "ib", new IBSimilarity)),
+    "ft_dfi" -> ((s, d) => // divergence-from-independence (chi²): freq at or
+      // below expectation scores 0 but still matches
+      FtQueries.matchesSim(s, d, TermQuery("data"), "dfi", new DFISimilarity)),
+    "ft_perfield" -> ((s, d) => // PerFieldSimilarityWrapper routing: the path
+      // leaf scores TF-IDF (unnormalized: wrapper queryNorm comes from the
+      // BM25 default), the content leaf BM25
+      FtQueries.matchesSim(s, d, FtQueries.parser.parse("+path:src1 +merge"),
+        "perfield", new PerFieldSimilarityWrapper(new Bm25Similarity,
+          Map("path" -> new TfIdfSimilarity)))),
+    "ft_multi" -> ((s, d) => // MultiSimilarity: arithmetic mean of BM25 and
+      // (unnormalized) TF-IDF leaf scores
+      FtQueries.matchesSim(s, d, TermQuery("batch"), "multi",
+        new MultiSimilarity(Seq(new Bm25Similarity, new TfIdfSimilarity)))),
     "ft_paged" -> ((s, d) => // pagination: results [10, 20) of a disjunction
       // (reference TopDocsCollector.TopDocsRange)
       FtQueries.pageDF(s, d, BooleanQuery(Seq(
@@ -479,6 +496,11 @@ object SparkEntry {
          |SELECT doc_id, round(${termScore("data")}, 4) AS score_r
          |FROM base WHERE f_data > 0 AND doc_id % 3 <> 0
          |ORDER BY doc_id""".stripMargin,
+    "ft_deletes_term" ->
+      s"""${ftBase(Seq("sort", "window"))}
+         |SELECT doc_id, round(${termScore("sort")}, 4) AS score_r
+         |FROM base WHERE f_sort > 0 AND f_window = 0
+         |ORDER BY doc_id""".stripMargin,
     "ft_req_opt" ->
       s"""${ftBase(Seq("merge", "spark"))}
          |SELECT doc_id, round(${termScore("merge")}
@@ -575,6 +597,42 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(-ln((SELECT lam FROM ip) / (tfn + (SELECT lam FROM ip))), 4) AS score_r
          |FROM tf ORDER BY doc_id""".stripMargin,
+    "ft_dfi" -> // chi²: e=(ttf+1)·dl/(sumTtf+1); s=log2(1+(f-e)²/e), 0 at f≤e
+      s"""${ftBase(Seq("data"))}, dfi AS (
+         |  SELECT CAST((SELECT sum(${freqCol("data")}) FROM docs) + 1 AS DOUBLE) AS t1,
+         |         CAST((SELECT sum(len(tk)) FROM docs) + 1 AS DOUBLE) AS s1
+         |), ex AS (
+         |  SELECT doc_id, CAST(f_data AS DOUBLE) AS f,
+         |    ((SELECT t1 FROM dfi) * CAST(len(tk) AS DOUBLE)) / (SELECT s1 FROM dfi) AS e
+         |  FROM base WHERE f_data > 0
+         |)
+         |SELECT doc_id, round(
+         |  CASE WHEN f <= e THEN 0
+         |       ELSE (ln((((f - e) * (f - e)) / e) + 1) / ln(2)) END, 4) AS score_r
+         |FROM ex ORDER BY doc_id""".stripMargin,
+    "ft_perfield" -> // path leaf: TF-IDF idf², √f, 1/√dl_path (qn=1 — the
+      // wrapper's queryNorm is the BM25 default's); content leaf: BM25
+      s"""${ftBase(Seq("merge"))}, $pathCtes, pti AS (
+         |  SELECT (ln((SELECT n FROM g) / ((SELECT CAST(count(*) AS DOUBLE) FROM pfld WHERE list_contains(ptk, 'src1')) + 1)) + 1.0) AS pi
+         |)
+         |SELECT b.doc_id AS doc_id, round(
+         |  (((SELECT pi FROM pti) * (SELECT pi FROM pti))
+         |    * sqrt(CAST(len(list_filter(ptk, x -> x = 'src1')) AS DOUBLE))
+         |    * (1.0 / sqrt(CAST(len(ptk) AS DOUBLE))))
+         |  + ${termScore("merge")}, 4) AS score_r
+         |FROM base b JOIN pfld p ON p.doc_id = b.doc_id
+         |WHERE f_merge > 0 AND list_contains(ptk, 'src1')
+         |ORDER BY doc_id""".stripMargin,
+    "ft_multi" -> // mean of BM25 and unnormalized TF-IDF (qn=1: Multi does
+      // not accumulate valueForNormalization)
+      s"""${ftBase(Seq("batch"))}, mi AS (
+         |  SELECT (ln((SELECT n FROM g) / ((SELECT CAST(count(*) AS DOUBLE) FROM docs WHERE ${freqCol("batch")} > 0) + 1)) + 1.0) AS ti
+         |)
+         |SELECT doc_id, round(
+         |  ((${termScore("batch")})
+         |   + (((SELECT ti FROM mi) * (SELECT ti FROM mi)) * sqrt(CAST(f_batch AS DOUBLE)) * (1.0 / sqrt(CAST(len(tk) AS DOUBLE))))
+         |  ) / 2, 4) AS score_r
+         |FROM base WHERE f_batch > 0 ORDER BY doc_id""".stripMargin,
     "ft_paged" -> // rows [11, 20] in (raw score DESC, doc_id) order — raw,
       // not rounded: the engine pages on exact float64 scores and the oracle
       // reproduces them bit-for-bit, so the rank window is identical

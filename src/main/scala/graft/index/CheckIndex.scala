@@ -30,8 +30,8 @@ object CheckIndex {
     val manifest = IndexManifest.load(spark, indexPath)
     val docs = spark.read.parquet(s"$indexPath/docs")
     val postings = spark.read.parquet(s"$indexPath/postings")
-    val terms = spark.read.parquet(s"$indexPath/terms")
-    val stats = spark.read.parquet(s"$indexPath/fieldstats")
+    val terms = spark.read.parquet(manifest.termsLocation)
+    val stats = spark.read.parquet(manifest.statsLocation)
 
     val nDocs = docs.count()
     if (nDocs != manifest.maxDoc)

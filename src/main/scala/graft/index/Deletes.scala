@@ -43,19 +43,28 @@ object Deletes {
     * No docId ever touches the driver.
     */
   def deleteByTerm(spark: SparkSession, indexPath: String,
-      keys: Seq[(String, String)]): Unit = {
-    if (keys.isEmpty) return
+      keys: Seq[(String, String)]): Unit =
+    idsByTerm(spark, indexPath, keys).foreach(ids =>
+      append(spark, indexPath, ids))
+
+  /** The docIds matching the (field, term) keys, as a distributed one-column
+    * DataFrame (docId) — delete-by-term RESOLUTION without persisting, for
+    * searcher-scoped delete views (withDeletesDF). None when keys is empty.
+    */
+  def idsByTerm(spark: SparkSession, indexPath: String,
+      keys: Seq[(String, String)]): Option[DataFrame] = {
+    if (keys.isEmpty) return None
     import spark.implicits._
     val pred = keys.groupBy(_._1).map { case (f, ks) =>
       col("field") === f && col("term").isin(ks.map(_._2).distinct: _*)
     }.reduce(_ || _)
-    val ids = spark.read.parquet(s"$indexPath/postings")
+    Some(spark.read.parquet(s"$indexPath/postings")
       .where(pred)
       .select("payload")
       .as[Array[Byte]]
       .flatMap(p => graft.codec.PostingsCodec.decode(p).docIds)
       .distinct()
-    append(spark, indexPath, ids.toDF("docId"))
+      .toDF("docId"))
   }
 
   def exists(spark: SparkSession, indexPath: String): Boolean = {

@@ -263,7 +263,7 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     // double postings for every reader of <index>/postings. waves() deletes
     // them on load (two-phase commit; see TieredMerge.waves). Merges must not
     // run concurrently with publish.
-    TieredMerge.waves(spark, indexPath)
+    val liveWaves = TieredMerge.waves(spark, indexPath)
     val stagedPath = s"$indexPath/staged"
     val docsPath = s"$indexPath/docs"
     val termsPath = s"$indexPath/terms"
@@ -347,9 +347,121 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     segOut.close()
     Await.result(statsJob, scala.concurrent.duration.Duration.Inf)
 
-    // two-phase commit: all data dirs are durable; the marker makes it live
-    val m = IndexManifest(indexPath, maxDoc, docCount, config.docsPerRange, maxDocId)
+    // two-phase commit: all data dirs are durable; the marker makes it live.
+    // publishedWaves records which waves' term contributions this dictionary
+    // covers (replay idempotence for streaming's incremental publish)
+    val m = IndexManifest(indexPath, maxDoc, docCount, config.docsPerRange, maxDocId,
+      termsGen = 0, publishedWaves = liveWaves.map(_.wave).sorted)
     IndexManifest.commit(spark, m)
+    // gen 0 is live again: stale incremental generations are dead — sweep
+    fs(indexPath).listStatus(new Path(indexPath)).map(_.getPath)
+      .filter(p => p.getName.startsWith("terms_g") || p.getName.startsWith("fieldstats_g"))
+      .foreach(p => fs(indexPath).delete(p, true))
+    m
+  }
+
+  /** INCREMENTAL publish for streaming append cadence: fold ONE new wave's
+    * term contributions into the committed dictionary instead of
+    * re-aggregating the whole index. Cost is O(new wave) + O(vocabulary
+    * rewrite) — never a full postings or docs scan, so per-batch publish
+    * stays flat as the index grows (the full publish is O(index) per batch:
+    * the remaining scale cliff of the streaming path in rounds 1–2).
+    *
+    * Crash/replay discipline (same two-phase story as the rest of the
+    * index): the new terms/fieldstats generations are written to fresh dirs,
+    * and the manifest commit atomically flips the pointer + appends the wave
+    * to `publishedWaves`. A replayed batch (at-least-once foreachBatch) is a
+    * no-op once its wave is listed; a crash before commit leaves the old
+    * generation live and the replay re-derives the new one from it. The
+    * previous generation is kept one round for in-flight readers; older ones
+    * are swept.
+    */
+  def publishIncremental(indexPath: String, wave: Int): IndexManifest = {
+    if (!exists(s"$indexPath/commit.json"))
+      return publish(indexPath) // first commit: nothing to increment on
+    val prev = IndexManifest.load(spark, indexPath)
+    if (prev.publishedWaves.contains(wave)) return prev // replayed batch
+    val gen = prev.termsGen + 1
+    val termsOut = s"$indexPath/terms_g$gen"
+    val statsOut = s"$indexPath/fieldstats_g$gen"
+
+    // 1) term-stats delta from the new wave's postings partition only
+    val delta = spark.read.parquet(s"$indexPath/postings/wave=$wave")
+      .groupBy("field", "term")
+      .agg(
+        sum("docFreq").as("dDf"),
+        sum("ttf").as("dTtf"),
+        when(sum("docFreq") === 1L, max("firstDocId")).otherwise(-1L).as("dSingle"))
+
+    // 2) merged dictionary = full-outer fold of (old, delta); singleton
+    // survives only while the TOTAL df is 1, from whichever side holds it
+    spark.read.parquet(prev.termsLocation)
+      .join(delta, Seq("field", "term"), "full_outer")
+      .select(col("field"), col("term"),
+        (coalesce(col("docFreq"), lit(0L)) + coalesce(col("dDf"), lit(0L))).as("docFreq"),
+        (coalesce(col("totalTermFreq"), lit(0L)) + coalesce(col("dTtf"), lit(0L))).as("totalTermFreq"),
+        when(coalesce(col("docFreq"), lit(0L)) + coalesce(col("dDf"), lit(0L)) === 1L,
+          coalesce(col("singletonDocId"), col("dSingle"))).otherwise(-1L).as("singletonDocId"))
+      .write.mode("overwrite").parquet(termsOut)
+
+    // 3) per-field sums from the merged dictionary (a vocabulary-sized scan);
+    // docCount/maxDoc increment from the new wave's docs partition only
+    val indexedFields =
+      (Seq(config.field) ++ config.analyzedFields ++ config.keywordFields).distinct
+    val batchAggs = Seq(count(lit(1)).as("n"), min("docId").as("lo"), max("docId").as("hi"),
+      sum(when(col("dl") > 0, 1L).otherwise(0L)).as("ne")) ++
+      indexedFields.map(f =>
+        sum(when(element_at(col("fieldDls"), f) > 0, 1L).otherwise(0L)).as(s"dc_$f"))
+    val batchRow = spark.read.parquet(s"$indexPath/docs/wave=$wave")
+      .agg(batchAggs.head, batchAggs.tail: _*).collect()(0)
+    val batchN = batchRow.getLong(0)
+    val newMaxDoc = prev.maxDoc + batchN
+    val oldDc = spark.read.parquet(prev.statsLocation)
+      .select("field", "docCount").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dcCol = indexedFields.zipWithIndex.map { case (f, i) =>
+      f -> (oldDc.getOrElse(f, 0L) + batchRow.getLong(4 + i))
+    }.foldLeft(lit(0L)) { case (acc, (f, n)) => when(col("field") === f, lit(n)).otherwise(acc) }
+    spark.read.parquet(termsOut)
+      .groupBy("field").agg(
+        sum("totalTermFreq").as("sumTotalTermFreq"),
+        sum("docFreq").as("sumDocFreq"),
+        count(lit(1)).as("termCount"))
+      .withColumn("docCount", dcCol)
+      .withColumn("maxDoc", lit(newMaxDoc))
+      .select("field", "sumTotalTermFreq", "sumDocFreq", "termCount", "maxDoc", "docCount")
+      .write.mode("overwrite").parquet(statsOut)
+
+    // 4) segment metadata: append this wave's row (driver-side JSONL)
+    val segPath = new Path(s"$indexPath/segments.json")
+    val fsys = fs(indexPath)
+    val prevSegs =
+      if (fsys.exists(segPath)) {
+        val in = fsys.open(segPath)
+        val txt = scala.io.Source.fromInputStream(in).mkString
+        in.close(); txt
+      } else ""
+    val out = fsys.create(segPath, true)
+    out.write(prevSegs.getBytes("UTF-8"))
+    out.write((s"""{"segId":$wave,"docLo":${batchRow.getLong(1)},"docHi":${batchRow.getLong(2)},""" +
+      s""""docCount":$batchN,"generation":1,"lineage":"stream/wave=$wave"}""" + "\n").getBytes("UTF-8"))
+    out.close()
+
+    // 5) atomic flip + sweep generations older than the one we keep for
+    // in-flight readers
+    val m = IndexManifest(indexPath, newMaxDoc, prev.docCount + batchRow.getLong(3),
+      config.docsPerRange, math.max(prev.maxDocId, batchRow.getLong(2)),
+      termsGen = gen, publishedWaves = prev.publishedWaves :+ wave)
+    IndexManifest.commit(spark, m)
+    fsys.listStatus(new Path(indexPath)).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        def genOf(prefix: String): Option[Int] =
+          if (n.startsWith(prefix)) n.stripPrefix(prefix).toIntOption else None
+        genOf("terms_g").exists(_ < gen - 1) || genOf("fieldstats_g").exists(_ < gen - 1) ||
+          ((n == "terms" || n == "fieldstats") && gen > 1) // gen-0 dead once g1 superseded
+      }
+      .foreach(p => fsys.delete(p, true))
     m
   }
 
@@ -384,7 +496,21 @@ object Hashing {
   * id spaces).
   */
 final case class IndexManifest(indexPath: String, maxDoc: Long, docCount: Long,
-    docsPerRange: Int, maxDocId: Long = -1L)
+    docsPerRange: Int, maxDocId: Long = -1L,
+    termsGen: Int = 0, publishedWaves: Seq[Int] = Nil) {
+
+  /** Committed terms-dictionary dir. Generation 0 is the full-publish dir
+    * ("terms"); incremental publishes write generational dirs and flip the
+    * pointer at manifest commit (the atomic step), so a crash mid-write
+    * never corrupts the live dictionary.
+    */
+  def termsLocation: String =
+    if (termsGen <= 0) s"$indexPath/terms" else s"$indexPath/terms_g$termsGen"
+
+  /** Committed fieldstats dir (same generation discipline as terms). */
+  def statsLocation: String =
+    if (termsGen <= 0) s"$indexPath/fieldstats" else s"$indexPath/fieldstats_g$termsGen"
+}
 
 object IndexManifest {
   def commit(spark: SparkSession, m: IndexManifest): Unit = {
@@ -392,7 +518,9 @@ object IndexManifest {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     out.write(
-      s"""{"maxDoc":${m.maxDoc},"docCount":${m.docCount},"docsPerRange":${m.docsPerRange},"maxDocId":${m.maxDocId}}"""
+      (s"""{"maxDoc":${m.maxDoc},"docCount":${m.docCount},"docsPerRange":${m.docsPerRange},""" +
+        s""""maxDocId":${m.maxDocId},"termsGen":${m.termsGen},""" +
+        s""""publishedWaves":[${m.publishedWaves.mkString(",")}]}""")
         .getBytes("UTF-8"))
     out.close()
   }
@@ -406,9 +534,13 @@ object IndexManifest {
     def extract(k: String): Option[Long] =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
     val maxDoc = extract("maxDoc").get
+    val waves = """"publishedWaves":\[([0-9,\s]*)\]""".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+      .getOrElse(Nil)
     IndexManifest(indexPath, maxDoc, extract("docCount").get,
       extract("docsPerRange").get.toInt,
       // manifests written before maxDocId existed: dense 0-based ids only
-      extract("maxDocId").getOrElse(maxDoc - 1))
+      extract("maxDocId").getOrElse(maxDoc - 1),
+      extract("termsGen").map(_.toInt).getOrElse(0), waves)
   }
 }

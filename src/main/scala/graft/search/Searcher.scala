@@ -254,9 +254,9 @@ final class IndexSearcher(
     new IndexSearcher(spark, indexPath, field, similarity, extraDeletes, Some(merged))
   }
 
-  private lazy val termsDF: DataFrame = spark.read.parquet(s"$indexPath/terms")
+  private lazy val termsDF: DataFrame = spark.read.parquet(manifest.termsLocation)
   private lazy val postingsDF: DataFrame = spark.read.parquet(s"$indexPath/postings")
-  private lazy val fieldStatsDF: DataFrame = spark.read.parquet(s"$indexPath/fieldstats")
+  private lazy val fieldStatsDF: DataFrame = spark.read.parquet(manifest.statsLocation)
 
   private val csCache = scala.collection.concurrent.TrieMap.empty[String, CollectionStats]
 

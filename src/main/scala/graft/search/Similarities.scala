@@ -299,6 +299,32 @@ class DFISimilarity(measure: String = "chi") extends SimilarityBase {
     }
     st.totalBoost * (math.log(m.toDouble + 1) / math.log(2)).toFloat
   }
+
+  // ---- exact-double twin (oracle-reproducible): float64 over true dl;
+  // freq at/below expectation scores 0 but still matches. ----
+
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val t1 = ts.totalTermFreq.toDouble + 1
+      private val s1 = cs.sumTotalTermFreq.toDouble + 1
+      def score(freq: Double, dl: Double): Double = {
+        val expected = t1 * dl / s1
+        if (freq <= expected) return 0.0
+        val m = measure match {
+          case "chi" => (freq - expected) * (freq - expected) / expected
+          case "saturated" => (freq - expected) / expected
+          case _ => (freq - expected) / math.sqrt(expected)
+        }
+        boost * (math.log(m + 1) / math.log(2))
+      }
+    }
+
+  /** phrase exact = Σ member exact scorers at phraseFreq (multiSimScorer). */
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
+      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
+    }
 }
 
 /** DFR framework (dfr.go:76): basicModel × afterEffect × tf-normalization —

@@ -74,6 +74,10 @@ object StreamingIndexer {
           .select("docId", "segId", "repo", "path", "commit", "lang", "content")
     }
     builder.invertWave(staged, wave, indexPath)
-    builder.publish(indexPath)
+    // incremental: fold this wave's term stats into the committed dictionary
+    // (O(batch) + O(vocab), never a full index scan — flat per-batch publish
+    // cost however large the index has grown); replays are no-ops once the
+    // wave is listed in manifest.publishedWaves
+    builder.publishIncremental(indexPath, wave)
   }
 }

@@ -43,7 +43,8 @@ object ExplainAudit {
     }
 
     audit("terms dict point lookup") {
-      spark.read.parquet(s"$indexPath/terms").where(col("term") === "merge")
+      spark.read.parquet(graft.index.IndexManifest.load(spark, indexPath).termsLocation)
+        .where(col("term") === "merge")
     }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

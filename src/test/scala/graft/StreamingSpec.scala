@@ -86,6 +86,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(CheckIndex.run(spark, dir).ok)
   }
 
+  test("incremental publish: dictionary == full recompute; replay is a no-op; generations swept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-inc").toString
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 64, numSegments = 4, segmentsPerWave = 4,
+      explicitDocIdCol = Some("docId"))
+    val builder = new IndexBuilder(spark, cfg)
+    val all = (0 until 240).map(i => (i.toLong, TestCorpus.corpus(240)(i)))
+    def df(rows: Seq[(Long, graft.index.CodeFile)]) =
+      rows.map { case (id, f) => (id, f.repo, f.path, f.commit, f.lang, f.content) }
+        .toDF("docId", "repo", "path", "commit", "lang", "content")
+    builder.build(df(all.take(120)), dir)
+    StreamingIndexer.appendBatch(spark, builder, df(all.slice(120, 180)), batchId = 0L, dir)
+    StreamingIndexer.appendBatch(spark, builder, df(all.drop(180)), batchId = 1L, dir)
+
+    val m = IndexManifest.load(spark, dir)
+    assert(m.termsGen == 2, s"two increments → gen 2, got ${m.termsGen}")
+    assert(m.publishedWaves.count(_ >= StreamingIndexer.StreamingWaveBase) == 2)
+    assert(m.maxDoc == 240 && m.maxDocId == 239)
+    // gen-0 dirs superseded at gen 2 → swept; gen-1 kept for in-flight readers
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/terms")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/terms_g1")))
+
+    def dict(path: String) = spark.read.parquet(path)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val incremental = dict(m.termsLocation)
+
+    // replayed batch (at-least-once foreachBatch): wave already published → no-op
+    StreamingIndexer.appendBatch(spark, builder, df(all.drop(180)), batchId = 1L, dir)
+    val m2 = IndexManifest.load(spark, dir)
+    assert(m2.termsGen == 2 && m2.maxDoc == 240, "replay must not advance the generation")
+    assert(dict(m2.termsLocation) == incremental)
+
+    // ground truth: a full publish re-aggregates everything from postings
+    builder.publish(dir)
+    val m3 = IndexManifest.load(spark, dir)
+    assert(m3.termsGen == 0)
+    assert(dict(m3.termsLocation) == incremental,
+      "incrementally-folded dictionary must equal the full recompute")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/terms_g1")),
+      "full publish sweeps stale generations")
+    assert(CheckIndex.run(spark, dir).ok)
+  }
+
   test("windowed aggregation with watermark: windows finalize, late events drop") {
     import java.sql.Timestamp
     implicit val sqlCtx = spark.sqlContext
