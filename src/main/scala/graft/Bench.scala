@@ -152,6 +152,34 @@ object Bench {
     }
     val cold = refQs.map { case (name, _) => name -> coldTimes(name).min }
 
+    // ---- 2b) streaming append publish on the 200k index: INCREMENTAL
+    // (fold one wave's term deltas into the committed dictionary — O(batch)
+    // + O(vocab)) vs FULL (re-aggregate all postings + docs — O(index)).
+    // The gap grows with index size; at 100 TB the full variant is the
+    // streaming path's scale cliff. Mutates buildDir, so it runs after
+    // every latency measurement on it. ----
+    val (incPubSec, fullPubSec) = {
+      val sp = spark
+      import sp.implicits._
+      val bcfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+        docsPerRange = 8192, numSegments = 64, segmentsPerWave = 64)
+      val bb = new IndexBuilder(sp, bcfg)
+      val base = graft.index.IndexManifest.load(sp, buildDir).maxDocId + 1
+      val wave = graft.streaming.StreamingIndexer.StreamingWaveBase
+      val batch = sp.range(0L, 1000L, 1L, 8).map { i =>
+        val f = SyntheticCorpus.file(benchDocs + i)
+        (base + i, wave, f.repo, f.path, f.commit, f.lang, f.content)
+      }.toDF("docId", "segId", "repo", "path", "commit", "lang", "content")
+      bb.invertWave(batch, wave, buildDir) // untimed: same work either way
+      val t0 = System.nanoTime()
+      bb.publishIncremental(buildDir, wave)
+      val inc = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      bb.publish(buildDir)
+      val full = (System.nanoTime() - t1) / 1e9
+      (inc, full)
+    }
+
     // ---- 3) scaling: same job at N and 4N cores (min of reps — shields
     //         against host-neighbor noise), fused compute path.
     //         Default N=4 → 4N=16: a pure-CPU probe shows this box's own
@@ -265,7 +293,7 @@ object Bench {
     val colds = cold.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_docs":$benchDocs,"build_sec":$buildSec%.2f,"build_docs_per_sec":$docsPerSec%.1f,"query_reps":$qreps,"query_p50_ms":$p50s,"query_p95_ms":$p95s,"query_cold_ms":$colds$scalingJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_docs":$benchDocs,"build_sec":$buildSec%.2f,"build_docs_per_sec":$docsPerSec%.1f,"query_reps":$qreps,"query_p50_ms":$p50s,"query_p95_ms":$p95s,"query_cold_ms":$colds,"stream_publish_inc_sec":$incPubSec%.2f,"stream_publish_full_sec":$fullPubSec%.2f$scalingJson}""")
 
     // human-readable report next to BASELINE.md
     try {
@@ -282,6 +310,15 @@ object Bench {
       md ++= "| query | p50 ms | p95 ms | cold ms |\n|---|---|---|---|\n"
       p50.zip(p95).zip(cold).foreach { case (((n, m), (_, v)), (_, c)) =>
         md ++= f"| $n | $m%.1f | $v%.1f | $c%.1f |\n" }
+      md ++= f"\n## Streaming publish of one 1k-doc batch onto the $benchDocs-doc index\n\n"
+      md ++= f"- incremental (generational terms fold): $incPubSec%.2f s\n"
+      md ++= f"- full re-aggregation: $fullPubSec%.2f s\n"
+      md ++= "- at this SF both are scheduler-fixed-cost bound (~1 s) — the difference " +
+        "is STRUCTURAL: incremental touches the new wave + the compact (field,term," +
+        "df,ttf,singleton) dictionary (vocabulary-sized, sublinear in corpus), never " +
+        "the postings or docs of the existing index; full publish scans both, so its " +
+        "per-batch cost grows linearly with index size and becomes the streaming " +
+        "path's scale cliff at corpus sizes where postings ≫ vocabulary.\n"
       if (scalingJson.nonEmpty) {
         md ++= "\n## Scaling (N → 4N cores, same input/code; tmpfs-backed I/O)\n\n"
         md ++= scalingJson.stripPrefix(",\"scaling\":") + "\n\n"

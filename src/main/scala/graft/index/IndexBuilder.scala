@@ -385,54 +385,71 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     val termsOut = s"$indexPath/terms_g$gen"
     val statsOut = s"$indexPath/fieldstats_g$gen"
 
-    // 1) term-stats delta from the new wave's postings partition only
-    val delta = spark.read.parquet(s"$indexPath/postings/wave=$wave")
-      .groupBy("field", "term")
-      .agg(
-        sum("docFreq").as("dDf"),
-        sum("ttf").as("dTtf"),
-        when(sum("docFreq") === 1L, max("firstDocId")).otherwise(-1L).as("dSingle"))
+    // independent inputs run as CONCURRENT jobs (the same fixed-cost story
+    // as full publish: per-batch wall is scheduler-dominated at small sizes)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
 
-    // 2) merged dictionary = full-outer fold of (old, delta); singleton
+    // 1) merged dictionary = full-outer fold of (old, wave delta); singleton
     // survives only while the TOTAL df is 1, from whichever side holds it
-    spark.read.parquet(prev.termsLocation)
-      .join(delta, Seq("field", "term"), "full_outer")
-      .select(col("field"), col("term"),
-        (coalesce(col("docFreq"), lit(0L)) + coalesce(col("dDf"), lit(0L))).as("docFreq"),
-        (coalesce(col("totalTermFreq"), lit(0L)) + coalesce(col("dTtf"), lit(0L))).as("totalTermFreq"),
-        when(coalesce(col("docFreq"), lit(0L)) + coalesce(col("dDf"), lit(0L)) === 1L,
-          coalesce(col("singletonDocId"), col("dSingle"))).otherwise(-1L).as("singletonDocId"))
-      .write.mode("overwrite").parquet(termsOut)
+    val termsJob = Future {
+      val delta = spark.read.parquet(s"$indexPath/postings/wave=$wave")
+        .groupBy("field", "term")
+        .agg(
+          sum("docFreq").as("dDf"),
+          sum("ttf").as("dTtf"),
+          when(sum("docFreq") === 1L, max("firstDocId")).otherwise(-1L).as("dSingle"))
+      spark.read.parquet(prev.termsLocation)
+        .join(delta, Seq("field", "term"), "full_outer")
+        .select(col("field"), col("term"),
+          (coalesce(col("docFreq"), lit(0L)) + coalesce(col("dDf"), lit(0L))).as("docFreq"),
+          (coalesce(col("totalTermFreq"), lit(0L)) + coalesce(col("dTtf"), lit(0L))).as("totalTermFreq"),
+          when(coalesce(col("docFreq"), lit(0L)) + coalesce(col("dDf"), lit(0L)) === 1L,
+            coalesce(col("singletonDocId"), col("dSingle"))).otherwise(-1L).as("singletonDocId"))
+        .write.mode("overwrite").parquet(termsOut)
+    }
 
-    // 3) per-field sums from the merged dictionary (a vocabulary-sized scan);
-    // docCount/maxDoc increment from the new wave's docs partition only
+    // 2) docCount/maxDoc increments from the new wave's docs partition only
     val indexedFields =
       (Seq(config.field) ++ config.analyzedFields ++ config.keywordFields).distinct
     val batchAggs = Seq(count(lit(1)).as("n"), min("docId").as("lo"), max("docId").as("hi"),
       sum(when(col("dl") > 0, 1L).otherwise(0L)).as("ne")) ++
       indexedFields.map(f =>
         sum(when(element_at(col("fieldDls"), f) > 0, 1L).otherwise(0L)).as(s"dc_$f"))
-    val batchRow = spark.read.parquet(s"$indexPath/docs/wave=$wave")
-      .agg(batchAggs.head, batchAggs.tail: _*).collect()(0)
+    val batchRowF = Future {
+      spark.read.parquet(s"$indexPath/docs/wave=$wave")
+        .agg(batchAggs.head, batchAggs.tail: _*).collect()(0)
+    }
+    val oldDcF = Future {
+      spark.read.parquet(prev.statsLocation)
+        .select("field", "docCount").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val batchRow = Await.result(batchRowF, Duration.Inf)
+    val oldDc = Await.result(oldDcF, Duration.Inf)
     val batchN = batchRow.getLong(0)
     val newMaxDoc = prev.maxDoc + batchN
-    val oldDc = spark.read.parquet(prev.statsLocation)
-      .select("field", "docCount").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val dcCol = indexedFields.zipWithIndex.map { case (f, i) =>
       f -> (oldDc.getOrElse(f, 0L) + batchRow.getLong(4 + i))
     }.foldLeft(lit(0L)) { case (acc, (f, n)) => when(col("field") === f, lit(n)).otherwise(acc) }
-    spark.read.parquet(termsOut)
-      .groupBy("field").agg(
-        sum("totalTermFreq").as("sumTotalTermFreq"),
-        sum("docFreq").as("sumDocFreq"),
-        count(lit(1)).as("termCount"))
-      .withColumn("docCount", dcCol)
-      .withColumn("maxDoc", lit(newMaxDoc))
-      .select("field", "sumTotalTermFreq", "sumDocFreq", "termCount", "maxDoc", "docCount")
-      .write.mode("overwrite").parquet(statsOut)
 
-    // 4) segment metadata: append this wave's row (driver-side JSONL)
+    // 3) per-field sums from the merged dictionary (a vocabulary-sized scan)
+    Await.result(termsJob, Duration.Inf)
+    val statsJob = Future {
+      spark.read.parquet(termsOut)
+        .groupBy("field").agg(
+          sum("totalTermFreq").as("sumTotalTermFreq"),
+          sum("docFreq").as("sumDocFreq"),
+          count(lit(1)).as("termCount"))
+        .withColumn("docCount", dcCol)
+        .withColumn("maxDoc", lit(newMaxDoc))
+        .select("field", "sumTotalTermFreq", "sumDocFreq", "termCount", "maxDoc", "docCount")
+        .write.mode("overwrite").parquet(statsOut)
+    }
+
+    // 4) segment metadata: append this wave's row (driver-side JSONL,
+    // overlapped with the stats job)
     val segPath = new Path(s"$indexPath/segments.json")
     val fsys = fs(indexPath)
     val prevSegs =
@@ -446,6 +463,7 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     out.write((s"""{"segId":$wave,"docLo":${batchRow.getLong(1)},"docHi":${batchRow.getLong(2)},""" +
       s""""docCount":$batchN,"generation":1,"lineage":"stream/wave=$wave"}""" + "\n").getBytes("UTF-8"))
     out.close()
+    Await.result(statsJob, Duration.Inf)
 
     // 5) atomic flip + sweep generations older than the one we keep for
     // in-flight readers
