@@ -130,6 +130,14 @@ object SparkEntry {
       FtQueries.explainTopDF(s, d, BooleanQuery(Seq(
         BooleanClause(Occur.MUST, TermQuery("merge")),
         BooleanClause(Occur.SHOULD, TermQuery("spark")))), 5)),
+    "ft_sql_source" -> ((s, d) => { // the SQL-native DataSource V2 surface
+      // end to end: CREATE VIEW USING graft-search → pure spark.sql reads
+      val idx = FtQueries.indexPath(s, d)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_hits USING `graft-search`
+                OPTIONS (index '$idx', query 'merge sort', k '12',
+                         mode 'exact', analyzer 'simple')""")
+      s.sql("SELECT docId AS doc_id, round(score, 4) AS score_r FROM graft_hits ORDER BY doc_id")
+    }),
     "ft_wand_topk" -> ((s, d) => // block-max WAND pruning vs the exhaustive
       // SQL ranking — pruned ≡ exhaustive on real data
       FtQueries.wandTopKDF(s, d, BooleanQuery(Seq(
@@ -668,6 +676,18 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(s, 4) AS score_r FROM rk
          |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+    "ft_sql_source" -> // top-12 of the 'merge sort' disjunction through the
+      // DSv2 view; raw-score rank window (bit-for-bit exact-double basis)
+      s"""${ftBase(Seq("merge", "sort"))}, sc AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN f_merge > 0 THEN ${termScore("merge")} ELSE 0 END
+         |    + CASE WHEN f_sort > 0 THEN ${termScore("sort")} ELSE 0 END AS s
+         |  FROM base WHERE f_merge > 0 OR f_sort > 0
+         |), rk AS (
+         |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
+         |)
+         |SELECT doc_id, round(s, 4) AS score_r FROM rk
+         |WHERE rn <= 12 ORDER BY doc_id""".stripMargin,
     "ft_wand_topk" -> // raw-score rank window (same bit-for-bit basis as
       // ft_paged); matching proves the pruned result IS the exhaustive one
       s"""${ftBase(Seq("spark", "window", "batch"))}, sc AS (
