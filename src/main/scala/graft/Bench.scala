@@ -56,7 +56,7 @@ object Bench {
   /** Materialize the synthetic corpus once (untimed) — the timed build then
     * READS its input like a real ingest instead of paying generator CPU.
     */
-  private def corpusParquet(spark: SparkSession, n: Long, parts: Int, segs: Int): String = {
+  private[graft] def corpusParquet(spark: SparkSession, n: Long, parts: Int, segs: Int): String = {
     import spark.implicits._
     val path = s"$scratch/corpus_${n}_$parts"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {

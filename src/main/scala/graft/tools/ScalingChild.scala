@@ -25,7 +25,14 @@ object ScalingChild {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scaling-child")
-      .config("spark.sql.shuffle.partitions", math.max(cpus.toInt, 8).toString)
+      // IDENTICAL job config at both levels (the protocol measures "add 4x
+      // cores to the same job", and Spark jobs keep their shuffle.partitions
+      // when executors are added). Measured aside: giving the 2-core level
+      // cores-proportional partitions (2) speeds ITS invert ~9% — i.e. the
+      // fixed-config protocol under-states nothing; it just holds the job
+      // constant. Override for experiments: SPARK_GRAFT_CHILD_SHUFFLE.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CHILD_SHUFFLE", math.max(cpus.toInt, 8).toString))
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", s"$outBase/spark_local")
       // invert wants ONE corpus file per map task: files are written
