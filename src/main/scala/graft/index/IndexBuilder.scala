@@ -276,14 +276,19 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     // drags N→4N scaling efficiency down)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
+    // the aggregated dictionary is CACHED so the fieldstats job reads the
+    // cache concurrently with the parquet write instead of re-reading the
+    // written dictionary after it — one fewer serial barrier (publish fixed
+    // cost weighs 4x heavier on the 4N level of the scaling ratio)
+    val termsAgg = postings
+      .groupBy("field", "term")
+      .agg(
+        sum("docFreq").as("docFreq"),
+        sum("ttf").as("totalTermFreq"),
+        when(sum("docFreq") === 1L, max("firstDocId")).otherwise(-1L).as("singletonDocId"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termsJob = Future {
-      postings
-        .groupBy("field", "term")
-        .agg(
-          sum("docFreq").as("docFreq"),
-          sum("ttf").as("totalTermFreq"),
-          when(sum("docFreq") === 1L, max("firstDocId")).otherwise(-1L).as("singletonDocId"))
-        .write.mode("overwrite").parquet(termsPath)
+      termsAgg.write.mode("overwrite").parquet(termsPath)
     }
     val docs = spark.read.parquet(docsPath)
     // one pass over docs: rollup gives per-segment rows, the global totals
@@ -301,10 +306,7 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     val docRoll = docs.rollup("segId")
       .agg(allAggs.head, allAggs.tail: _*)
       .collect()
-    Await.result(termsJob, scala.concurrent.duration.Duration.Inf)
-
-    val terms = spark.read.parquet(termsPath)
-    val fieldStats = terms.groupBy("field").agg(
+    val fieldStats = termsAgg.groupBy("field").agg(
       sum("totalTermFreq").as("sumTotalTermFreq"),
       sum("docFreq").as("sumDocFreq"),
       count(lit(1)).as("termCount"))
@@ -345,7 +347,9 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
         "\n").getBytes("UTF-8"))
     }
     segOut.close()
+    Await.result(termsJob, scala.concurrent.duration.Duration.Inf)
     Await.result(statsJob, scala.concurrent.duration.Duration.Inf)
+    termsAgg.unpersist()
 
     // two-phase commit: all data dirs are durable; the marker makes it live.
     // publishedWaves records which waves' term contributions this dictionary
