@@ -103,6 +103,14 @@ object SparkEntry {
     "ft_ib" -> ((s, d) => // information-based LL×DF (log-logistic over the
       // document-frequency lambda), H2-style tfn
       FtQueries.matchesSim(s, d, TermQuery("sort"), "ib", new IBSimilarity)),
+    "ft_bm25l" -> ((s, d) => // BM25L: idf=ln((N+1)/(df+0.5)), shifted tfNorm
+      FtQueries.matchesSim(s, d, TermQuery("query"), "bm25l", new Bm25LSimilarity)),
+    "ft_lm_hiemstra" -> ((s, d) => // LM Hiemstra λ=0.15
+      FtQueries.matchesSim(s, d, TermQuery("table"), "lmh", new LMHiemstraSimilarity)),
+    "ft_lm_absdisc" -> ((s, d) => // LM absolute discounting δ=0.7 (no clamp)
+      FtQueries.matchesSim(s, d, TermQuery("scan"), "lmad", new LMAbsoluteDiscountingSimilarity)),
+    "ft_lm_twostage" -> ((s, d) => // LM two-stage λ=0.1, μ=2000 (clamped)
+      FtQueries.matchesSim(s, d, TermQuery("order"), "lmts", new LMTwoStageSimilarity)),
     "ft_dfi" -> ((s, d) => // divergence-from-independence (chi²): freq at or
       // below expectation scores 0 but still matches
       FtQueries.matchesSim(s, d, TermQuery("data"), "dfi", new DFISimilarity)),
@@ -605,6 +613,56 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(-ln((SELECT lam FROM ip) / (tfn + (SELECT lam FROM ip))), 4) AS score_r
          |FROM tf ORDER BY doc_id""".stripMargin,
+    "ft_bm25l" -> // c=f/((1-b)+(b·dl/avgdl)); s=w·((k1+1)(c+d))/(k1+(c+d));
+      // k1 enters as the widened float32 1.2f, b/d (0.75, 0.5) are exact
+      s"""${ftBase(Seq("query"))}, bl AS (
+         |  SELECT CAST(CAST(1.2 AS REAL) AS DOUBLE) AS k1,
+         |    ln(((SELECT n FROM g) + 1) / ((SELECT CAST(count(*) AS DOUBLE) FROM docs WHERE ${freqCol("query")} > 0) + 0.5)) AS w
+         |), cx AS (
+         |  SELECT doc_id,
+         |    (CAST(f_query AS DOUBLE) / ((1 - 0.75) + (0.75 * (CAST(len(tk) AS DOUBLE) / (SELECT avgdl FROM g))))) + 0.5 AS cd
+         |  FROM base WHERE f_query > 0
+         |)
+         |SELECT doc_id, round((SELECT w FROM bl) * ((((SELECT k1 FROM bl) + 1) * cd) / ((SELECT k1 FROM bl) + cd)), 4) AS score_r
+         |FROM cx ORDER BY doc_id""".stripMargin,
+    "ft_lm_hiemstra" -> // s=ln(1+(λ·f·sumTokens)/((1-λ)·ttf·dl)), λ widened
+      s"""${ftBase(Seq("table"))}, lh AS (
+         |  SELECT CAST(CAST(0.15 AS REAL) AS DOUBLE) AS l,
+         |    (SELECT CAST(sum(len(tk)) AS DOUBLE) FROM docs) AS sumt,
+         |    (SELECT CAST(sum(${freqCol("table")}) AS DOUBLE) FROM docs) AS ttf
+         |), sx AS (
+         |  SELECT doc_id,
+         |    ln(1.0 + ((SELECT l FROM lh) * CAST(f_table AS DOUBLE) * (SELECT sumt FROM lh))
+         |      / ((1 - (SELECT l FROM lh)) * (SELECT ttf FROM lh) * CAST(len(tk) AS DOUBLE))) AS s
+         |  FROM base WHERE f_table > 0
+         |)
+         |SELECT doc_id, round(CASE WHEN s > 0 THEN s ELSE 0 END, 4) AS score_r
+         |FROM sx ORDER BY doc_id""".stripMargin,
+    "ft_lm_absdisc" -> // s=ln(1+(f-δ)/(δ·sumT·p))+ln(δ·sumT/dl), δ widened
+      s"""${ftBase(Seq("scan"))}, la AS (
+         |  SELECT CAST(CAST(0.7 AS REAL) AS DOUBLE) AS dd,
+         |    (SELECT CAST(sum(len(tk)) AS DOUBLE) FROM docs) AS sumt,
+         |    CAST((SELECT sum(${freqCol("scan")}) FROM docs) + 1 AS DOUBLE) /
+         |    CAST((SELECT sum(len(tk)) FROM docs) + 1 AS DOUBLE) AS p
+         |)
+         |SELECT doc_id, round(
+         |  (ln(1.0 + (CAST(f_scan AS DOUBLE) - (SELECT dd FROM la)) / ((SELECT dd FROM la) * (SELECT sumt FROM la) * (SELECT p FROM la)))
+         |   + ln((SELECT dd FROM la) * (SELECT sumt FROM la) / CAST(len(tk) AS DOUBLE))), 4) AS score_r
+         |FROM base WHERE f_scan > 0 ORDER BY doc_id""".stripMargin,
+    "ft_lm_twostage" -> // s=ln(1+λf/(((1-λ)dl+μ)p))+ln(((1-λ)dl+μ)/(dl+μ)),
+      // clamped at 0; λ widened, μ=2000 exact
+      s"""${ftBase(Seq("order"))}, lt AS (
+         |  SELECT CAST(CAST(0.1 AS REAL) AS DOUBLE) AS l,
+         |    CAST((SELECT sum(${freqCol("order")}) FROM docs) + 1 AS DOUBLE) /
+         |    CAST((SELECT sum(len(tk)) FROM docs) + 1 AS DOUBLE) AS p
+         |), sx AS (
+         |  SELECT doc_id,
+         |    (ln(1 + ((SELECT l FROM lt) * CAST(f_order AS DOUBLE)) / ((((1 - (SELECT l FROM lt)) * CAST(len(tk) AS DOUBLE)) + 2000.0) * (SELECT p FROM lt)))
+         |     + ln((((1 - (SELECT l FROM lt)) * CAST(len(tk) AS DOUBLE)) + 2000.0) / (CAST(len(tk) AS DOUBLE) + 2000.0))) AS s
+         |  FROM base WHERE f_order > 0
+         |)
+         |SELECT doc_id, round(CASE WHEN s > 0 THEN s ELSE 0 END, 4) AS score_r
+         |FROM sx ORDER BY doc_id""".stripMargin,
     "ft_dfi" -> // chi²: e=(ttf+1)·dl/(sumTtf+1); s=log2(1+(f-e)²/e), 0 at f≤e
       s"""${ftBase(Seq("data"))}, dfi AS (
          |  SELECT CAST((SELECT sum(${freqCol("data")}) FROM docs) + 1 AS DOUBLE) AS t1,

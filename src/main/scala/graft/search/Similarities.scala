@@ -112,6 +112,25 @@ class Bm25LSimilarity(k1: Float = 1.2f, b: Float = 0.75f, d: Float = 0.5f)
     val c = freq / (1 - b + b * norm)
     ((k1 + 1) * (c + d)) / (k1 + (c + d))
   }
+
+  // ---- exact-double twin (oracle-reproducible): parameters enter as the
+  // WIDENED float32 values (SQL: CAST(CAST(1.2 AS REAL) AS DOUBLE)). ----
+
+  private def exactL(w: Double, avg: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val (k1D, bD, dD) = (k1.toDouble, b.toDouble, d.toDouble)
+      def score(freq: Double, dl: Double): Double = {
+        val c = freq / (1 - bD + bD * (dl / avg))
+        w * (((k1D + 1) * (c + dD)) / (k1D + (c + dD)))
+      }
+    }
+  private def idfLD(df: Long, n: Long): Double =
+    math.log((n.toDouble + 1) / (df.toDouble + 0.5))
+
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    exactL(idfLD(ts.docFreq, cs.maxDoc) * boost, Bm25.avgdlExact(cs))
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    exactL(tss.map(t => idfLD(t.docFreq, cs.maxDoc)).sum * boost, Bm25.avgdlExact(cs))
 }
 
 /** BM25+ (bm25plus.go): BM25 tf-norm + 1 (lower-bounding). */
@@ -242,6 +261,22 @@ class LMHiemstraSimilarity(lambda: Float = 0.15f) extends SimilarityBase {
         ((1 - lambda) * st.totalTermFreq.toFloat * docLen).toDouble).toFloat
     if (s > 0) s else 0
   }
+
+  // exact-double twin: λ enters widened (SQL CAST(CAST(0.15 AS REAL) AS DOUBLE))
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val lamD = lambda.toDouble
+      def score(freq: Double, dl: Double): Double = {
+        val s = boost * math.log(1.0 + (lamD * freq * cs.sumTotalTermFreq.toDouble) /
+          ((1 - lamD) * ts.totalTermFreq.toDouble * dl))
+        if (s > 0) s else 0.0
+      }
+    }
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
+      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
+    }
 }
 
 /** LM absolute discounting (lmAbsoluteDiscounting.go:31-45, δ=0.7 default). */
@@ -252,6 +287,22 @@ class LMAbsoluteDiscountingSimilarity(delta: Float = 0.7f) extends SimilarityBas
     st.totalBoost * (math.log(1.0 + ((freq - delta) / (delta * st.numberOfFieldTokens.toFloat * p)).toDouble) +
       math.log((delta * st.numberOfFieldTokens.toFloat / docLen).toDouble)).toFloat
   }
+
+  // exact-double twin: δ enters widened (SQL CAST(CAST(0.7 AS REAL) AS DOUBLE))
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val dD = delta.toDouble
+      private val sumT = cs.sumTotalTermFreq.toDouble
+      private val p = (ts.totalTermFreq + 1).toDouble / (cs.sumTotalTermFreq + 1).toDouble
+      def score(freq: Double, dl: Double): Double =
+        boost * (math.log(1.0 + (freq - dD) / (dD * sumT * p)) +
+          math.log(dD * sumT / dl))
+    }
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
+      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
+    }
 }
 
 /** LM Pitman-Yor process (lmPitmanYorProcess.go:24-40, μ=2000, δ=0.7):
@@ -282,6 +333,23 @@ class LMTwoStageSimilarity(lambda: Float = 0.1f, mu: Float = 2000f)
       math.log(norm.toDouble)).toFloat
     if (s > 0) s else 0
   }
+
+  // exact-double twin: λ widened (SQL CAST(CAST(0.1 AS REAL) AS DOUBLE)), μ exact
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val (lamD, muD) = (lambda.toDouble, mu.toDouble)
+      private val p = (ts.totalTermFreq + 1).toDouble / (cs.sumTotalTermFreq + 1).toDouble
+      def score(freq: Double, dl: Double): Double = {
+        val s = boost * (math.log(1 + lamD * freq / (((1 - lamD) * dl + muD) * p)) +
+          math.log(((1 - lamD) * dl + muD) / (dl + muD)))
+        if (s > 0) s else 0.0
+      }
+    }
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
+      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
+    }
 }
 
 /** DFI — divergence from independence (dfi.go:39); independence measures
