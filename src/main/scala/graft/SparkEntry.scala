@@ -105,6 +105,12 @@ object SparkEntry {
       FtQueries.matchesSim(s, d, TermQuery("sort"), "ib", new IBSimilarity)),
     "ft_bm25l" -> ((s, d) => // BM25L: idf=ln((N+1)/(df+0.5)), shifted tfNorm
       FtQueries.matchesSim(s, d, TermQuery("query"), "bm25l", new Bm25LSimilarity)),
+    "ft_bm25plus" -> ((s, d) => // BM25+: lower-bounded tfNorm (+1)
+      FtQueries.matchesSim(s, d, TermQuery("stream"), "bm25plus", new Bm25PlusSimilarity)),
+    "ft_atire" -> ((s, d) => // ATIRE BM25: idf=ln(N/df)
+      FtQueries.matchesSim(s, d, TermQuery("filter"), "atire", new AtireBm25Similarity)),
+    "ft_modbm25" -> ((s, d) => // modBM25: idf=ln((N+1)/df)
+      FtQueries.matchesSim(s, d, TermQuery("join"), "modbm25", new ModBm25Similarity)),
     "ft_lm_hiemstra" -> ((s, d) => // LM Hiemstra λ=0.15
       FtQueries.matchesSim(s, d, TermQuery("table"), "lmh", new LMHiemstraSimilarity)),
     "ft_lm_absdisc" -> ((s, d) => // LM absolute discounting δ=0.7 (no clamp)
@@ -613,6 +619,30 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(-ln((SELECT lam FROM ip) / (tfn + (SELECT lam FROM ip))), 4) AS score_r
          |FROM tf ORDER BY doc_id""".stripMargin,
+    "ft_bm25plus" -> // BM25 tfNorm + 1, k1 widened (b=0.75 widens exactly);
+      // idf = the reference BM25 idf (the idf_ column from ftBase)
+      s"""${ftBase(Seq("stream"))}, bv AS (
+         |  SELECT CAST(CAST(1.2 AS REAL) AS DOUBLE) AS k1
+         |)
+         |SELECT doc_id, round(idf_stream * (((CAST(f_stream AS DOUBLE) * ((SELECT k1 FROM bv) + 1))
+         |  / (CAST(f_stream AS DOUBLE) + (SELECT k1 FROM bv) * ((1 - 0.75) + (0.75 * (CAST(len(tk) AS DOUBLE) / (SELECT avgdl FROM g)))))) + 1), 4) AS score_r
+         |FROM base WHERE f_stream > 0 ORDER BY doc_id""".stripMargin,
+    "ft_atire" -> // idf=ln(N/df), standard tfNorm with widened k1
+      s"""${ftBase(Seq("filter"))}, bv AS (
+         |  SELECT CAST(CAST(1.2 AS REAL) AS DOUBLE) AS k1,
+         |    ln((SELECT n FROM g) / (SELECT CAST(count(*) AS DOUBLE) FROM docs WHERE ${freqCol("filter")} > 0)) AS w
+         |)
+         |SELECT doc_id, round((SELECT w FROM bv) * ((CAST(f_filter AS DOUBLE) * ((SELECT k1 FROM bv) + 1))
+         |  / (CAST(f_filter AS DOUBLE) + (SELECT k1 FROM bv) * ((1 - 0.75) + (0.75 * (CAST(len(tk) AS DOUBLE) / (SELECT avgdl FROM g)))))), 4) AS score_r
+         |FROM base WHERE f_filter > 0 ORDER BY doc_id""".stripMargin,
+    "ft_modbm25" -> // idf=ln((N+1)/df), standard tfNorm with widened k1
+      s"""${ftBase(Seq("join"))}, bv AS (
+         |  SELECT CAST(CAST(1.2 AS REAL) AS DOUBLE) AS k1,
+         |    ln(((SELECT n FROM g) + 1) / (SELECT CAST(count(*) AS DOUBLE) FROM docs WHERE ${freqCol("join")} > 0)) AS w
+         |)
+         |SELECT doc_id, round((SELECT w FROM bv) * ((CAST(f_join AS DOUBLE) * ((SELECT k1 FROM bv) + 1))
+         |  / (CAST(f_join AS DOUBLE) + (SELECT k1 FROM bv) * ((1 - 0.75) + (0.75 * (CAST(len(tk) AS DOUBLE) / (SELECT avgdl FROM g)))))), 4) AS score_r
+         |FROM base WHERE f_join > 0 ORDER BY doc_id""".stripMargin,
     "ft_bm25l" -> // c=f/((1-b)+(b·dl/avgdl)); s=w·((k1+1)(c+d))/(k1+(c+d));
       // k1 enters as the widened float32 1.2f, b/d (0.75, 0.5) are exact
       s"""${ftBase(Seq("query"))}, bl AS (

@@ -134,11 +134,31 @@ class Bm25LSimilarity(k1: Float = 1.2f, b: Float = 0.75f, d: Float = 0.5f)
 }
 
 /** BM25+ (bm25plus.go): BM25 tf-norm + 1 (lower-bounding). */
+/** Shared exact-double twin shape for the BM25 variants (k1 enters as the
+  * WIDENED float32 value; b=0.75 widens exactly): weight × (tfNorm [+1]).
+  */
+private[search] object Bm25VariantExact {
+  def scorer(w: Double, avg: Double, k1F: Float, bF: Float, plus1: Boolean): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val (k1D, bD) = (k1F.toDouble, bF.toDouble)
+      def score(freq: Double, dl: Double): Double = {
+        val tf = (freq * (k1D + 1)) / (freq + k1D * (1 - bD + bD * (dl / avg)))
+        w * (if (plus1) tf + 1 else tf)
+      }
+    }
+}
+
 class Bm25PlusSimilarity(k1: Float = 1.2f, b: Float = 0.75f)
     extends Bm25Similarity(k1, b) {
   override def name = "BM25+"
   override protected def tfNorm(freq: Float, norm: Float): Float =
     super.tfNorm(freq, norm) + 1
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    Bm25VariantExact.scorer(Bm25.idfExact(ts.docFreq, cs.maxDoc) * boost,
+      Bm25.avgdlExact(cs), k1, b, plus1 = true)
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    Bm25VariantExact.scorer(tss.map(t => Bm25.idfExact(t.docFreq, cs.maxDoc)).sum * boost,
+      Bm25.avgdlExact(cs), k1, b, plus1 = true)
 }
 
 /** ATIRE BM25 (atireBM25.go): idf = ln(N/df). */
@@ -147,6 +167,13 @@ class AtireBm25Similarity(k1: Float = 1.2f, b: Float = 0.75f)
   override def name = "ATIRE-BM25"
   override protected def idf(df: Long, n: Long): Float =
     math.log(n.toDouble / df.toDouble).toFloat
+  private def idfD(df: Long, n: Long): Double = math.log(n.toDouble / df.toDouble)
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    Bm25VariantExact.scorer(idfD(ts.docFreq, cs.maxDoc) * boost,
+      Bm25.avgdlExact(cs), k1, b, plus1 = false)
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    Bm25VariantExact.scorer(tss.map(t => idfD(t.docFreq, cs.maxDoc)).sum * boost,
+      Bm25.avgdlExact(cs), k1, b, plus1 = false)
 }
 
 /** modBM25 (modBM25.go): idf = ln((N+1)/df). */
@@ -155,6 +182,13 @@ class ModBm25Similarity(k1: Float = 1.2f, b: Float = 0.75f)
   override def name = "modBM25"
   override protected def idf(df: Long, n: Long): Float =
     math.log((n.toDouble + 1) / df.toDouble).toFloat
+  private def idfD(df: Long, n: Long): Double = math.log((n.toDouble + 1) / df.toDouble)
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    Bm25VariantExact.scorer(idfD(ts.docFreq, cs.maxDoc) * boost,
+      Bm25.avgdlExact(cs), k1, b, plus1 = false)
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    Bm25VariantExact.scorer(tss.map(t => idfD(t.docFreq, cs.maxDoc)).sum * boost,
+      Bm25.avgdlExact(cs), k1, b, plus1 = false)
 }
 
 /** Base for the SimilarityBase family (similarityBase.go:39-211): one pure
