@@ -828,22 +828,22 @@ object SparkEntry {
          |  WHERE a.doc_id < b.doc_id
          |)
          |SELECT id_a, id_b,
-         |  round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
-         |        CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE), 4) AS jaccard
+         |  floor((CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard
          |FROM cand JOIN shing sa ON sa.doc_id = id_a JOIN shing sb ON sb.doc_id = id_b
-         |WHERE round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
-         |        CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE), 4) >= 0.05
+         |WHERE floor((CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE)) * 10000 + 0.5) / 10000 >= 0.05
          |ORDER BY id_a, id_b""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""$pipelinePrelude, ${shinglesCte()}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
-         |        CAST(len(list_distinct(list_concat(a.shs, b.shs))) AS DOUBLE), 4) AS jaccard
+         |  floor((CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.shs, b.shs))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard
          |FROM (SELECT * FROM shing WHERE doc_id < 40) a,
          |     (SELECT * FROM shing WHERE doc_id < 40) b
          |WHERE a.doc_id < b.doc_id
-         |  AND round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
-         |        CAST(len(list_distinct(list_concat(a.shs, b.shs))) AS DOUBLE), 4) >= 0.01
+         |  AND floor((CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.shs, b.shs))) AS DOUBLE)) * 10000 + 0.5) / 10000 >= 0.01
          |ORDER BY id_a, id_b""".stripMargin,
     "dd_simhash" ->
       s"""$pipelinePrelude
@@ -948,16 +948,18 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
-    "ta_quality" ->
+    "ta_quality" -> // floor(x·1e4+0.5)/1e4 on BOTH sides: small-integer
+      // ratios land exactly on .xxxx5 boundaries where Spark and DuckDB
+      // round() disagree (TextOps.r4)
       s"""$pipelinePrelude
          |SELECT doc_id,
          |  CAST(len(tk) AS BIGINT) AS n_tokens,
          |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
-         |  round(CAST(len(list_filter(tk, x -> x IN (${TextOpsOracle.stopSql}))) AS DOUBLE) / CAST(len(tk) AS DOUBLE), 4) AS stop_ratio,
-         |  round(CAST(list_reduce(list_transform(tk, x -> CAST(len(x) AS BIGINT)), (a,b) -> a+b) AS DOUBLE) / CAST(len(tk) AS DOUBLE), 4) AS avg_token_len,
-         |  round((CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))
+         |  floor((CAST(len(list_filter(tk, x -> x IN (${TextOpsOracle.stopSql}))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * 10000 + 0.5) / 10000 AS stop_ratio,
+         |  floor((CAST(list_reduce(list_transform(tk, x -> CAST(len(x) AS BIGINT)), (a,b) -> a+b) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * 10000 + 0.5) / 10000 AS avg_token_len,
+         |  floor(((CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))
          |      * (1.0 - CAST(len(list_filter(tk, x -> x IN (${TextOpsOracle.stopSql}))) AS DOUBLE) / CAST(len(tk) AS DOUBLE))
-         |      * least(1.0, CAST(len(tk) AS DOUBLE) / 50.0), 4) AS quality
+         |      * least(1.0, CAST(len(tk) AS DOUBLE) / 50.0)) * 10000 + 0.5) / 10000 AS quality
          |FROM raw WHERE len(tk) > 0 ORDER BY doc_id""".stripMargin,
     "ta_langid" ->
       s"""$pipelinePrelude, ls AS (

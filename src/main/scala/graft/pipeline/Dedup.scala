@@ -156,8 +156,8 @@ object Dedup {
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "sh_b"), "id_b")
       .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+        TextOps.r4(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")))
       .where(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
   }
@@ -175,8 +175,8 @@ object Dedup {
     val b = scoped.select(col("id").as("id_b"), col("shs").as("sh_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
       .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+        TextOps.r4(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")))
       .where(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
   }

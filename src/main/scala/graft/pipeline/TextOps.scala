@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Engine-agnostic 4-dp half-up rounding for small-integer RATIO columns:
+    * floor(x·10⁴ + 0.5)/10⁴. Spark round() and DuckDB round() disagree on
+    * doubles sitting exactly on a .xxxx5 decimal boundary (measured:
+    * quality (23/48)·(45/48)·0.96 = 0.43124999999999997 → Spark 0.4312,
+    * DuckDB 0.4313); ratios of small integers hit such boundaries, so both
+    * sides must run the IDENTICAL float64 ops. SQL twin:
+    * `floor(x * 10000 + 0.5) / 10000`. Non-negative inputs only.
+    */
+  def r4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
   /** Lowercased alnum tokens of a string column. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), x => x =!= lit(""))
@@ -65,10 +75,10 @@ object TextOps {
       col(idCol),
       n.cast("long").as("n_tokens"),
       nDistinct.cast("long").as("n_distinct"),
-      round(nStop / n, 4).as("stop_ratio"),
-      round(sumLen / n, 4).as("avg_token_len"),
+      r4(nStop / n).as("stop_ratio"),
+      r4(sumLen / n).as("avg_token_len"),
       // composite: diversity * (1 - stopiness) * saturating length factor
-      round((nDistinct / n) * (lit(1.0) - nStop / n) * least(lit(1.0), n / lit(50.0)), 4)
+      r4((nDistinct / n) * (lit(1.0) - nStop / n) * least(lit(1.0), n / lit(50.0)))
         .as("quality"))
       .where(col("n_tokens") > 0)
   }
