@@ -103,6 +103,43 @@ class ExactSimSpec extends AnyFunSuite with SparkTestBase {
     assert(ex.value == ex.details.head.value * ex.details.last.value, ex.render)
   }
 
+  test("every oracle-verified model: explain == search score, exact and ref32, term + boolean") {
+    val models: Seq[(String, Similarity)] = Seq(
+      "bm25" -> new Bm25Similarity,
+      "bm25l" -> new Bm25LSimilarity,
+      "bm25plus" -> new Bm25PlusSimilarity,
+      "atire" -> new AtireBm25Similarity,
+      "modbm25" -> new ModBm25Similarity,
+      "tfidf" -> new TfIdfSimilarity,
+      "lmd" -> new LMDirichletSimilarity,
+      "lmjm" -> new LMJelinekMercerSimilarity,
+      "lmh" -> new LMHiemstraSimilarity,
+      "lmad" -> new LMAbsoluteDiscountingSimilarity,
+      "lmts" -> new LMTwoStageSimilarity,
+      "dfr" -> new DFRSimilarity,
+      "ib" -> new IBSimilarity,
+      "dfi" -> new DFISimilarity,
+      "multi" -> new MultiSimilarity(Seq(new Bm25Similarity, new TfIdfSimilarity)),
+      "perfield" -> new PerFieldSimilarityWrapper(new Bm25Similarity,
+        Map("content" -> new Bm25LSimilarity)))
+    val qs = Seq[Query](
+      TermQuery("import"),
+      BooleanQuery(Seq(
+        BooleanClause(Occur.MUST, TermQuery("import")),
+        BooleanClause(Occur.SHOULD, TermQuery("parser")))))
+    for ((name, sim) <- models; q <- qs;
+         mode <- Seq[ScoreMode](ScoreMode.ExactDouble, ScoreMode.Ref32)) {
+      val s = new IndexSearcher(spark, indexPath, similarity = sim)
+      val top = s.search(q, 3, mode)
+      assert(top.scoreDocs.nonEmpty, s"$name/$q/$mode: no hits")
+      for (hit <- top.scoreDocs) {
+        val ex = s.explain(q, hit.docId, mode)
+        assert(ex.value == hit.score,
+          s"$name/$mode doc=${hit.docId}: explain=${ex.value} != score=${hit.score}\n${ex.render}")
+      }
+    }
+  }
+
   test("LM Dirichlet exact: scores recompute from stats; clamped docs still match") {
     val s = lmdSearcher
     val q = TermQuery("import")
