@@ -460,7 +460,11 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
       if (fsys.exists(segPath)) {
         val in = fsys.open(segPath)
         val txt = scala.io.Source.fromInputStream(in).mkString
-        in.close(); txt
+        in.close()
+        // idempotent on replay: a crash between this write and the manifest
+        // commit leaves the wave's row in segments.json but NOT in
+        // publishedWaves — the re-run must replace, not duplicate, the row
+        txt.linesIterator.filterNot(_.contains(s""""segId":$wave,""")).map(_ + "\n").mkString
       } else ""
     val out = fsys.create(segPath, true)
     out.write(prevSegs.getBytes("UTF-8"))

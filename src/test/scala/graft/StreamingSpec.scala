@@ -121,6 +121,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(m2.termsGen == 2 && m2.maxDoc == 240, "replay must not advance the generation")
     assert(dict(m2.termsLocation) == incremental)
 
+    // crash-window replay: roll the manifest back to before batch 1 (batch
+    // 1's row already sits in segments.json and its wave dir is durable) —
+    // the re-run must REPLACE the segment row, not duplicate it, and
+    // re-derive the identical dictionary from the still-live g1
+    val preBatch1 = m.copy(termsGen = 1,
+      publishedWaves = m.publishedWaves.filterNot(_ == StreamingIndexer.StreamingWaveBase + 1),
+      maxDoc = 180, docCount = 180, maxDocId = 179)
+    IndexManifest.commit(spark, preBatch1)
+    StreamingIndexer.appendBatch(spark, builder, df(all.drop(180)), batchId = 1L, dir)
+    val m2b = IndexManifest.load(spark, dir)
+    assert(m2b.termsGen == 2 && m2b.maxDoc == 240)
+    assert(dict(m2b.termsLocation) == incremental)
+    val segLines = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/segments.json"))
+      val txt = scala.io.Source.fromInputStream(in).mkString
+      in.close(); txt.linesIterator.toSeq
+    }
+    val waveRows = segLines.count(_.contains(
+      s""""segId":${StreamingIndexer.StreamingWaveBase + 1},"""))
+    assert(waveRows == 1, s"crash replay duplicated the segment row ($waveRows)")
+
     // ground truth: a full publish re-aggregates everything from postings
     builder.publish(dir)
     val m3 = IndexManifest.load(spark, dir)
