@@ -89,6 +89,17 @@ object SparkEntry {
       // containing 'window', then search 'sort' (distributed resolution +
       // ranged join; mechanism-distinct from MUST_NOT evaluation)
       FtQueries.matchesWithDeletesByTerm(s, d, TermQuery("sort"), "content", "window")),
+    "ft_deletes_query" -> ((s, d) => { // delete-by-QUERY: drop every doc
+      // matching '+spark +batch', then search 'group' through the view
+      val del = BooleanQuery(Seq(
+        BooleanClause(Occur.MUST, TermQuery("spark")),
+        BooleanClause(Occur.MUST, TermQuery("batch"))))
+      FtQueries.searcher(s, d).withDeletesQuery(del)
+        .scoredDocs(TermQuery("group"), ScoreMode.ExactDouble)
+        .toDF("doc_id", "score")
+        .select(col("doc_id"), round(col("score"), 4).as("score_r"))
+        .orderBy("doc_id")
+    }),
     "ft_tfidf" -> ((s, d) => // classic TF-IDF: idf=ln(N/(df+1))+1, queryNorm
       // = 1/√Σw², coord = overlap/maxOverlap — the full two-phase weighting
       // pipeline, oracle-verified (not just unit vectors)
@@ -517,6 +528,11 @@ object SparkEntry {
       s"""${ftBase(Seq("data"))}
          |SELECT doc_id, round(${termScore("data")}, 4) AS score_r
          |FROM base WHERE f_data > 0 AND doc_id % 3 <> 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_deletes_query" ->
+      s"""${ftBase(Seq("group", "spark", "batch"))}
+         |SELECT doc_id, round(${termScore("group")}, 4) AS score_r
+         |FROM base WHERE f_group > 0 AND NOT (f_spark > 0 AND f_batch > 0)
          |ORDER BY doc_id""".stripMargin,
     "ft_deletes_term" ->
       s"""${ftBase(Seq("sort", "window"))}

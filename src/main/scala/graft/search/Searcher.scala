@@ -242,6 +242,16 @@ final class IndexSearcher(
     new IndexSearcher(spark, indexPath, field, similarity,
       extraDeletes ++ docIds, extraDeletesDF)
 
+  /** A view with every doc MATCHING `q` deleted (reference delete-by-query
+    * buffering, /root/reference/core/index/bufferedDeletes.go): the match
+    * set resolves through the distributed scoring path and rides the ranged
+    * delete join — no docId ever touches the driver. Persist with
+    * `graft.index.Deletes.append(spark, dir, ids)` when the deletion should
+    * outlive the searcher.
+    */
+  def withDeletesQuery(q: Query): IndexSearcher =
+    withDeletesDF(scoredDocs(q, ScoreMode.ExactDouble).map(_.docId).toDF("docId"))
+
   /** A view with an additional DISTRIBUTED delete set (first column = docId):
     * always evaluates via the ranged join, whatever its size.
     */
