@@ -12,6 +12,8 @@ import graft.search.{IndexSearcher, QueryParser, ScoreMode}
   * {{{
   * sbt "runMain graft.Cli build <corpusParquet> <indexDir>"   # corpus: (repo,path,commit,lang,content) or documents.parquet
   * sbt "runMain graft.Cli search <indexDir> <k> <query...>"   # classic query syntax
+  * sbt "runMain graft.Cli delete <indexDir> <field> <term>"   # persistent delete-by-term
+  * sbt "runMain graft.Cli check <indexDir>"                   # CheckIndex validation
   * }}}
   */
 object Cli {
@@ -52,8 +54,21 @@ object Cli {
       val top = searcher.search(q, k.toInt, ScoreMode.Ref32)
       println(s"totalHits=${top.totalHits}")
       top.scoreDocs.foreach(d => println(f"  doc=${d.docId}%6d score=${d.score}%.4f"))
+    case "delete" :: indexDir :: field :: term :: Nil =>
+      val before = graft.index.Deletes.count(spark, indexDir)
+      graft.index.Deletes.deleteByTerm(spark, indexDir, Seq((field, term)))
+      val after = graft.index.Deletes.count(spark, indexDir)
+      println(s"DELETED ${after - before} docs matching $field:$term (total deleted: $after)")
+    case "check" :: indexDir :: Nil =>
+      val report = graft.index.CheckIndex.run(spark, indexDir)
+      if (report.ok) println("CHECK OK")
+      else {
+        println(s"CHECK FAILED:\n  ${report.problems.mkString("\n  ")}")
+        sys.exit(1)
+      }
     case other =>
-      System.err.println(s"usage: build <corpusParquet> <indexDir> | search <indexDir> <k> <query...> (got: $other)")
+      System.err.println("usage: build <corpusParquet> <indexDir> | search <indexDir> <k> <query...> | " +
+        s"delete <indexDir> <field> <term> | check <indexDir> (got: $other)")
       sys.exit(2)
   }
 }
