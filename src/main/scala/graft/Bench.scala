@@ -106,6 +106,7 @@ object Bench {
     FtQueries.indexPath(spark, sfDir)
     FtQueries.mergedIndexPath(spark, sfDir)
     FtQueries.streamedIndexPath(spark, sfDir)
+    FtQueries.logMergedIndexPath(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
