@@ -192,6 +192,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     "dd_simhash" -> ((s, d) => Dedup.simhash32(docs(s, d), "text", "doc_id")
       .orderBy("doc_id")),
+    "dd_components" -> ((s, d) => // cluster resolution over the near-dup
+      // pair graph: min-id representative per connected component
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(docs(s, d), "text", "doc_id", tau = 0.05))
+        .orderBy("id")),
     "dd_embed_pairs" -> ((s, d) => // planes pinned (oracle models 4); the
       // library default is scale-aware (Dedup.autoPlanes)
       Dedup.embeddingNearDupPairs(s.read.parquet(s"$d/embeddings.parquet"),
@@ -850,6 +855,40 @@ object SparkEntry {
          |WHERE floor((CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
          |        CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE)) * 10000 + 0.5) / 10000 >= 0.05
          |ORDER BY id_a, id_b""".stripMargin,
+    "dd_components" -> // transitive closure by recursive CTE (tiny at oracle
+      // scale); the engine runs iterative min-label propagation — matching
+      // proves the distributed fixpoint resolves the same components
+      s"""${pipelinePrelude.replaceFirst("WITH ", "WITH RECURSIVE ")}, reps AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, md5(text) AS c FROM documents) GROUP BY c
+         |), rawr AS (
+         |  SELECT raw.* FROM raw JOIN reps USING (doc_id)
+         |), ${shinglesCte("rawr")}, $sigCte, bands AS (
+         |  SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
+         |         string_agg(minhash, ',' ORDER BY seed) AS band_key
+         |  FROM sig GROUP BY doc_id, band
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band, band_key)
+         |  WHERE a.doc_id < b.doc_id
+         |), pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM cand JOIN shing sa ON sa.doc_id = id_a JOIN shing sb ON sb.doc_id = id_b
+         |  WHERE floor((CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE)) * 10000 + 0.5) / 10000 >= 0.05
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs
+         |), verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+         |)
+         |SELECT v.id AS id, CAST(least(v.id, min(r.dst)) AS BIGINT) AS rep
+         |FROM verts v JOIN reach r ON r.src = v.id
+         |GROUP BY v.id ORDER BY id""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""$pipelinePrelude, ${shinglesCte()}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -242,4 +242,46 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sum(when(col("votes") >= 0,
         pow(lit(2.0), col("j")).cast("long")).otherwise(lit(0L))).as("simhash32"))
+
+  /** Connected components over a near-duplicate PAIR list — the cluster-
+    * resolution step a dedup pipeline runs after candidate pairs (keep one
+    * representative per component, drop the rest). Iterative minimum-label
+    * propagation: each round is one shuffle join + aggregate; convergence in
+    * O(component diameter) rounds, and near-dup components are shallow
+    * (dup clusters, not long chains). For adversarial chain shapes at corpus
+    * scale, swap the update rule for the large-star/small-star alternation
+    * (same join primitives, O(log n) rounds). Output: (id, rep) for every
+    * id appearing in `pairs`, rep = the component's minimum id — a pure
+    * function of the input (deterministic, iteration-order-free).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // pull the min label across neighbors, keep own if smaller
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("nrep").as("minNbr"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("minNbr"), col("rep"))).as("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated
+        .join(labels.select(col("id"), col("rep").as("old")), "id")
+        .where(col("rep") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

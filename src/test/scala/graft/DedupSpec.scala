@@ -90,4 +90,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val capped = Dedup.lshCandidatePairs(reps, "text", "doc_id", 8, 2, 3, maxBucket = 1)
     assert(capped.count() == 0, "maxBucket=1 must suppress every multi-member bucket")
   }
+
+  test("connected components: chains, diamonds, and isolated pairs resolve to min-id reps") {
+    // components: {1..5} as a chain (worst diameter), {10,11,12} as a
+    // triangle+tail, {20,21} isolated pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == want)
+  }
 }
