@@ -197,6 +197,10 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.minhashLshPairs(docs(s, d), "text", "doc_id", tau = 0.05))
         .orderBy("id")),
+    "dd_survivors" -> ((s, d) => // the composed dedup pipeline's OUTPUT:
+      // ids surviving exact + near-dup collapse
+      Dedup.dedupSurvivors(docs(s, d), "text", "doc_id", tau = 0.05)
+        .orderBy("doc_id")),
     "dd_embed_pairs" -> ((s, d) => // planes pinned (oracle models 4); the
       // library default is scale-aware (Dedup.autoPlanes)
       Dedup.embeddingNearDupPairs(s.read.parquet(s"$d/embeddings.parquet"),
@@ -889,6 +893,41 @@ object SparkEntry {
          |SELECT v.id AS id, CAST(least(v.id, min(r.dst)) AS BIGINT) AS rep
          |FROM verts v JOIN reach r ON r.src = v.id
          |GROUP BY v.id ORDER BY id""".stripMargin,
+    "dd_survivors" -> // exact reps minus near-dup-component non-reps
+      s"""${pipelinePrelude.replaceFirst("WITH ", "WITH RECURSIVE ")}, reps AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, md5(text) AS c FROM documents) GROUP BY c
+         |), rawr AS (
+         |  SELECT raw.* FROM raw JOIN reps USING (doc_id)
+         |), ${shinglesCte("rawr")}, $sigCte, bands AS (
+         |  SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
+         |         string_agg(minhash, ',' ORDER BY seed) AS band_key
+         |  FROM sig GROUP BY doc_id, band
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band, band_key)
+         |  WHERE a.doc_id < b.doc_id
+         |), pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM cand JOIN shing sa ON sa.doc_id = id_a JOIN shing sb ON sb.doc_id = id_b
+         |  WHERE floor((CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE)) * 10000 + 0.5) / 10000 >= 0.05
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs
+         |), verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+         |), comp AS (
+         |  SELECT v.id AS id, least(v.id, min(r.dst)) AS rep
+         |  FROM verts v JOIN reach r ON r.src = v.id GROUP BY v.id
+         |)
+         |SELECT doc_id FROM reps
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
+         |ORDER BY doc_id""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""$pipelinePrelude, ${shinglesCte()}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

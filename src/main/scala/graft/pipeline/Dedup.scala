@@ -243,6 +243,24 @@ object Dedup {
       .agg(sum(when(col("votes") >= 0,
         pow(lit(2.0), col("j")).cast("long")).otherwise(lit(0L))).as("simhash32"))
 
+  /** END-TO-END corpus dedup — the composed pipeline a training-data run
+    * actually executes: exact-duplicate collapse (content digest, min-id
+    * representative) THEN near-duplicate collapse (MinHash-LSH pairs →
+    * connected components, min-id representative). Returns the SURVIVING
+    * ids of `df`: one per exact group whose representative also survives
+    * near-dup clustering. Every stage is the shared operator (exact groups,
+    * LSH pairs, components), so the scale properties are theirs.
+    */
+  def dedupSurvivors(df: DataFrame, textCol: String, idCol: String,
+      tau: Double = 0.3, maxBucket: Int = 10000): DataFrame = {
+    val reps = contentRepresentatives(df, textCol, idCol).select(col(idCol))
+    val pairs = minhashLshPairs(df, textCol, idCol, tau = tau, maxBucket = maxBucket)
+    val dropped = connectedComponents(pairs)
+      .where(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+    reps.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-duplicate PAIR list — the cluster-
     * resolution step a dedup pipeline runs after candidate pairs (keep one
     * representative per component, drop the rest). Iterative minimum-label
