@@ -219,6 +219,18 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       Ann.ivfCosineTopK(s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
         queryMaxId = 5L, k = 5).orderBy("query_id", "rank")),
+    "ann_ivf_index" -> ((s, d) => { // the PERSISTED serving-shape IVF path:
+      // cid-partitioned assignment lists on disk, probes prune partitions
+      // (fixed quantizer so the same SQL oracle applies)
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_fix_" +
+        graft.index.Hashing.sha256Hex(d).take(12)
+      if (!new java.io.File(s"$path/assignments/_SUCCESS").exists())
+        Ann.writeIvfIndex(e, "vec_id", "embedding", path,
+          centroids = Some(Ann.fixedCentroids(e, "vec_id", "embedding")))
+      Ann.ivfIndexTopK(s, path, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nprobe = 4).orderBy("query_id", "rank")
+    }),
     "ann_ivf_recall" -> ((s, d) => // fixed-quantizer mode (oracle-stable);
       // the trained k-means path is spec-verified (AnnSpec)
       Ann.ivfRecallAtK(s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
@@ -992,6 +1004,11 @@ object SparkEntry {
          |WHERE round(${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 4) >= 0.25
          |ORDER BY id_a, id_b""".stripMargin,
     "ann_ivf_topk" ->
+      s"""$ivfCtes
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+         |FROM ivf_ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_index" -> // identical semantics to ann_ivf_topk: persistence +
+      // partition-pruned probes must not change a single result
       s"""$ivfCtes
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
          |FROM ivf_ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,

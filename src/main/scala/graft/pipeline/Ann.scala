@@ -138,15 +138,23 @@ object Ann {
     * production recall — the Spark plumbing (broadcast centroids →
     * assignment → probe join → re-rank) is identical.
     */
+  /** The oracle-stable FIXED quantizer: the numCentroids lowest-id vectors
+    * as (cid, cv, cn) — ivfCosineTopK's default, also usable as an explicit
+    * quantizer for [[writeIvfIndex]] so the persisted-index path stays
+    * ANSI-SQL-reproducible (kmeansCentroids is the production swap).
+    */
+  def fixedCentroids(df: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int = 16): DataFrame =
+    withNorm(df, idCol, vecCol).where(col(idCol) < numCentroids)
+      .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+
   def ivfCosineTopK(df: DataFrame, idCol: String, vecCol: String,
       queryMaxId: Long, k: Int, numCentroids: Int = 16, nprobe: Int = 4,
       centroids: Option[DataFrame] = None): DataFrame = {
     val all = withNorm(df, idCol, vecCol)
     // trained quantizer when provided (kmeansCentroids — the production
     // path); the fixed lowest-id default stays for oracle reproducibility
-    val cents = centroids.getOrElse(
-      all.where(col(idCol) < numCentroids)
-        .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cn")))
+    val cents = centroids.getOrElse(fixedCentroids(df, idCol, vecCol, numCentroids))
     // assignment: every vector → its closest centroid (broadcast: n×C
     // cosines, C small); ties break toward the smaller centroid id.
     // max_by over (ccos, -cid) is a partial aggregation — the shuffle
