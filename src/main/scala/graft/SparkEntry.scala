@@ -206,6 +206,15 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(s.read.parquet(s"$d/embeddings.parquet"),
         "vec_id", "embedding", tau = 0.25, planes = 4).orderBy("id_a", "id_b")),
 
+    "dd_embed_survivors" -> ((s, d) => { // embedding-modality dedup output:
+      // vectors surviving cosine near-dup clustering (min-id reps kept)
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val dropped = Dedup.connectedComponents(
+        Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", tau = 0.25, planes = 4))
+        .where(col("id") =!= col("rep")).select(col("id").as("vec_id"))
+      e.select("vec_id").join(dropped, Seq("vec_id"), "left_anti").orderBy("vec_id")
+    }),
+
     // ---- similarity search over embeddings ----
     "ann_cosine_topk" -> ((s, d) =>
       Ann.cosineTopK(s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
@@ -1003,6 +1012,43 @@ object SparkEntry {
          |FROM cand JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
          |WHERE round(${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 4) >= 0.25
          |ORDER BY id_a, id_b""".stripMargin,
+    "dd_embed_survivors" -> // same 4-plane buckets + τ=0.25 pairs as
+      // dd_embed_pairs, then recursive-closure components → survivors
+      s"""WITH RECURSIVE n AS (
+         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), buck AS (
+         |  SELECT vec_id, tbl,
+         |    CAST(list_sum(list_transform(range(0, 4), p ->
+         |      CASE WHEN list_reduce(list_transform(range(1, len(embedding)+1), i ->
+         |          CAST(embedding[i] AS DOUBLE) * ($lshSignSql)),
+         |        (x,y) -> x+y) >= 0
+         |      THEN CAST(pow(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+         |  FROM n, (SELECT unnest([0,1,2,3]) AS tbl)
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buck a JOIN buck b USING (tbl, bucket)
+         |  WHERE a.vec_id < b.vec_id
+         |), pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM cand JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
+         |  WHERE round(${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 4) >= 0.25
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs
+         |), verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+         |), comp AS (
+         |  SELECT v.id AS id, least(v.id, min(r.dst)) AS rep
+         |  FROM verts v JOIN reach r ON r.src = v.id GROUP BY v.id
+         |)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> rep)
+         |ORDER BY vec_id""".stripMargin,
     "ann_ivf_topk" ->
       s"""$ivfCtes
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine

@@ -273,12 +273,17 @@ object Dedup {
     * function of the input (deterministic, iteration-order-free).
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // localCheckpoint (not persist): iterative plans NEST — after k rounds
+    // a cached-but-uncheckpointed loop carries an O(2^k) logical tree into
+    // every analysis pass (measured: driver heap exhaustion at ~1k edges);
+    // checkpointing truncates the lineage so each round plans against a
+    // materialized leaf
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -290,16 +295,14 @@ object Dedup {
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("minNbr"), col("rep"))).as("rep"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = updated
         .join(labels.select(col("id"), col("rep").as("old")), "id")
         .where(col("rep") =!= col("old")).count()
-      labels.unpersist()
       labels = updated
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
     labels
   }
 }
