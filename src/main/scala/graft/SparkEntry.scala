@@ -192,6 +192,9 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     "dd_simhash" -> ((s, d) => Dedup.simhash32(docs(s, d), "text", "doc_id")
       .orderBy("doc_id")),
+    "dd_simhash_pairs" -> ((s, d) => // hamming ≤ 3 via pigeonhole band join
+      Dedup.simhashPairs(docs(s, d), "text", "doc_id", maxDist = 3)
+        .orderBy("id_a", "id_b")),
     "dd_components" -> ((s, d) => // cluster resolution over the near-dup
       // pair graph: min-id representative per connected component
       Dedup.connectedComponents(
@@ -879,6 +882,31 @@ object SparkEntry {
          |FROM cand JOIN shing sa ON sa.doc_id = id_a JOIN shing sb ON sb.doc_id = id_b
          |WHERE floor((CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
          |        CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE)) * 10000 + 0.5) / 10000 >= 0.05
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dd_simhash_pairs" -> // pigeonhole: 4 byte-bands of the 32-bit hash;
+      // hamming ≤ 3 ⇒ ≥1 exact shared band; popcount verifies
+      s"""$pipelinePrelude, sh AS (
+         |  SELECT doc_id AS id, CAST(sum(CASE WHEN votes >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS h
+         |  FROM (
+         |    SELECT doc_id, j, sum(vote) AS votes FROM (
+         |      SELECT doc_id, j,
+         |        CASE WHEN substr(md5(tok), CAST(j+1 AS INT), 1) IN ('8','9','a','b','c','d','e','f')
+         |             THEN 1 ELSE -1 END AS vote
+         |      FROM (SELECT doc_id, unnest(tk) AS tok FROM raw),
+         |           (SELECT unnest(range(0, 32)) AS j))
+         |    GROUP BY doc_id, j)
+         |  GROUP BY doc_id
+         |), banded AS (
+         |  SELECT id, h, band, CAST(floor(h / pow(2, band * 8)) AS BIGINT) % 256 AS bv
+         |  FROM sh, (SELECT unnest([0,1,2,3]) AS band)
+         |), cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b USING (band, bv)
+         |  WHERE a.id < b.id
+         |)
+         |SELECT id_a, id_b, CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
+         |FROM cand JOIN sh x ON x.id = id_a JOIN sh y ON y.id = id_b
+         |WHERE bit_count(xor(x.h, y.h)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     "dd_components" -> // transitive closure by recursive CTE (tiny at oracle
       // scale); the engine runs iterative min-label propagation — matching

@@ -243,6 +243,37 @@ object Dedup {
       .agg(sum(when(col("votes") >= 0,
         pow(lit(2.0), col("j")).cast("long")).otherwise(lit(0L))).as("simhash32"))
 
+  /** Near-duplicate pairs by SimHash-32 hamming distance ≤ `maxDist`, via
+    * the PIGEONHOLE band join: the 32-bit hash splits into maxDist+1 byte
+    * bands — any pair within maxDist differs in at most maxDist bands, so
+    * it SHARES at least one exact band (guaranteed recall, no pairwise
+    * scan); candidates equi-join on (band, value), the exact popcount check
+    * keeps true pairs. Linear in docs + band-bucket sizes.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sh = simhash32(df, textCol, idCol)
+      .select(col(idCol).as("id"), col("simhash32").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBands = maxDist + 1
+    val banded = sh
+      .select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      // floor, not cast-truncate: DuckDB's double→BIGINT cast ROUNDS while
+      // Spark's truncates — floor is the shape both engines agree on
+      .withColumn("bv", floor(col("h") / pow(lit(2.0), col("band") * 8)) % 256)
+    val cand = banded.select(col("band"), col("bv"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bv"), col("id").as("id_b")), Seq("band", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("h").as("h_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("h").as("h_b")), "id_b")
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .where(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** END-TO-END corpus dedup — the composed pipeline a training-data run
     * actually executes: exact-duplicate collapse (content digest, min-id
     * representative) THEN near-duplicate collapse (MinHash-LSH pairs →
