@@ -303,7 +303,42 @@ object Dedup {
     * id appearing in `pairs`, rep = the component's minimum id — a pure
     * function of the input (deterministic, iteration-order-free).
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
+      localEdgeMax: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val cached = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SMALL-GRAPH fast path (mirrors the deletes design: small sets driver-
+    // local, bulk distributed): near-dup pair graphs are tiny relative to
+    // the corpus — ≤ localEdgeMax edges (16 B each) resolve as an in-memory
+    // union-find instead of ~4 Spark jobs per propagation round
+    if (cached.count() <= localEdgeMax) {
+      val edges = cached.as[(Long, Long)].collect()
+      cached.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p) // path halving
+          x = parent(x)
+        }
+        x
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // the smaller root becomes the parent → every root IS its
+        // component's minimum id (the distributed loop's invariant)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val verts = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+      return verts.sorted.map(v => (v, find(v))).toSeq.toDF("id", "rep")
+    }
+    connectedComponentsDistributed(cached, maxIters)
+  }
+
+  private def connectedComponentsDistributed(pairs: DataFrame, maxIters: Int): DataFrame = {
     // localCheckpoint (not persist): iterative plans NEST — after k rounds
     // a cached-but-uncheckpointed loop carries an O(2^k) logical tree into
     // every analysis pass (measured: driver heap exhaustion at ~1k edges);

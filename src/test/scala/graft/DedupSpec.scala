@@ -98,10 +98,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (11L, 12L), (10L, 12L),
       (21L, 20L)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
-    assert(got == want)
+    // driver union-find fast path AND the distributed propagation loop
+    // (localEdgeMax=0 forces it) must resolve identically
+    for (localMax <- Seq(1000000L, 0L)) {
+      val got = Dedup.connectedComponents(pairs, localEdgeMax = localMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"localEdgeMax=$localMax")
+    }
   }
 }
