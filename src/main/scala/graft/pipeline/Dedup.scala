@@ -251,7 +251,7 @@ object Dedup {
     * keeps true pairs. Linear in docs + band-bucket sizes.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val sh = simhash32(df, textCol, idCol)
       .select(col(idCol).as("id"), col("simhash32").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -262,8 +262,15 @@ object Dedup {
       // floor, not cast-truncate: DuckDB's double→BIGINT cast ROUNDS while
       // Spark's truncates — floor is the shape both engines agree on
       .withColumn("bv", floor(col("h") / pow(lit(2.0), col("band") * 8)) % 256)
-    val cand = banded.select(col("band"), col("bv"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bv"), col("id").as("id_b")), Seq("band", "bv"))
+    // skew cap BEFORE the self-join (same discipline as the MinHash path):
+    // pre-count buckets, keep only under-cap ones — a pathological band
+    // value can never drive an m² explosion (bounded recall loss, bounded
+    // shuffle always; the cap is far beyond honest near-dup bucket sizes)
+    val underCap = banded.groupBy("band", "bv").count()
+      .where(col("count") <= maxBucket).select("band", "bv")
+    val capped = banded.join(underCap, Seq("band", "bv"), "left_semi")
+    val cand = capped.select(col("band"), col("bv"), col("id").as("id_a"))
+      .join(capped.select(col("band"), col("bv"), col("id").as("id_b")), Seq("band", "bv"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
