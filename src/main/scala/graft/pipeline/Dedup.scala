@@ -360,14 +360,22 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // pull the min label across neighbors, keep own if smaller
+      // (1) pull the min label across neighbors, keep own if smaller
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("nrep").as("minNbr"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val pulled = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("minNbr"), col("rep"))).as("rep"))
+      // (2) pointer jumping: rep := min(rep, rep(rep)) — labels chase their
+      // own chains, so convergence is O(log diameter) rounds, not
+      // O(diameter); one-hop propagation alone would silently exceed
+      // maxIters on a long near-dup chain
+      val updated = pulled.as("x")
+        .join(pulled.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
         .localCheckpoint(true)
       val changed = updated
         .join(labels.select(col("id"), col("rep").as("old")), "id")
@@ -376,6 +384,9 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    require(converged,
+      s"connectedComponents did not converge within $maxIters rounds " +
+        "(pointer jumping covers diameter 2^rounds — raise maxIters)")
     labels
   }
 }

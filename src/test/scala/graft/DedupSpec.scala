@@ -107,5 +107,12 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"localEdgeMax=$localMax")
     }
+    // a LONG chain through the distributed loop: pointer jumping must
+    // converge in O(log diameter) rounds (one-hop propagation would need
+    // 120 rounds here and trip the convergence guard)
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chained = Dedup.connectedComponents(chain, maxIters = 12, localEdgeMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chained.size == 121 && chained.values.forall(_ == 0L))
   }
 }
