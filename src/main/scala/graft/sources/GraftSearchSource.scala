@@ -31,6 +31,9 @@ import graft.search._
   * default `content`), `keywordFields` / `analyzedFields` (comma-separated,
   * for `field:value` and fielded text/phrase routing),
   * `analyzer` (`standard`|`simple`), `wand` (`true` to prune),
+  * `similarity` (`bm25` default | `bm25l`|`bm25plus`|`atire`|`modbm25`|
+  * `tfidf`|`lmdirichlet`|`lmjelinekmercer`|`lmhiemstra`|`lmabsdisc`|
+  * `lmtwostage`|`dfr`|`ib`|`dfi`),
   * `strictFields` (`true` to reject unknown `field:` prefixes; default false
   * — free-text queries with colons are searched, not errored).
   *
@@ -62,7 +65,7 @@ object GraftSearchTable {
   // searcher per (index, field): a token change EVICTS the previous
   // generation (no unbounded growth under frequent publishes).
   private val searchers =
-    scala.collection.concurrent.TrieMap.empty[(String, String), (String, IndexSearcher)]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), (String, IndexSearcher)]
 
   private def freshness(spark: SparkSession, index: String): String = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -86,14 +89,37 @@ object GraftSearchTable {
     s"$commitTxt/${ls(s"$index/deletes")}/${ls(s"$index/postings")}"
   }
 
-  private[sources] def searcher(index: String, field: String): IndexSearcher = {
+  /** `similarity` option → scoring model (default bm25). */
+  private[sources] def similarityFor(name: String): Similarity =
+    name.toLowerCase match {
+      case "bm25" => new Bm25Similarity
+      case "bm25l" => new Bm25LSimilarity
+      case "bm25plus" | "bm25+" => new Bm25PlusSimilarity
+      case "atire" => new AtireBm25Similarity
+      case "modbm25" => new ModBm25Similarity
+      case "tfidf" | "classic" => new TfIdfSimilarity
+      case "lmdirichlet" | "lmd" => new LMDirichletSimilarity
+      case "lmjelinekmercer" | "lmjm" => new LMJelinekMercerSimilarity
+      case "lmhiemstra" | "lmh" => new LMHiemstraSimilarity
+      case "lmabsdisc" | "lmad" => new LMAbsoluteDiscountingSimilarity
+      case "lmtwostage" | "lmts" => new LMTwoStageSimilarity
+      case "dfr" => new DFRSimilarity
+      case "ib" => new IBSimilarity
+      case "dfi" => new DFISimilarity
+      case other => throw new IllegalArgumentException(
+        s"unknown similarity '$other' (bm25|bm25l|bm25plus|atire|modbm25|" +
+          "tfidf|lmdirichlet|lmjelinekmercer|lmhiemstra|lmabsdisc|lmtwostage|dfr|ib|dfi)")
+    }
+
+  private[sources] def searcher(index: String, field: String,
+      simName: String = "bm25"): IndexSearcher = {
     val spark = SparkSession.active
     val tok = freshness(spark, index)
-    val k = (index, field)
+    val k = (index, field, simName.toLowerCase)
     searchers.get(k) match {
       case Some((t, s)) if t == tok => s
       case _ =>
-        val s = new IndexSearcher(spark, index, field)
+        val s = new IndexSearcher(spark, index, field, similarityFor(simName))
         searchers.put(k, (tok, s))
         s
     }
@@ -148,7 +174,8 @@ final class GraftScan(options: CaseInsensitiveStringMap, limit: Int)
     val strict = options.getBoolean("strictFields", false)
     val q = new QueryParser(analyzer, field, kw, strictFields = strict,
       analyzedFields = af).parse(queryStr)
-    val searcher = GraftSearchTable.searcher(index, field)
+    val searcher = GraftSearchTable.searcher(index, field,
+      options.getOrDefault("similarity", "bm25"))
     val top =
       if (options.getBoolean("wand", false)) Wand.searchTopK(searcher, q, k, mode)
       else searcher.search(q, k, mode)

@@ -92,6 +92,27 @@ class GraftSourceSpec extends AnyFunSuite with SparkTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("unknown field")))
   }
 
+  test("similarity option routes scoring models through the SQL view") {
+    def top(sim: String) = {
+      spark.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW sim_hits
+           |USING `graft-search`
+           |OPTIONS (index '$indexPath', query 'import', k '5', similarity '$sim')""".stripMargin)
+      spark.sql("SELECT docId, score FROM sim_hits ORDER BY score DESC, docId")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val viaTfidf = top("tfidf")
+    val direct = new IndexSearcher(spark, indexPath, similarity = new TfIdfSimilarity)
+      .search(TermQuery("import"), 5, ScoreMode.Ref32)
+      .scoreDocs.map(d => (d.docId, d.score)).toSeq
+    assert(viaTfidf == direct, "tfidf view must equal a direct TF-IDF searcher")
+    assert(viaTfidf.map(_._2) != top("bm25").map(_._2),
+      "distinct models must score distinctly")
+    val err = intercept[Exception](top("nope"))
+    assert(err.getMessage.contains("unknown similarity") ||
+      Option(err.getCause).exists(_.getMessage.contains("unknown similarity")))
+  }
+
   test("wand option prunes with identical top-k") {
     val df = spark.read.format("graft-search")
       .option("index", indexPath).option("query", "parser buffer scorer")
