@@ -276,7 +276,14 @@ object SparkEntry {
         .toDF("id", "n_bytes", "sha256", "format", "width", "height", "n_frames")
         .orderBy("id")),
     "mm_frame_sample" -> ((s, d) =>
-      Multimodal.sampleFrames(docs(s, d), "doc_id", "text", k = 5).orderBy("doc_id")))
+      Multimodal.sampleFrames(docs(s, d), "doc_id", "text", k = 5).orderBy("doc_id")),
+    "mm_resize" -> ((s, d) => // aspect-preserving fit of decoded dims into a
+      // 224-box (exact geometry; resample itself is the binding's job)
+      Multimodal.resizePlan(s, Multimodal.toBlobTable(docs(s, d), "doc_id", "text"))
+        .orderBy("id")),
+    "mm_features" -> ((s, d) => // per-partition "model" batch inference shape
+      Multimodal.extractFeatures(s, Multimodal.toBlobTable(docs(s, d), "doc_id", "text"))
+        .orderBy("id")))
 
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
@@ -1199,6 +1206,26 @@ object SparkEntry {
     "mm_blob_stats" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_resize" -> // decoded (fake) dims → floor(dim·min(224/w, 224/h))
+      """WITH s AS (SELECT doc_id AS id, sha256(text) AS sha FROM documents),
+        |d AS (
+        |  SELECT id,
+        |    CAST(64 + (ascii(substr(sha,2,1)) % 8) * 16 AS INT) AS width,
+        |    CAST(64 + (ascii(substr(sha,3,1)) % 8) * 16 AS INT) AS height
+        |  FROM s
+        |)
+        |SELECT id, width, height,
+        |  CAST(floor(width * least(224.0 / width, 224.0 / height)) AS INT) AS out_w,
+        |  CAST(floor(height * least(224.0 / width, 224.0 / height)) AS INT) AS out_h
+        |FROM d ORDER BY id""".stripMargin,
+    "mm_features" -> // digest-derived fake embedding: ascii(hex char)/255
+      """WITH s AS (SELECT doc_id AS id, sha256(text) AS sha FROM documents)
+        |SELECT id,
+        |  ascii(substr(sha,1,1)) / 255.0 AS f0, ascii(substr(sha,2,1)) / 255.0 AS f1,
+        |  ascii(substr(sha,3,1)) / 255.0 AS f2, ascii(substr(sha,4,1)) / 255.0 AS f3,
+        |  ascii(substr(sha,5,1)) / 255.0 AS f4, ascii(substr(sha,6,1)) / 255.0 AS f5,
+        |  ascii(substr(sha,7,1)) / 255.0 AS f6, ascii(substr(sha,8,1)) / 255.0 AS f7
+        |FROM s ORDER BY id""".stripMargin,
     "mm_decode_meta" ->
       """WITH s AS (SELECT doc_id AS id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS sha FROM documents)
         |SELECT id, CAST(n_bytes AS BIGINT) AS n_bytes, sha AS sha256,

@@ -60,6 +60,41 @@ object Multimodal {
       concat_ws(",",
         transform(sequence(lit(0), lit(k - 1)),
           i => i * floor(octet_length(col(textCol)) / k))).as("frame_offsets"))
+
+  /** Resize PLANNING over decoded metadata: aspect-preserving fit into a
+    * target box — floor(dim × min(tw/w, th/h)). This geometry is the real
+    * operator (exact, tested); only the per-pixel resample lives in the
+    * binding a production deployment supplies.
+    */
+  def resizePlan(spark: SparkSession, blobs: DataFrame,
+      targetW: Int = 224, targetH: Int = 224): DataFrame =
+    decodeBlobs(spark, blobs).toDF()
+      .withColumn("scale",
+        least(lit(targetW.toDouble) / col("width"), lit(targetH.toDouble) / col("height")))
+      .select(col("id"), col("width"), col("height"),
+        floor(col("width") * col("scale")).cast("int").as("out_w"),
+        floor(col("height") * col("scale")).cast("int").as("out_h"))
+
+  /** Feature-extraction stub with the real inference BATCH SHAPE: one
+    * "model" instance per partition (the mapInPandas analogue — amortized
+    * model init, row batches through it), fixed-dim output per blob. The
+    * fake embedding derives from the content digest (deterministic, the SQL
+    * oracle reproduces it); a real vision/audio model slots into the same
+    * mapPartitions body.
+    */
+  def extractFeatures(spark: SparkSession, blobs: DataFrame): DataFrame = {
+    import spark.implicits._
+    blobs.select("id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val model = new MediaDecoder // per-partition model init
+        it.map { case (id, blob) =>
+          val sha = model.decode(id, blob).sha256
+          def f(i: Int): Double = sha.charAt(i - 1).toInt / 255.0
+          (id, f(1), f(2), f(3), f(4), f(5), f(6), f(7), f(8))
+        }
+      }
+      .toDF("id", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
+  }
 }
 
 /** STUB media decoder. Replace `decode` with a real binding (libjpeg /
