@@ -26,6 +26,9 @@ object SparkEntry {
 
   // fixed term sets used by the verified queries
   private val statTerms = Seq("batch", "data", "merge", "sort", "spark", "window")
+  private val wideTerms = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+    "value", "part", "hash", "merge", "batch", "spark", "line", "sort", "window",
+    "order", "group", "data", "query")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- full-text engine (inverted index + BM25) ----
@@ -163,6 +166,11 @@ object SparkEntry {
                          mode 'exact', analyzer 'simple')""")
       s.sql("SELECT docId AS doc_id, round(score, 4) AS score_r FROM graft_hits ORDER BY doc_id")
     }),
+    "ft_wide_or" -> ((s, d) => // 20-term disjunction: evaluation breadth
+      // (term-index routing, accumulator widths) under one oracle
+      FtQueries.pageDF(s, d, BooleanQuery(
+        wideTerms.map(t => BooleanClause(Occur.SHOULD, TermQuery(t)))),
+        offset = 0, howMany = 15)),
     "ft_wand_topk" -> ((s, d) => // block-max WAND pruning vs the exhaustive
       // SQL ranking — pruned ≡ exhaustive on real data
       FtQueries.wandTopKDF(s, d, BooleanQuery(Seq(
@@ -832,6 +840,16 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(s, 4) AS score_r FROM rk
          |WHERE rn <= 12 ORDER BY doc_id""".stripMargin,
+    "ft_wide_or" -> // 20-clause CASE sum in clause order, raw-score window
+      s"""${ftBase(wideTerms.distinct)}, sc AS (
+         |  SELECT doc_id, tk,
+         |    ${wideTerms.map(t => s"CASE WHEN f_$t > 0 THEN ${termScore(t)} ELSE 0 END").mkString("\n    + ")} AS s
+         |  FROM base WHERE ${wideTerms.map(t => s"f_$t > 0").mkString(" OR ")}
+         |), rk AS (
+         |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
+         |)
+         |SELECT doc_id, round(s, 4) AS score_r FROM rk
+         |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
     "ft_wand_topk" -> // raw-score rank window (same bit-for-bit basis as
       // ft_paged); matching proves the pruned result IS the exhaustive one
       s"""${ftBase(Seq("spark", "window", "batch"))}, sc AS (
