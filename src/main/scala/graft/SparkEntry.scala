@@ -360,6 +360,51 @@ object SparkEntry {
        |  GROUP BY doc_id, seed
        |)""".stripMargin
 
+  /** Recursive-closure connected components over a preceding `pairs(id_a,
+    * id_b)` CTE: yields `comp(id, rep)` with rep = component min (requires
+    * the WITH list to be RECURSIVE). Shared by every *_components /
+    * *_survivors oracle so the closure shape cannot drift between them.
+    */
+  private val closureCtes =
+    s"""edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs
+       |), verts AS (SELECT DISTINCT src AS id FROM edges),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+       |), comp AS (
+       |  SELECT v.id AS id, least(v.id, min(r.dst)) AS rep
+       |  FROM verts v JOIN reach r ON r.src = v.id GROUP BY v.id
+       |)""".stripMargin
+
+  /** MinHash-LSH near-dup `pairs(id_a, id_b)` derivation (rep collapse →
+    * shingles → signatures → bands → verified pairs at τ=0.05) — the CTE
+    * chain dd_lsh_pairs models, shared by the components/survivors oracles.
+    */
+  private def lshPairsCtes = // def: shinglesCte/sigCte are initialized later
+    s"""reps AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, md5(text) AS c FROM documents) GROUP BY c
+       |), rawr AS (
+       |  SELECT raw.* FROM raw JOIN reps USING (doc_id)
+       |), ${shinglesCte("rawr")}, $sigCte, bands AS (
+       |  SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
+       |         string_agg(minhash, ',' ORDER BY seed) AS band_key
+       |  FROM sig GROUP BY doc_id, band
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band, band_key)
+       |  WHERE a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM cand JOIN shing sa ON sa.doc_id = id_a JOIN shing sb ON sb.doc_id = id_b
+       |  WHERE floor((CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE)) * 10000 + 0.5) / 10000 >= 0.05
+       |)""".stripMargin
+
   private val dotSql = (a: String, b: String) =>
     s"list_reduce(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
 
@@ -908,6 +953,12 @@ object SparkEntry {
          |WHERE floor((CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
          |        CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE)) * 10000 + 0.5) / 10000 >= 0.05
          |ORDER BY id_a, id_b""".stripMargin,
+    // NOTE: the engine's maxBucket cap (10k distinct ids per (band, byte))
+    // is NOT modeled here. Byte bands have only 256 values, so unlike the
+    // MinHash string-keyed bands this cap WILL engage at corpus scale
+    // (~2.5M+ docs even under uniform hashing) — it is the documented
+    // recall/cost dial of the operator; the oracle corpora (≤5k docs) sit
+    // far below it.
     "dd_simhash_pairs" -> // pigeonhole: 4 byte-bands of the 32-bit hash;
       // hamming ≤ 3 ⇒ ≥1 exact shared band; popcount verifies
       s"""$pipelinePrelude, sh AS (
@@ -934,71 +985,12 @@ object SparkEntry {
          |WHERE bit_count(xor(x.h, y.h)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     "dd_components" -> // transitive closure by recursive CTE (tiny at oracle
-      // scale); the engine runs iterative min-label propagation — matching
-      // proves the distributed fixpoint resolves the same components
-      s"""${pipelinePrelude.replaceFirst("WITH ", "WITH RECURSIVE ")}, reps AS (
-         |  SELECT min(doc_id) AS doc_id
-         |  FROM (SELECT doc_id, md5(text) AS c FROM documents) GROUP BY c
-         |), rawr AS (
-         |  SELECT raw.* FROM raw JOIN reps USING (doc_id)
-         |), ${shinglesCte("rawr")}, $sigCte, bands AS (
-         |  SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
-         |         string_agg(minhash, ',' ORDER BY seed) AS band_key
-         |  FROM sig GROUP BY doc_id, band
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b USING (band, band_key)
-         |  WHERE a.doc_id < b.doc_id
-         |), pairs AS (
-         |  SELECT id_a, id_b
-         |  FROM cand JOIN shing sa ON sa.doc_id = id_a JOIN shing sb ON sb.doc_id = id_b
-         |  WHERE floor((CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
-         |        CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE)) * 10000 + 0.5) / 10000 >= 0.05
-         |), edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION
-         |  SELECT id_b, id_a FROM pairs
-         |), verts AS (SELECT DISTINCT src AS id FROM edges),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
-         |)
-         |SELECT v.id AS id, CAST(least(v.id, min(r.dst)) AS BIGINT) AS rep
-         |FROM verts v JOIN reach r ON r.src = v.id
-         |GROUP BY v.id ORDER BY id""".stripMargin,
+      // scale); the engine runs min-label propagation + pointer jumping —
+      // matching proves the distributed fixpoint resolves the same components
+      s"""${pipelinePrelude.replaceFirst("WITH ", "WITH RECURSIVE ")}, $lshPairsCtes, $closureCtes
+         |SELECT id, CAST(rep AS BIGINT) AS rep FROM comp ORDER BY id""".stripMargin,
     "dd_survivors" -> // exact reps minus near-dup-component non-reps
-      s"""${pipelinePrelude.replaceFirst("WITH ", "WITH RECURSIVE ")}, reps AS (
-         |  SELECT min(doc_id) AS doc_id
-         |  FROM (SELECT doc_id, md5(text) AS c FROM documents) GROUP BY c
-         |), rawr AS (
-         |  SELECT raw.* FROM raw JOIN reps USING (doc_id)
-         |), ${shinglesCte("rawr")}, $sigCte, bands AS (
-         |  SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
-         |         string_agg(minhash, ',' ORDER BY seed) AS band_key
-         |  FROM sig GROUP BY doc_id, band
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b USING (band, band_key)
-         |  WHERE a.doc_id < b.doc_id
-         |), pairs AS (
-         |  SELECT id_a, id_b
-         |  FROM cand JOIN shing sa ON sa.doc_id = id_a JOIN shing sb ON sb.doc_id = id_b
-         |  WHERE floor((CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
-         |        CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE)) * 10000 + 0.5) / 10000 >= 0.05
-         |), edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION
-         |  SELECT id_b, id_a FROM pairs
-         |), verts AS (SELECT DISTINCT src AS id FROM edges),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
-         |), comp AS (
-         |  SELECT v.id AS id, least(v.id, min(r.dst)) AS rep
-         |  FROM verts v JOIN reach r ON r.src = v.id GROUP BY v.id
-         |)
+      s"""${pipelinePrelude.replaceFirst("WITH ", "WITH RECURSIVE ")}, $lshPairsCtes, $closureCtes
          |SELECT doc_id FROM reps
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
          |ORDER BY doc_id""".stripMargin,
@@ -1086,19 +1078,7 @@ object SparkEntry {
          |  SELECT id_a, id_b
          |  FROM cand JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
          |  WHERE round(${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 4) >= 0.25
-         |), edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION
-         |  SELECT id_b, id_a FROM pairs
-         |), verts AS (SELECT DISTINCT src AS id FROM edges),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
-         |), comp AS (
-         |  SELECT v.id AS id, least(v.id, min(r.dst)) AS rep
-         |  FROM verts v JOIN reach r ON r.src = v.id GROUP BY v.id
-         |)
+         |), $closureCtes
          |SELECT vec_id FROM embeddings
          |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> rep)
          |ORDER BY vec_id""".stripMargin,

@@ -356,10 +356,21 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     // covers (replay idempotence for streaming's incremental publish)
     val m = IndexManifest(indexPath, maxDoc, docCount, config.docsPerRange, maxDocId,
       termsGen = 0, publishedWaves = liveWaves.map(_.wave).sorted)
+    // the generation that was live BEFORE this commit survives one round
+    // for in-flight readers (same grace publishIncremental gives); older
+    // stale generations are dead and swept
+    val prevGen =
+      if (exists(s"$indexPath/commit.json"))
+        scala.util.Try(IndexManifest.load(spark, indexPath).termsGen).getOrElse(0)
+      else 0
     IndexManifest.commit(spark, m)
-    // gen 0 is live again: stale incremental generations are dead — sweep
     fs(indexPath).listStatus(new Path(indexPath)).map(_.getPath)
-      .filter(p => p.getName.startsWith("terms_g") || p.getName.startsWith("fieldstats_g"))
+      .filter { p =>
+        val n = p.getName
+        def genOf(prefix: String): Option[Int] =
+          if (n.startsWith(prefix)) n.stripPrefix(prefix).toIntOption else None
+        genOf("terms_g").exists(_ != prevGen) || genOf("fieldstats_g").exists(_ != prevGen)
+      }
       .foreach(p => fs(indexPath).delete(p, true))
     m
   }
@@ -384,7 +395,30 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     if (!exists(s"$indexPath/commit.json"))
       return publish(indexPath) // first commit: nothing to increment on
     val prev = IndexManifest.load(spark, indexPath)
-    if (prev.publishedWaves.contains(wave)) return prev // replayed batch
+    if (prev.publishedWaves.contains(wave)) {
+      // the replay no-op is only sound while the wave's CONTENT is
+      // unchanged — a checkpoint-less stream restart reuses batch ids with
+      // NEW data, and invertWave has already overwritten the wave dirs by
+      // the time we run. Compare the wave's docs aggregate against its
+      // committed segment row; divergence falls back to a FULL publish,
+      // which re-aggregates whatever is actually on disk (consistent
+      // dictionary; the overwritten wave's old rows are gone either way).
+      val r = spark.read.parquet(s"$indexPath/docs/wave=$wave")
+        .agg(count(lit(1)).as("n"), min("docId").as("lo"), max("docId").as("hi")).collect()(0)
+      val segPath0 = new Path(s"$indexPath/segments.json")
+      val fs0 = fs(indexPath)
+      val segTxt =
+        if (fs0.exists(segPath0)) {
+          val in = fs0.open(segPath0)
+          val t = scala.io.Source.fromInputStream(in).mkString; in.close(); t
+        } else ""
+      val sameContent =
+        s""""segId":$wave,"docLo":(-?\\d+),"docHi":(-?\\d+),"docCount":(\\d+)""".r
+          .findFirstMatchIn(segTxt)
+          .exists(m => m.group(1).toLong == r.getLong(1) &&
+            m.group(2).toLong == r.getLong(2) && m.group(3).toLong == r.getLong(0))
+      return if (sameContent) prev else publish(indexPath)
+    }
     val gen = prev.termsGen + 1
     val termsOut = s"$indexPath/terms_g$gen"
     val statsOut = s"$indexPath/fieldstats_g$gen"

@@ -252,6 +252,12 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    // the 32-bit hash yields exactly 4 byte bands: beyond maxDist=3 a fifth
+    // band would be constant 0 — either an all-pairs join (under the cap) or
+    // a silently broken recall guarantee (over it). Widen the hash before
+    // widening the distance.
+    require(maxDist >= 1 && maxDist <= 3,
+      s"simhashPairs over a 32-bit hash supports maxDist 1..3, got $maxDist")
     val sh = simhash32(df, textCol, idCol)
       .select(col(idCol).as("id"), col("simhash32").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -273,12 +279,17 @@ object Dedup {
       .join(capped.select(col("band"), col("bv"), col("id").as("id_b")), Seq("band", "bv"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cand
+    val out = cand
       .join(sh.select(col("id").as("id_a"), col("h").as("h_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("h").as("h_b")), "id_b")
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .where(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+      // materialize (bounded: capped pairs) so the hash cache can be freed
+      // instead of leaking for the caller's lazy lifetime
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** END-TO-END corpus dedup — the composed pipeline a training-data run
@@ -354,6 +365,7 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
+    pairs.unpersist() // edges are materialized; the cached input is done
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .localCheckpoint(true)

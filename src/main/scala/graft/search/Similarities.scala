@@ -65,6 +65,13 @@ object Similarity {
       Seq(("score", score(freq, dl)))
   }
 
+  /** phrase exact twin shared by the SimilarityBase family: Σ member exact
+    * scorers at phraseFreq (multiSimScorer semantics).
+    */
+  def sumOf(subs: Seq[ExactScorer]): ExactScorer = new ExactScorer {
+    def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
+  }
+
   /** norm byte → decoded doc length 1/f² (shared by BM25 + SimilarityBase). */
   val docLenTable: Array[Float] =
     Array.tabulate(256)(i => SmallFloat.decodeNormToDocLen(i.toByte))
@@ -252,10 +259,7 @@ class LMDirichletSimilarity(mu: Float = 2000f) extends SimilarityBase {
 
   /** phrase exact = Σ member exact scorers at phraseFreq (multiSimScorer). */
   override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
-    new Similarity.ExactScorer {
-      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
-      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
-    }
+    Similarity.sumOf(tss.map(t => exactTermScorer(t, cs, boost)))
 }
 
 /** LM Jelinek-Mercer (lmJelinek.go:30-44). */
@@ -280,10 +284,7 @@ class LMJelinekMercerSimilarity(lambda: Float = 0.1f) extends SimilarityBase {
     }
 
   override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
-    new Similarity.ExactScorer {
-      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
-      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
-    }
+    Similarity.sumOf(tss.map(t => exactTermScorer(t, cs, boost)))
 }
 
 /** LM Hiemstra (lmHiemstra.go:25-39, λ=0.15 default): clamped at 0. */
@@ -307,10 +308,7 @@ class LMHiemstraSimilarity(lambda: Float = 0.15f) extends SimilarityBase {
       }
     }
   override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
-    new Similarity.ExactScorer {
-      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
-      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
-    }
+    Similarity.sumOf(tss.map(t => exactTermScorer(t, cs, boost)))
 }
 
 /** LM absolute discounting (lmAbsoluteDiscounting.go:31-45, δ=0.7 default). */
@@ -333,10 +331,7 @@ class LMAbsoluteDiscountingSimilarity(delta: Float = 0.7f) extends SimilarityBas
           math.log(dD * sumT / dl))
     }
   override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
-    new Similarity.ExactScorer {
-      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
-      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
-    }
+    Similarity.sumOf(tss.map(t => exactTermScorer(t, cs, boost)))
 }
 
 /** LM Pitman-Yor process (lmPitmanYorProcess.go:24-40, μ=2000, δ=0.7):
@@ -380,10 +375,7 @@ class LMTwoStageSimilarity(lambda: Float = 0.1f, mu: Float = 2000f)
       }
     }
   override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
-    new Similarity.ExactScorer {
-      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
-      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
-    }
+    Similarity.sumOf(tss.map(t => exactTermScorer(t, cs, boost)))
 }
 
 /** DFI — divergence from independence (dfi.go:39); independence measures
@@ -423,10 +415,7 @@ class DFISimilarity(measure: String = "chi") extends SimilarityBase {
 
   /** phrase exact = Σ member exact scorers at phraseFreq (multiSimScorer). */
   override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
-    new Similarity.ExactScorer {
-      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
-      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
-    }
+    Similarity.sumOf(tss.map(t => exactTermScorer(t, cs, boost)))
 }
 
 /** DFR framework (dfr.go:76): basicModel × afterEffect × tf-normalization —
@@ -599,10 +588,7 @@ class DFRSimilarity(basicModel: String = "IF", afterEffect: String = "L",
 
   /** phrase exact = Σ member exact scorers at phraseFreq (multiSimScorer). */
   override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
-    new Similarity.ExactScorer {
-      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
-      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
-    }
+    Similarity.sumOf(tss.map(t => exactTermScorer(t, cs, boost)))
 }
 
 /** Information-based models (ib.go:70): distribution LL/SPL × lambda DF/TTF
@@ -649,10 +635,7 @@ class IBSimilarity(distribution: String = "LL", lambdaKind: String = "DF",
 
   /** phrase exact = Σ member exact scorers at phraseFreq (multiSimScorer). */
   override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
-    new Similarity.ExactScorer {
-      private val subs = tss.map(t => exactTermScorer(t, cs, boost))
-      def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
-    }
+    Similarity.sumOf(tss.map(t => exactTermScorer(t, cs, boost)))
 }
 
 /** Classic TF-IDF (DefaultSimilarity, default.go:41-119 / tfidf.go):

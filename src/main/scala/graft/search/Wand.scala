@@ -116,18 +116,33 @@ object Wand {
     val qn = sim.queryNorm(math.max(vSum, Float.MinPositiveValue))
     // one scorer PER CLAUSE, grouped by key: a term duplicated across clauses
     // ('+merge merge', repeated SHOULDs with distinct boosts) scores once per
-    // clause in Eval, so the per-key bound must SUM its clauses' bounds
-    val scorers: Map[(String, String), Seq[Similarity.Scorer]] = scoring
-      .filter(tq => stats.contains(key(tq)))
-      .groupBy(key)
-      .map { case (kk, tqs) =>
-        kk -> tqs.map(tq =>
-          sim.termScorer(stats(kk), searcher.collectionStats(kk._1), tq.boost).normalize(qn))
-      }
+    // clause in Eval, so the per-key bound must SUM its clauses' bounds.
+    // Occur matters for SOUNDNESS with negative-scoring models (LM family:
+    // the +ln λ background term): a doc matches every MUST clause, so MUST
+    // bounds sum raw — but a doc need not match a SHOULD clause, and a
+    // non-match contributes 0, so each SHOULD bound clamps at 0 (otherwise a
+    // common term's negative bound drags the range below a real doc that
+    // matches only the rare term, and the range is wrongly pruned).
+    def clauseScorers(tqs: Seq[TermQuery]): Map[(String, String), Seq[Similarity.Scorer]] =
+      tqs.filter(tq => stats.contains(key(tq)))
+        .groupBy(key)
+        .map { case (kk, ts) =>
+          kk -> ts.map(tq =>
+            sim.termScorer(stats(kk), searcher.collectionStats(kk._1), tq.boost).normalize(qn))
+        }
+    val mustScorers = clauseScorers(fb.must)
+    val shouldScorers = clauseScorers(fb.should)
+    val scorers: Map[(String, String), Seq[Similarity.Scorer]] =
+      (mustScorers.keySet ++ shouldScorers.keySet).map(kk =>
+        kk -> (mustScorers.getOrElse(kk, Nil) ++ shouldScorers.getOrElse(kk, Nil))).toMap
     if (scorers.isEmpty) return TopDocs(0, Array.empty)
 
-    val boundUdf = udf((field: String, term: String, maxFreq: Int, minDl: Int) =>
-      scorers((field, term)).map(s => rowBound(s, maxFreq, minDl).toDouble).sum)
+    val boundUdf = udf((field: String, term: String, maxFreq: Int, minDl: Int) => {
+      val kk = (field, term)
+      mustScorers.getOrElse(kk, Nil).map(s => rowBound(s, maxFreq, minDl).toDouble).sum +
+        shouldScorers.getOrElse(kk, Nil)
+          .map(s => math.max(0.0, rowBound(s, maxFreq, minDl).toDouble)).sum
+    })
 
     // NUL-joined (field, term) key for set membership in column space (an
     // escaped literal, NOT a raw byte — keeps the source text); NUL stays

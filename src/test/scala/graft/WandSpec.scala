@@ -97,6 +97,34 @@ class WandSpec extends AnyFunSuite with SparkTestBase {
     assertSafe(msm, k = 10, phase1 = 4)
   }
 
+  test("negative-scoring models (LM): pruned == exhaustive — SHOULD bounds clamp at 0") {
+    // LMJM's +ln(λ) background takes a common term's scores NEGATIVE; the
+    // hazard: 'uniqtoken_9 OR import' — a doc matching only the rare term
+    // outranks everything, but import's negative bound would drag its
+    // range's bound below τ and wrongly prune it if summed raw
+    for (sim <- Seq[Similarity](new LMJelinekMercerSimilarity, new LMDirichletSimilarity)) {
+      val s = new IndexSearcher(spark, indexPath, similarity = sim)
+      val qs = Seq[Query](
+        BooleanQuery(Seq(
+          BooleanClause(Occur.SHOULD, TermQuery("uniqtoken_9")),
+          BooleanClause(Occur.SHOULD, TermQuery("import")))),
+        BooleanQuery(Seq(
+          BooleanClause(Occur.MUST, TermQuery("parser")),
+          BooleanClause(Occur.SHOULD, TermQuery("import")))),
+        BooleanQuery(Seq(
+          BooleanClause(Occur.SHOULD, TermQuery("parser")),
+          BooleanClause(Occur.SHOULD, TermQuery("buffer")),
+          BooleanClause(Occur.SHOULD, TermQuery("import"))), minShouldMatch = 1))
+      for (q <- qs; mode <- Seq[ScoreMode](ScoreMode.Ref32, ScoreMode.ExactDouble)) {
+        val exact = s.search(q, 10, mode)
+        val wand = Wand.searchTopK(s, q, 10, mode, phase1Ranges = 4)
+        assert(wand.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+          exact.scoreDocs.map(d => (d.docId, d.score)).toSeq,
+          s"${sim.getClass.getSimpleName}/$mode parity for $q")
+      }
+    }
+  }
+
   test("phrase shapes fall back to exact semantics") {
     val q = BooleanQuery(Seq(
       BooleanClause(Occur.MUST, PhraseQuery(Seq("posting", "list"))),
