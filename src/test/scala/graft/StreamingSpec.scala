@@ -151,6 +151,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/terms_g1")),
       "full publish sweeps stale generations")
     assert(CheckIndex.run(spark, dir).ok)
+
+    // checkpoint-less restart hazard: a PUBLISHED batchId arrives again with
+    // NEW data (invertWave overwrites the wave before publish runs). The
+    // replay guard must detect the content change via the committed segment
+    // row and fall back to a FULL publish — not serve the stale dictionary.
+    val replacement = (300 until 330).map(i => (i.toLong, TestCorpus.corpus(240)(i % 240)
+      .copy(path = s"rewrite/$i.scala", content = s"rewritten uniqrw_$i")))
+    StreamingIndexer.appendBatch(spark, builder, df(replacement), batchId = 1L, dir)
+    val mR = IndexManifest.load(spark, dir)
+    assert(mR.termsGen == 0, "content change must trigger the full-publish fallback")
+    assert(new IndexSearcher(spark, dir).search(TermQuery("rewritten"), 50).totalHits == 30,
+      "new wave content must be reflected in the dictionary")
+    assert(CheckIndex.run(spark, dir).ok, "index must stay self-consistent after the fallback")
   }
 
   test("windowed aggregation with watermark: windows finalize, late events drop") {
