@@ -110,6 +110,31 @@ object FtQueries {
       dir
     })
 
+  /** A DELETE-RECLAIMED twin: built in single-segment waves, 20% of docs
+    * (doc_id % 5 == 0) deleted, fully merged WITH delete reclamation, then
+    * republished. Queries against it run with NO query-time delete view —
+    * matching the oracle (which recomputes BM25 over the survivor corpus
+    * only) proves the dead postings are physically gone AND df/ttf/docCount/
+    * avgdl were re-derived from the survivors.
+    */
+  def reclaimedIndexPath(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#reclaimed", {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfr1_" +
+        graft.index.Hashing.sha256Hex(sfDir).take(12)
+      val built = new IndexBuilder(spark, surfaceConfig(_.copy(segmentsPerWave = 1)))
+      built.build(surfaceCorpus(spark, sfDir), dir, resume = true)
+      if (graft.index.TieredMerge.waves(spark, dir).size > 1) {
+        if (graft.index.Deletes.count(spark, dir) == 0)
+          graft.index.Deletes.append(spark, dir,
+            spark.read.parquet(s"$sfDir/documents.parquet")
+              .where(col("doc_id") % 5 === 0)
+              .select(col("doc_id").cast("long").as("docId")))
+        graft.index.TieredMerge.maybeMerge(spark, dir, segsPerTier = 1, maxMergeAtOnce = 10)
+        built.publish(dir)
+      }
+      dir
+    })
+
   /** A STREAM-APPENDED twin: docs with id < splitAt built as a batch, the
     * rest appended through StreamingIndexer.appendBatch (explicit ids) —
     * queries against it driver-verify the streaming append + republish path.

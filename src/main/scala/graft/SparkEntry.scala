@@ -72,6 +72,11 @@ object SparkEntry {
     "ft_merged_log" -> ((s, d) => // LogByteSize merge policy execution path,
       // oracle-verified (generational wave windows, mergeFactor=3)
       FtQueries.matchesAt(s, FtQueries.logMergedIndexPath(s, d), TermQuery("group"))),
+    "ft_merged_deletes" -> ((s, d) => // merge-time delete reclamation: 20%
+      // of docs deleted, fully merged + republished, searched with NO
+      // query-time delete view — scores must equal a survivor-only corpus
+      // (df/ttf/docCount/avgdl all post-reclaim)
+      FtQueries.matchesAt(s, FtQueries.reclaimedIndexPath(s, d), TermQuery("window"))),
     "ft_lm_jm" -> ((s, d) => // LM Jelinek-Mercer λ=0.1 (no clamp: the +ln λ
       // background term takes scores negative)
       FtQueries.matchesSim(s, d, TermQuery("batch"), "lmjm", new LMJelinekMercerSimilarity)),
@@ -561,6 +566,12 @@ object SparkEntry {
       s"""${ftBase(Seq("group"))}
          |SELECT doc_id, round(${termScore("group")}, 4) AS score_r
          |FROM base WHERE f_group > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_merged_deletes" -> // post-reclaim scores == BM25 over the SURVIVOR
+      // corpus: every stat (N, avgdl, df) recomputed from doc_id % 5 <> 0
+      s"""${ftBase(Seq("window")).replace("FROM documents", "FROM documents WHERE doc_id % 5 <> 0")}
+         |SELECT doc_id, round(${termScore("window")}, 4) AS score_r
+         |FROM base WHERE f_window > 0
          |ORDER BY doc_id""".stripMargin,
     "ft_lm_jm" -> // λ as widened float32; s=ln(1+((1-λ)f/dl)/(λp))+ln(λ)
       s"""${ftBase(Seq("batch"))}, lj AS (

@@ -68,8 +68,45 @@ object Deletes {
   }
 
   def exists(spark: SparkSession, indexPath: String): Boolean = {
+    recover(spark, indexPath)
     val p = new Path(s"$indexPath/deletes")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Crash-safe replacement of the deletes table (merge-time delete
+    * reclamation shrinks it). Two-phase: the snapshot is written durably to
+    * `deletes_swap` (its `_SUCCESS` is the commit point), THEN the old dir is
+    * removed and the snapshot renamed in. Every crash window is recoverable
+    * by [[recover]]:
+    *  - before `_SUCCESS`: partial snapshot → discarded, old deletes stand
+    *    (reclaimed ids linger as harmless no-ops — their postings are gone);
+    *  - after `_SUCCESS`, before/mid rename: the snapshot IS the post-reclaim
+    *    truth (the merge that shrank it committed first), so recovery
+    *    completes the rename.
+    */
+  def swapIn(spark: SparkSession, indexPath: String, newDeletes: DataFrame): Unit = {
+    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val swap = new Path(s"$indexPath/deletes_swap")
+    newDeletes
+      .select(col(newDeletes.columns.head).cast("long").as("docId"))
+      .write.mode("overwrite").parquet(swap.toString)
+    val live = new Path(s"$indexPath/deletes")
+    if (fs.exists(live)) fs.delete(live, true)
+    fs.rename(swap, live)
+  }
+
+  /** Complete or roll back an interrupted [[swapIn]] (idempotent; called on
+    * every deletes-dir access).
+    */
+  def recover(spark: SparkSession, indexPath: String): Unit = {
+    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val swap = new Path(s"$indexPath/deletes_swap")
+    if (!fs.exists(swap)) return
+    if (fs.exists(new Path(s"$indexPath/deletes_swap/_SUCCESS"))) {
+      val live = new Path(s"$indexPath/deletes")
+      if (fs.exists(live)) fs.delete(live, true)
+      fs.rename(swap, live)
+    } else fs.delete(swap, true) // partial snapshot: old deletes stand
   }
 
   /** Distinct deleted-doc count (0 fast-path when no deletes dir). */

@@ -29,6 +29,23 @@ object PostingRows {
     fromEntries(entries, wave, head.field, head.term, head.rangeId, withPos)
   }
 
+  /** [[merge]] that additionally DROPS entries whose docId is in `dels`
+    * (sorted ascending) — merge-time delete reclamation. None when every
+    * entry of the group is deleted (the posting row vanishes physically).
+    */
+  def mergeFiltered(rows: Array[PostingRow], wave: Int,
+      dels: Array[Long]): Option[PostingRow] = {
+    if (dels.isEmpty) return Some(merge(rows, wave))
+    val head = rows(0)
+    val withPos = head.posPayload != null
+    val entries = rows.sortBy(_.firstDocId)
+      .flatMap(r => decodeEntries(r, withPos))
+      .filter(e => java.util.Arrays.binarySearch(dels, e.docId) < 0)
+    if (entries.isEmpty) None
+    else Some(fromEntries(entries.sortBy(_.docId), wave, head.field, head.term,
+      head.rangeId, withPos))
+  }
+
   def decodeEntries(r: PostingRow, withPos: Boolean): Array[PostingEntry] = {
     val dec = PostingsCodec.decode(r.payload)
     val poss =
