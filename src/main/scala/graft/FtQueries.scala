@@ -37,7 +37,7 @@ object FtQueries {
     */
   def indexPath(spark: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(sfDir, {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mf2_" +
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mf3_" +
         graft.index.Hashing.sha256Hex(sfDir).take(12)
       new IndexBuilder(spark, surfaceConfig())
         .build(surfaceCorpus(spark, sfDir), dir, resume = true)
@@ -49,7 +49,7 @@ object FtQueries {
     */
   def parser: QueryParser =
     new QueryParser(analyzer, keywordFields = Set("lang", "repo", "commit"),
-      analyzedFields = Set("path"))
+      analyzedFields = Set("path", "body"))
 
   private def surfaceConfig(extra: IndexConfig => IndexConfig = identity): IndexConfig =
     extra(IndexConfig(
@@ -59,7 +59,9 @@ object FtQueries {
       segmentsPerWave = 4,
       explicitDocIdCol = Some("doc_id"),
       keywordFields = Seq("lang", "repo", "commit"),
-      analyzedFields = Seq("path")))
+      // `body` is an ARBITRARY extra input column (not one of the four
+      // metadata columns) — the round-4 lift of the analyzed-field gate
+      analyzedFields = Seq("path", "body")))
 
   private def surfaceCorpus(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
@@ -72,7 +74,10 @@ object FtQueries {
         // so singleton-pulsing (zero-postings reads) is driver-verifiable
         col("doc_id").cast("string").as("commit"),
         col("lang"),
-        col("text").as("content"))
+        col("text").as("content"),
+        // a second REAL text column (first 12 whitespace words of the doc):
+        // indexed as the analyzed field `body` with its own df/dl/positions
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("body"))
 
   /** A TIERED-MERGED twin of the main index: 8 single-segment waves built
     * then folded by TieredMerge — queries against it driver-verify the merge
@@ -81,7 +86,7 @@ object FtQueries {
     */
   def mergedIndexPath(spark: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(s"$sfDir#merged", {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfm2_" +
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfm3_" +
         graft.index.Hashing.sha256Hex(sfDir).take(12)
       val built = new IndexBuilder(spark, surfaceConfig(_.copy(segmentsPerWave = 1)))
       built.build(surfaceCorpus(spark, sfDir), dir, resume = true)
@@ -98,7 +103,7 @@ object FtQueries {
     */
   def logMergedIndexPath(spark: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(s"$sfDir#logmerged", {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfl2_" +
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfl3_" +
         graft.index.Hashing.sha256Hex(sfDir).take(12)
       val built = new IndexBuilder(spark, surfaceConfig(_.copy(segmentsPerWave = 1)))
       built.build(surfaceCorpus(spark, sfDir), dir, resume = true)
@@ -119,7 +124,7 @@ object FtQueries {
     */
   def reclaimedIndexPath(spark: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(s"$sfDir#reclaimed", {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfr1_" +
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfr2_" +
         graft.index.Hashing.sha256Hex(sfDir).take(12)
       val built = new IndexBuilder(spark, surfaceConfig(_.copy(segmentsPerWave = 1)))
       built.build(surfaceCorpus(spark, sfDir), dir, resume = true)
@@ -143,7 +148,7 @@ object FtQueries {
     cache.getOrElseUpdate(s"$sfDir#streamed", {
       // cache tag mfs3: the append half now publishes INCREMENTALLY
       // (generational terms dict) — a fresh twin must exercise that path
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfs3_" +
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfs4_" +
         graft.index.Hashing.sha256Hex(sfDir).take(12)
       val corpus = surfaceCorpus(spark, sfDir)
       val splitAt = corpus.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2 + 1
@@ -325,7 +330,7 @@ object FtQueries {
   def termStatsDF(spark: SparkSession, sfDir: String, terms: Seq[String]): DataFrame =
     spark.read.parquet(
       graft.index.IndexManifest.load(spark, indexPath(spark, sfDir)).termsLocation)
-      .where(col("term").isin(terms: _*))
+      .where(col("field") === "content" && col("term").isin(terms: _*))
       .select(col("term"), col("docFreq").as("df"), col("totalTermFreq").as("ttf"))
       .orderBy("term")
 

@@ -62,6 +62,10 @@ object SparkEntry {
     "ft_field_phrase" -> ((s, d) => // fielded exact phrase over the analyzed
       // path field (positions + per-field stats)
       FtQueries.matches(s, d, FtQueries.parser.parse("path:\"src1 de\""))),
+    "ft_field_body" -> ((s, d) => // ARBITRARY analyzed input column (round-4
+      // lift): `body` = first 12 words of the text, indexed with its own
+      // df/dl/avgdl — BM25 over the body leaf summed with a content clause
+      FtQueries.matches(s, d, FtQueries.parser.parse("+body:data +merge"))),
     "ft_singleton" -> ((s, d) => // singleton pulsing via search(): the commit
       // keyword field's terms all have df == 1 → the query resolves from the
       // terms dict + stored dls with ZERO postings reads
@@ -330,6 +334,31 @@ object SparkEntry {
        |  SELECT CAST(sum(len(ptk)) AS DOUBLE) / (SELECT n FROM g) AS pavgdl FROM pfld
        |)""".stripMargin
 
+  /** CTEs for the ARBITRARY-COLUMN analyzed field `body` (first 12
+    * whitespace words of the doc text — FtQueries' derived input column,
+    * indexed via the lifted analyzedFields gate), with the engine's
+    * post-stop token counting.
+    */
+  private val bodyCtes =
+    s"""bfld AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')), '[^a-z0-9]+'),
+       |      x -> x <> '' AND x NOT IN (${TextOpsOracle.stopSql})) AS btk
+       |  FROM documents
+       |), bg AS (
+       |  SELECT CAST(sum(len(btk)) AS DOUBLE) / (SELECT n FROM g) AS bavgdl FROM bfld
+       |)""".stripMargin
+
+  /** idf over the body field's df (float64, engine-identical expression). */
+  private def bidf(t: String): String =
+    s"""ln(1 + ((SELECT n FROM g) - (SELECT CAST(count(*) AS DOUBLE) FROM bfld WHERE list_contains(btk, '$t')) + 0.5)
+       | / ((SELECT CAST(count(*) AS DOUBLE) FROM bfld WHERE list_contains(btk, '$t')) + 0.5))""".stripMargin.replace("\n", "")
+
+  /** BM25 over the body field's dl/avgdl (engine ExactScorer shape). */
+  private def bscore(fExpr: String, idfExpr: String): String =
+    s"($idfExpr * ((CAST($fExpr AS DOUBLE) * (1.2 + 1)) / " +
+      s"(CAST($fExpr AS DOUBLE) + 1.2 * ((1 - 0.75) + (0.75 * CAST(len(btk) AS DOUBLE)) / (SELECT bavgdl FROM bg)))))"
+
   /** idf over the path field's df (float64, engine-identical expression). */
   private def pidf(t: String): String =
     s"""ln(1 + ((SELECT n FROM g) - (SELECT CAST(count(*) AS DOUBLE) FROM pfld WHERE list_contains(ptk, '$t')) + 0.5)
@@ -591,8 +620,15 @@ object SparkEntry {
          |FROM base WHERE f_batch > 0
          |ORDER BY doc_id""".stripMargin,
     "ft_field_stats" ->
-      s"""$prelude, $pathCtes
+      s"""$prelude, $pathCtes, $bodyCtes
          |SELECT * FROM (
+         |  SELECT 'body' AS field,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS max_doc,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bfld WHERE len(btk) > 0) AS doc_count,
+         |    (SELECT CAST(sum(len(btk)) AS BIGINT) FROM bfld) AS sum_ttf,
+         |    (SELECT CAST(sum(len(list_distinct(btk))) AS BIGINT) FROM bfld) AS sum_df,
+         |    (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM (SELECT unnest(btk) AS tok FROM bfld)) AS n_terms
+         |  UNION ALL
          |  SELECT 'content' AS field,
          |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS max_doc,
          |    (SELECT CAST(count(*) AS BIGINT) FROM docs WHERE len(tk) > 0) AS doc_count,
@@ -670,6 +706,16 @@ object SparkEntry {
          |  + ${termScore("merge")}, 4) AS score_r
          |FROM base b JOIN pfld p ON p.doc_id = b.doc_id
          |WHERE f_merge > 0 AND list_contains(ptk, 'src1')
+         |ORDER BY doc_id""".stripMargin,
+    "ft_field_body" -> // MUST body:data (body-field BM25 over the arbitrary
+      // extra column's own df/dl/avgdl) + MUST merge (content BM25); engine
+      // sums must clauses in clause order: body then content
+      s"""${ftBase(Seq("merge"))}, $bodyCtes
+         |SELECT b.doc_id AS doc_id, round(
+         |  ${bscore("len(list_filter(btk, x -> x = 'data'))", bidf("data"))}
+         |  + ${termScore("merge")}, 4) AS score_r
+         |FROM base b JOIN bfld bf ON bf.doc_id = b.doc_id
+         |WHERE f_merge > 0 AND list_contains(btk, 'data')
          |ORDER BY doc_id""".stripMargin,
     "ft_field_phrase" -> // exact phrase over the analyzed path field:
       // weight = sum of member idfs (engine idfExplainPhrase), freq = #exact

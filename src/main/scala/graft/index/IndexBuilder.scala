@@ -39,6 +39,22 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
 
   private def exists(path: String): Boolean = fs(path).exists(new Path(path))
 
+  /** Input columns indexed as analyzed/keyword fields BEYOND the four stored
+    * metadata columns — arbitrary named fields (reference TextField/
+    * StringField on any field name, /root/reference/core/document/field.go:
+    * 16-48, fieldInfos.go:187). They are carried through staging so waves
+    * invert them with their own per-field dl/norm/positions.
+    */
+  def extraFieldCols: Seq[String] =
+    (config.analyzedFields ++ config.keywordFields).distinct
+      .filterNot(c => IndexBuilder.MetaCols.contains(c) || c == "content" || c == config.field)
+
+  /** The staged-row column order shared by the batch builder and the
+    * streaming appender.
+    */
+  def stagedColumns: Seq[String] =
+    Seq("docId", "segId", "repo", "path", "commit", "lang", "content") ++ extraFieldCols
+
   def build(corpus: DataFrame, indexPath: String, resume: Boolean = true): IndexManifest = {
     val stagedPath = s"$indexPath/staged"
     val docsPath = s"$indexPath/docs"
@@ -48,7 +64,10 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     val segmentsPath = s"$indexPath/segments"
 
     // ---- stage 1: deterministic docIds -------------------------------
+    val extras = extraFieldCols
     if (!resume || !exists(s"$stagedPath/_SUCCESS")) {
+      extras.foreach(c => require(corpus.columns.contains(c),
+        s"analyzed/keyword field '$c' is not a column of the input (have: ${corpus.columns.mkString(",")})"))
       val staged = config.explicitDocIdCol match {
         case Some(idCol) =>
           // caller-supplied ids: segment by docId range (stays contiguous)
@@ -66,24 +85,30 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
           // sort task: a 100x corpus would put 10^10 rows there). Ranks in a
           // total key order are partitioning-independent, so docIds stay a
           // pure function of the input; h = xxhash64(commit, content) breaks
-          // (repo, path) ties deterministically.
+          // (repo, path) ties deterministically. Extra field columns ride
+          // along as payload (never sort keys).
           val bucketed = corpus
             .withColumn("segId", pmod(xxhash64(col("repo"), col("path")), lit(config.numSegments)).cast("int"))
             .withColumn("h", xxhash64(col("commit"), col("content")))
           val parts = math.max(config.buildPartitions, spark.sparkContext.defaultParallelism)
+          val dataCols = Seq("segId", "repo", "path", "commit", "lang", "content") ++ extras
           val sorted = bucketed
-            .select("segId", "repo", "path", "commit", "lang", "content", "h")
+            .select((dataCols :+ "h").map(col): _*)
             .repartitionByRange(parts, col("segId"), col("repo"), col("path"), col("h"))
             .sortWithinPartitions("segId", "repo", "path", "h")
-            .as[(Int, String, String, String, String, String, Long)]
           // zipWithIndex = per-partition counts job + assignment pass over the
           // SAME shuffle output (reused, not recomputed)
-          sorted.rdd.zipWithIndex().map { case ((segId, repo, path, commit, lang, content, _), id) =>
-            (id, segId, repo, path, commit, lang, content)
-          }.toDF("docId", "segId", "repo", "path", "commit", "lang", "content")
+          val schema = org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("docId",
+              org.apache.spark.sql.types.LongType, nullable = false) +:
+              sorted.schema.fields.dropRight(1)) // h dropped
+          spark.createDataFrame(
+            sorted.rdd.zipWithIndex().map { case (row, id) =>
+              org.apache.spark.sql.Row.fromSeq(id +: row.toSeq.dropRight(1))
+            }, schema)
       }
       staged
-        .select("docId", "segId", "repo", "path", "commit", "lang", "content")
+        .select(stagedColumns.map(col): _*)
         .write.mode("overwrite").partitionBy("segId").parquet(stagedPath)
     }
 
@@ -120,24 +145,27 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     val docsPerRange = config.docsPerRange
     val keywordFields = config.keywordFields
     val analyzedExtras = config.analyzedFields
-    val meta = Set("repo", "path", "commit", "lang")
-    require(keywordFields.forall(meta.contains),
-      s"keywordFields must be metadata columns, got $keywordFields")
-    require(analyzedExtras.forall(meta.contains),
-      s"analyzedFields must be metadata columns, got $analyzedExtras")
     require(analyzedExtras.intersect(keywordFields).isEmpty,
       s"a field cannot be both analyzed and keyword: ${analyzedExtras.intersect(keywordFields)}")
-    val staged = stagedDf
-      .select("docId", "segId", "repo", "path", "commit", "lang", "content")
-      .as[(Long, Int, String, String, String, String, String)]
-
-    def metaValue(f: String, repo: String, path0: String, commit0: String, lang: String): String =
-      f match {
-        case "repo" => repo
-        case "path" => path0
-        case "commit" => commit0
-        case "lang" => lang
-      }
+    require(!analyzedExtras.contains(fieldName) && !keywordFields.contains(fieldName),
+      s"'$fieldName' is the primary analyzed field; don't list it again")
+    val cols = stagedColumns
+    cols.foreach(c => require(stagedDf.columns.contains(c),
+      s"staged rows lack column '$c' (have: ${stagedDf.columns.mkString(",")})"))
+    // arbitrary extra field columns are stringified here (the analyzer/
+    // keyword term space is strings); the four metadata columns are already
+    // strings
+    val staged = stagedDf.select(
+      Seq(col("docId"), col("segId"), col("repo"), col("path"), col("commit"),
+        col("lang"), col("content")) ++
+        extraFieldCols.map(c => col(c).cast("string").as(c)): _*)
+    // named-field value accessor over the staged row layout (metadata
+    // columns or extra field columns alike)
+    val colIdx: Map[String, Int] = cols.zipWithIndex.toMap
+    def fv(row: org.apache.spark.sql.Row, f: String): String = {
+      val i = colIdx(f)
+      if (row.isNullAt(i)) null else row.getString(i)
+    }
 
     // docs (stored fields + per-row sha256 invariant + per-field dls) —
     // submitted concurrently with the postings job below: the two jobs'
@@ -146,7 +174,10 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val docsJob = Future {
-      staged.map { case (docId, segId, repo, path0, commit, lang, content) =>
+      staged.map { row =>
+        val docId = row.getLong(0)
+        val segId = row.getInt(1)
+        val content = row.getString(6)
         def count(s: String): Int = analyzerB.value match {
           case std: graft.analysis.StandardCodeAnalyzer => std.countTokens(s)
           case a => var c = 0; a.tokenize(s)((_, _) => c += 1); c
@@ -155,16 +186,16 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
         val fieldDls = Map.newBuilder[String, Int]
         fieldDls += fieldName -> dl
         analyzedExtras.foreach { af =>
-          val v = metaValue(af, repo, path0, commit, lang)
+          val v = fv(row, af)
           if (v != null && v.nonEmpty) fieldDls += af -> count(v)
         }
         keywordFields.foreach { kf =>
-          val v = metaValue(kf, repo, path0, commit, lang)
+          val v = fv(row, kf)
           if (v != null && v.nonEmpty) fieldDls += kf -> 1
         }
-        DocRow(docId, segId, repo, path0, commit, lang,
-          Hashing.sha256Hex(content), dl, SmallFloat.encodeNorm(dl, 0),
-          fieldDls.result())
+        DocRow(docId, segId, row.getString(2), row.getString(3), row.getString(4),
+          row.getString(5), Hashing.sha256Hex(content), dl,
+          SmallFloat.encodeNorm(dl, 0), fieldDls.result())
       }.write.mode("overwrite").parquet(s"$indexPath/docs/wave=$wave")
     }
 
@@ -182,7 +213,9 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
         .empty[(String, String, Long), scala.collection.mutable.ArrayBuffer[PostingEntry]]
       val m = new java.util.HashMap[String, IntsBuf]() // reused per doc
       val kwNorm = SmallFloat.encodeNorm(1, 0)
-      it.foreach { case (docId, _, repo, path0, commit0, lang, content) =>
+      it.foreach { row =>
+        val docId = row.getLong(0)
+        val content = row.getString(6)
         m.clear()
         var dl = 0
         analyzerB.value.tokenize(content) { (term, p) =>
@@ -204,7 +237,7 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
         // and positions (TextField on a named field — the searcher's
         // per-field dl/norm arrays were already multi-field-ready)
         analyzedExtras.foreach { af =>
-          val v = metaValue(af, repo, path0, commit0, lang)
+          val v = fv(row, af)
           if (v != null && v.nonEmpty) {
             m.clear()
             var adl = 0
@@ -230,7 +263,7 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
         // keyword fields: whole value = one unanalyzed term, dl = 1
         // (StringField semantics — field.go:16-48); no positions
         keywordFields.foreach { kf =>
-          val v = metaValue(kf, repo, path0, commit0, lang)
+          val v = fv(row, kf)
           if (v != null && v.nonEmpty)
             acc.getOrElseUpdate((kf, v, rangeId), scala.collection.mutable.ArrayBuffer.empty) +=
               PostingEntry(docId, 1, 1, kwNorm, Array.emptyIntArray)
@@ -525,6 +558,11 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     m
   }
 
+}
+
+object IndexBuilder {
+  /** The four stored metadata columns of the CodeFile input shape. */
+  val MetaCols = Seq("repo", "path", "commit", "lang")
 }
 
 object Hashing {

@@ -103,16 +103,16 @@ final case class IndexConfig(
     /** when set, take docIds from this input column (must be unique,
       * non-negative longs) instead of assigning rank-based ids */
     explicitDocIdCol: Option[String] = None,
-    /** metadata columns additionally indexed as KEYWORD fields: the whole
+    /** input columns additionally indexed as KEYWORD fields: the whole
       * column value becomes one unanalyzed term (the reference's
       * StringField, /root/reference/core/document/field.go:16-48) with
-      * dl=1 — `field:value` queries route here. Must be a subset of
-      * {repo, path, commit, lang}. */
+      * dl=1 — `field:value` queries route here. Metadata columns or any
+      * other input column (stringified; carried through staging). */
     keywordFields: Seq[String] = Nil,
-    /** metadata columns additionally indexed as ANALYZED text fields (the
-      * reference's TextField on arbitrary named fields, field.go:16-48,
+    /** input columns additionally indexed as ANALYZED text fields (the
+      * reference's TextField on ARBITRARY named fields, field.go:16-48,
       * fieldInfos.go:187): each is tokenized by the same analyzer with its
       * own per-doc length/norm and positions — `field:term` queries and
-      * fielded phrases route here. Must be a subset of
-      * {repo, path, commit, lang}, disjoint from keywordFields. */
+      * fielded phrases route here. Metadata columns or any other input
+      * column; disjoint from keywordFields. */
     analyzedFields: Seq[String] = Nil)

@@ -56,7 +56,7 @@ object StreamingIndexer {
         batch
           .withColumn("docId", col(idCol).cast("long"))
           .withColumn("segId", lit(wave))
-          .select("docId", "segId", "repo", "path", "commit", "lang", "content")
+          .select(builder.stagedColumns.map(col): _*)
       case None =>
         // append base = max assigned id + 1 (NOT the doc count — sparse
         // explicit id spaces would collide and silently corrupt postings)
@@ -71,7 +71,7 @@ object StreamingIndexer {
         batch
           .withColumn("docId", row_number().over(w).cast("long") + lit(base - 1))
           .withColumn("segId", lit(wave))
-          .select("docId", "segId", "repo", "path", "commit", "lang", "content")
+          .select(builder.stagedColumns.map(col): _*)
     }
     builder.invertWave(staged, wave, indexPath)
     // incremental: fold this wave's term stats into the committed dictionary

@@ -243,4 +243,49 @@ class FieldSearchSpec extends AnyFunSuite with SparkTestBase {
     assert(ex.isMatch && ex.value == top.scoreDocs.head.score, ex.render)
     assert(ex.details.exists(_.description.contains("lang:go")))
   }
+
+  test("arbitrary extra analyzed column: rank-id path, own stats, CheckIndex green") {
+    // `docstring` is NOT one of the four metadata columns — it must be
+    // carried through staging (rank-id assignment path) and inverted as an
+    // analyzed field with its own df/dl/avgdl
+    val dir = java.nio.file.Files.createTempDirectory("graft-extrafield").toString
+    val corpusDf = TestCorpus.corpus(300).toDF()
+      .withColumn("docstring",
+        concat(lit("doc for "), col("path"), lit(" kind "), col("lang")))
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 128, numSegments = 8, segmentsPerWave = 8,
+      keywordFields = Seq("lang"), analyzedFields = Seq("docstring"))
+    new IndexBuilder(spark, cfg).build(corpusDf, dir)
+
+    val s = new IndexSearcher(spark, dir)
+    val p = new QueryParser(new StandardCodeAnalyzer(),
+      keywordFields = Set("lang"), analyzedFields = Set("docstring"))
+    // every docstring contains 'kind'; 'go' appears for go-lang docs
+    val all = s.search(TermQuery("kind", 1.0f, Some("docstring")), 400, ScoreMode.ExactDouble)
+    assert(all.totalHits == 300)
+    val goDocs = TestCorpus.corpus(300).count(_.lang == "go")
+    val go = s.search(p.parse("docstring:go"), 400, ScoreMode.ExactDouble)
+    assert(go.totalHits == goDocs, s"${go.totalHits} != $goDocs")
+    assert(go.scoreDocs.forall(d => d.score > 0 && !d.score.isNaN))
+
+    // fielded PHRASE over the extra column (positions present)
+    val ph = s.search(p.parse("docstring:\"doc for\""), 400, ScoreMode.ExactDouble)
+    assert(ph.totalHits == 300)
+
+    // per-field stats row exists with the field's own sums
+    val st = spark.read.parquet(IndexManifest.load(spark, dir).statsLocation)
+      .where(col("field") === "docstring").collect()
+    assert(st.length == 1 && st(0).getAs[Long]("docCount") == 300)
+
+    // rank-id determinism with extras riding along: rebuild → identical docIds
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-extrafield2").toString
+    new IndexBuilder(spark, cfg).build(corpusDf, dir2)
+    val ids1 = spark.read.parquet(s"$dir/docs").select("docId", "path")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val ids2 = spark.read.parquet(s"$dir2/docs").select("docId", "path")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(ids1 == ids2)
+
+    assert(CheckIndex.run(spark, dir).ok)
+  }
 }
