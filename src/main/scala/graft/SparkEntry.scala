@@ -186,6 +186,12 @@ object SparkEntry {
         BooleanClause(Occur.SHOULD, TermQuery("spark")),
         BooleanClause(Occur.SHOULD, TermQuery("window")),
         BooleanClause(Occur.SHOULD, TermQuery("batch")))), 10)),
+    "ft_wand_phrase" -> ((s, d) => // WAND phrase bounds (round-4): a SHOULD
+      // mix of terms and an exact phrase, pruned ≡ the exhaustive SQL ranking
+      FtQueries.wandTopKDF(s, d, BooleanQuery(Seq(
+        BooleanClause(Occur.SHOULD, TermQuery("spark")),
+        BooleanClause(Occur.SHOULD, PhraseQuery(Seq("batch", "batch"))),
+        BooleanClause(Occur.SHOULD, TermQuery("window")))), 10)),
     "ft_total_hits" -> ((s, d) => FtQueries.totalHitsDF(s, d, Seq(
       "and_merge_sort" -> BooleanQuery(Seq(
         BooleanClause(Occur.MUST, TermQuery("merge")),
@@ -960,6 +966,24 @@ object SparkEntry {
          |    + CASE WHEN f_window > 0 THEN ${termScore("window")} ELSE 0 END
          |    + CASE WHEN f_batch > 0 THEN ${termScore("batch")} ELSE 0 END AS s
          |  FROM base WHERE f_spark > 0 OR f_window > 0 OR f_batch > 0
+         |), rk AS (
+         |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
+         |)
+         |SELECT doc_id, round(s, 4) AS score_r FROM rk
+         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "ft_wand_phrase" -> // clause order spark, "batch batch", window; phrase
+      // weight = summed member idfs (engine idfExplainPhrase); raw-score
+      // rank window — matching proves phrase-pruned ≡ exhaustive
+      s"""${ftBase(Seq("spark", "batch", "window"))}, sc AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN f_spark > 0 THEN ${termScore("spark")} ELSE 0 END
+         |    + CASE WHEN len(list_filter(range(1, len(tk_all)), i -> tk_all[i] = 'batch' AND tk_all[i+1] = 'batch')) > 0
+         |        THEN ${scoreSql("len(list_filter(range(1, len(tk_all)), i -> tk_all[i] = 'batch' AND tk_all[i+1] = 'batch'))", "(idf_batch + idf_batch)")}
+         |        ELSE 0 END
+         |    + CASE WHEN f_window > 0 THEN ${termScore("window")} ELSE 0 END AS s
+         |  FROM base
+         |  WHERE f_spark > 0 OR f_window > 0
+         |     OR len(list_filter(range(1, len(tk_all)), i -> tk_all[i] = 'batch' AND tk_all[i+1] = 'batch')) > 0
          |), rk AS (
          |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
          |)

@@ -43,10 +43,9 @@ object Wand {
     * freq ≤ maxFreq and dl ≥ minDl. byte315 is monotone INCREASING: a larger
     * byte decodes to a larger norm float, i.e. a SMALLER decoded doc length
     * and a HIGHER BM25 score. Docs in the range carry bytes ≤
-    * encode(1/√minDl) = b, so stepping UP one bucket (b+1) upper-bounds both
-    * the Ref32 score of any byte ≤ b and the ExactDouble score of any dl ≥
-    * minDl (encode rounds down: decode(b) ≤ 1/√minDl < decode(b+1), hence
-    * decodedLen(b+1) < minDl ≤ decodedLen(b)).
+    * encode(1/√minDl) = b, so stepping UP one bucket (b+1) upper-bounds the
+    * Ref32 score of any byte ≤ b (encode rounds down: decode(b) ≤ 1/√minDl <
+    * decode(b+1), hence decodedLen(b+1) < minDl ≤ decodedLen(b)).
     */
   private[search] def rowBound(scorer: Similarity.Scorer, maxFreq: Int, minDl: Int): Float = {
     val b = SmallFloat.floatToByte315(
@@ -55,14 +54,48 @@ object Wand {
     scorer.score(maxFreq.toFloat, safeByte)
   }
 
-  /** Flat boolean of term leaves — the shapes WAND covers. */
-  private final case class FlatBool(
-      must: Seq[TermQuery], should: Seq[TermQuery], mustNot: Seq[TermQuery], msm: Int)
+  /** Mode-matched bound evaluator (advisor round-3 fix: tau and bounds must
+    * live in the SAME arithmetic — a float32 bound one ulp below a float64
+    * tau could wrongly prune a tie-break winner when the norm-quantization
+    * margin vanishes, e.g. b=0).
+    */
+  private sealed trait BScorer extends Serializable {
+    def bound(maxFreq: Int, minDl: Int): Double
+  }
+  private final case class FloatB(s: Similarity.Scorer) extends BScorer {
+    def bound(maxFreq: Int, minDl: Int): Double = rowBound(s, maxFreq, minDl).toDouble
+  }
+  /** ExactDouble bound: every shipped similarity's exact scorer is monotone
+    * nondecreasing in freq and nonincreasing in dl (BM25 family, TF-IDF
+    * 1/√dl, LM/DFR/IB length penalties, DFI expectation growth), so
+    * score(maxFreq, minDl) bounds score(freq ≤ maxFreq, dl ≥ minDl) in the
+    * same float64 arithmetic the evaluation uses.
+    */
+  private final case class ExactB(s: Similarity.ExactScorer) extends BScorer {
+    def bound(maxFreq: Int, minDl: Int): Double =
+      s.score(maxFreq.toDouble, math.max(minDl, 1).toDouble)
+  }
 
-  /** Pruned top-k for term queries and flat booleans of term leaves
-    * (MUST/SHOULD/MUST_NOT, any minShouldMatch). Falls back to
-    * [[IndexSearcher.search]] for shapes WAND does not cover (phrases,
-    * nested booleans).
+  /** One scoring clause for range-bound evaluation. Term clauses bound by
+    * summing their key's per-row bounds; phrase clauses bound by the phrase
+    * scorer at (min over members of the range's maxFreq, max over members of
+    * the range's minDl) — a phrase occurrence cannot outnumber its rarest
+    * member, and a doc containing every member has dl ≥ each member row's
+    * minDl. SHOULD bounds clamp at 0 (a non-matching clause contributes 0);
+    * MUST bounds sum raw (negative-scoring LM models).
+    */
+  private final case class TClause(fkey: String, scorer: BScorer, must: Boolean)
+  private final case class PClause(fkeys: Array[String], scorer: BScorer, must: Boolean)
+
+  /** Flat boolean of term AND phrase leaves — the shapes WAND covers. */
+  private final case class FlatBool(
+      must: Seq[TermQuery], should: Seq[TermQuery], mustNot: Seq[TermQuery], msm: Int,
+      mustPhrases: Seq[PhraseQuery] = Nil, shouldPhrases: Seq[PhraseQuery] = Nil)
+
+  /** Pruned top-k for term queries and flat booleans of term/phrase leaves
+    * (MUST/SHOULD/MUST_NOT, any minShouldMatch; phrases in MUST/SHOULD).
+    * Falls back to [[IndexSearcher.search]] for shapes WAND does not cover
+    * (nested booleans, MUST_NOT phrases).
     */
   def searchTopK(searcher: IndexSearcher, q0: Query, k: Int,
       mode: ScoreMode = ScoreMode.Ref32, phase1Ranges: Int = 64): TopDocs = {
@@ -82,12 +115,18 @@ object Wand {
 
   private def flatten(q: Query): Option[FlatBool] = q match {
     case t: TermQuery => Some(FlatBool(Nil, Seq(t), Nil, 0))
+    case p: PhraseQuery => Some(FlatBool(Nil, Nil, Nil, 0, Nil, Seq(p)))
     case BooleanQuery(clauses, msm, boost)
-        if clauses.forall(_.query.isInstanceOf[TermQuery]) =>
+        if clauses.forall(c => c.query.isInstanceOf[TermQuery] ||
+          (c.query.isInstanceOf[PhraseQuery] && c.occur != Occur.MUST_NOT)) =>
       def of(o: Occur): Seq[TermQuery] = clauses.collect {
         case BooleanClause(`o`, t: TermQuery) => TermQuery(t.term, t.boost * boost, t.field)
       }
-      Some(FlatBool(of(Occur.MUST), of(Occur.SHOULD), of(Occur.MUST_NOT), msm))
+      def pOf(o: Occur): Seq[PhraseQuery] = clauses.collect {
+        case BooleanClause(`o`, p: PhraseQuery) => PhraseQuery(p.terms, p.boost * boost, p.field)
+      }
+      Some(FlatBool(of(Occur.MUST), of(Occur.SHOULD), of(Occur.MUST_NOT), msm,
+        pOf(Occur.MUST), pOf(Occur.SHOULD)))
     case _ => None
   }
 
@@ -96,87 +135,153 @@ object Wand {
     val spark = searcher.sparkSession
     import spark.implicits._
     def key(tq: TermQuery): (String, String) = (tq.field.getOrElse(searcher.field), tq.term)
-    val scoring = fb.must ++ fb.should
-    val stats = searcher.termStats(scoring.map(key).distinct)
+    def pkeys(p: PhraseQuery): Seq[(String, String)] =
+      p.terms.map(t => (p.field.getOrElse(searcher.field), t))
+    val termScoring = fb.must ++ fb.should
+    val phrases = fb.mustPhrases ++ fb.shouldPhrases
+    val allKeys = (termScoring.map(key) ++ phrases.flatMap(pkeys)).distinct
+    val stats = searcher.termStats(allKeys)
+    def phrasePresent(p: PhraseQuery): Boolean = pkeys(p).forall(stats.contains)
 
-    // a missing MUST term ⇒ zero matches anywhere
+    // a missing MUST term / phrase member => zero matches anywhere
     if (fb.must.exists(t => !stats.contains(key(t))))
       return TopDocs(0, Array.empty)
-    // more SHOULD matches demanded than indexed SHOULD clauses ⇒ zero matches
-    if (fb.msm > fb.should.count(t => stats.contains(key(t))))
+    if (fb.mustPhrases.exists(p => !phrasePresent(p)))
+      return TopDocs(0, Array.empty)
+    // more SHOULD matches demanded than matchable SHOULD clauses => zero
+    if (fb.msm > fb.should.count(t => stats.contains(key(t))) +
+        fb.shouldPhrases.count(phrasePresent))
       return TopDocs(0, Array.empty)
 
     val sim = searcher.similarity
-    // replicate the searcher's queryNorm so TF-IDF-style similarities (qn ≠
-    // 1) cannot score above an unnormalized bound; coord ≤ 1 only lowers
+    val exactMode = mode == ScoreMode.ExactDouble
+    def cs(f: String) = searcher.collectionStats(f)
+    def phraseMemberStats(p: PhraseQuery): Seq[TermStats] = {
+      val fn = p.field.getOrElse(searcher.field)
+      p.terms.map(t => stats((fn, t)))
+    }
+    // the searcher compiles a phrase's normalization weight from composite
+    // stats (min member df, summed ttf) -- replicate exactly (compile.v/vD)
+    def phraseCompositeStats(p: PhraseQuery): TermStats = {
+      val ms = phraseMemberStats(p)
+      TermStats(p.field.getOrElse(searcher.field), p.terms.mkString(" "),
+        ms.map(_.docFreq).min, ms.map(_.totalTermFreq).sum)
+    }
+    // replicate the searcher's queryNorm so TF-IDF-style similarities (qn !=
+    // 1) cannot score above an unnormalized bound; coord <= 1 only lowers
     // evaluated scores, so summing unscaled leaf bounds stays safe
-    val vSum = scoring.flatMap(tq =>
-      stats.get(key(tq)).map(ts =>
-        sim.valueForNormalization(ts, searcher.collectionStats(key(tq)._1), tq.boost))).sum
-    val qn = sim.queryNorm(math.max(vSum, Float.MinPositiveValue))
-    // one scorer PER CLAUSE, grouped by key: a term duplicated across clauses
-    // ('+merge merge', repeated SHOULDs with distinct boosts) scores once per
-    // clause in Eval, so the per-key bound must SUM its clauses' bounds.
-    // Occur matters for SOUNDNESS with negative-scoring models (LM family:
-    // the +ln λ background term): a doc matches every MUST clause, so MUST
-    // bounds sum raw — but a doc need not match a SHOULD clause, and a
-    // non-match contributes 0, so each SHOULD bound clamps at 0 (otherwise a
-    // common term's negative bound drags the range below a real doc that
-    // matches only the rare term, and the range is wrongly pruned).
-    def clauseScorers(tqs: Seq[TermQuery]): Map[(String, String), Seq[Similarity.Scorer]] =
-      tqs.filter(tq => stats.contains(key(tq)))
-        .groupBy(key)
-        .map { case (kk, ts) =>
-          kk -> ts.map(tq =>
-            sim.termScorer(stats(kk), searcher.collectionStats(kk._1), tq.boost).normalize(qn))
-        }
-    val mustScorers = clauseScorers(fb.must)
-    val shouldScorers = clauseScorers(fb.should)
-    val scorers: Map[(String, String), Seq[Similarity.Scorer]] =
-      (mustScorers.keySet ++ shouldScorers.keySet).map(kk =>
-        kk -> (mustScorers.getOrElse(kk, Nil) ++ shouldScorers.getOrElse(kk, Nil))).toMap
-    if (scorers.isEmpty) return TopDocs(0, Array.empty)
+    val qn = sim.queryNorm(math.max(
+      termScoring.flatMap(tq => stats.get(key(tq)).map(ts =>
+        sim.valueForNormalization(ts, cs(key(tq)._1), tq.boost))).sum +
+        phrases.filter(phrasePresent).map(p =>
+          sim.valueForNormalization(phraseCompositeStats(p),
+            cs(p.field.getOrElse(searcher.field)), p.boost)).sum,
+      Float.MinPositiveValue))
+    val qnD = sim.exactQueryNorm(math.max(
+      termScoring.flatMap(tq => stats.get(key(tq)).map(ts =>
+        sim.exactValueForNormalization(ts, cs(key(tq)._1), tq.boost.toDouble))).sum +
+        phrases.filter(phrasePresent).map(p =>
+          sim.exactValueForNormalization(phraseCompositeStats(p),
+            cs(p.field.getOrElse(searcher.field)), p.boost.toDouble)).sum,
+      Double.MinPositiveValue))
 
-    val boundUdf = udf((field: String, term: String, maxFreq: Int, minDl: Int) => {
-      val kk = (field, term)
-      mustScorers.getOrElse(kk, Nil).map(s => rowBound(s, maxFreq, minDl).toDouble).sum +
-        shouldScorers.getOrElse(kk, Nil)
-          .map(s => math.max(0.0, rowBound(s, maxFreq, minDl).toDouble)).sum
+    // mode-matched bounds (advisor round-3 fix): ExactDouble evaluation gets
+    // float64 bounds from the exact scorers; Ref32 keeps the safe-byte
+    // float32 bound. tau and bound then share one arithmetic.
+    def termB(tq: TermQuery): BScorer = {
+      val kk = key(tq)
+      if (exactMode)
+        ExactB(sim.exactTermScorer(stats(kk), cs(kk._1), tq.boost.toDouble).normalize(qnD))
+      else FloatB(sim.termScorer(stats(kk), cs(kk._1), tq.boost).normalize(qn))
+    }
+    def phraseB(p: PhraseQuery): BScorer = {
+      val fn = p.field.getOrElse(searcher.field)
+      if (exactMode)
+        ExactB(sim.exactPhraseScorer(phraseMemberStats(p), cs(fn), p.boost.toDouble).normalize(qnD))
+      else FloatB(sim.phraseScorer(phraseMemberStats(p), cs(fn), p.boost).normalize(qn))
+    }
+
+    // NUL-joined (field, term) key (an escaped literal, NOT a raw byte --
+    // keeps the source text); NUL stays unambiguous even when keyword-field
+    // values contain spaces
+    val sep = "\u0000"
+    def fkey(kk: (String, String)): String = kk._1 + sep + kk._2
+    // one clause descriptor PER CLAUSE: a term duplicated across clauses
+    // ('+merge merge', repeated SHOULDs with distinct boosts) scores once
+    // per clause in Eval, so the range bound must SUM its clauses' bounds.
+    // Occur matters for SOUNDNESS with negative-scoring models (LM family:
+    // the +ln lambda background term): MUST bounds sum raw, SHOULD bounds
+    // clamp at 0 (a non-matching clause contributes 0 -- a common term's
+    // negative bound must not drag the range below a real doc matching only
+    // the rare term).
+    val tClauses: Seq[TClause] =
+      fb.must.filter(t => stats.contains(key(t)))
+        .map(t => TClause(fkey(key(t)), termB(t), must = true)) ++
+        fb.should.filter(t => stats.contains(key(t)))
+          .map(t => TClause(fkey(key(t)), termB(t), must = false))
+    val pClauses: Seq[PClause] =
+      fb.mustPhrases.map(p => PClause(pkeys(p).map(fkey).toArray, phraseB(p), must = true)) ++
+        fb.shouldPhrases.filter(phrasePresent)
+          .map(p => PClause(pkeys(p).map(fkey).toArray, phraseB(p), must = false))
+    if (tClauses.isEmpty && pClauses.isEmpty) return TopDocs(0, Array.empty)
+    val msm = fb.msm
+    val noMust = fb.must.isEmpty && fb.mustPhrases.isEmpty
+
+    // per-range bound + eligibility in ONE pass over the range's metadata
+    // rows, collected per range: <= #query keys x #live waves entries of a
+    // few bytes each -- a bounded buffer, never O(docs). Eligibility: every
+    // MUST term / phrase member present IN THIS RANGE (terms cannot match
+    // from another range), enough SHOULD clauses matchable, and -- with no
+    // MUST -- at least one scoring clause matchable.
+    val sepNum = "\u0001"
+    val evalUdf = udf((rows: Seq[String]) => {
+      val byKey = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(Int, Int)]]
+      rows.foreach { enc =>
+        val j2 = enc.lastIndexOf(sepNum)
+        val j1 = enc.lastIndexOf(sepNum, j2 - 1)
+        byKey.getOrElseUpdate(enc.substring(0, j1),
+          scala.collection.mutable.ArrayBuffer.empty) +=
+          ((enc.substring(j1 + 1, j2).toInt, enc.substring(j2 + 1).toInt))
+      }
+      var bound = 0.0
+      var eligible = true
+      var satisfiable = 0
+      tClauses.foreach { c =>
+        byKey.get(c.fkey) match {
+          case Some(rs) =>
+            val b = rs.iterator.map(e => c.scorer.bound(e._1, e._2)).sum
+            bound += (if (c.must) b else math.max(0.0, b))
+            if (!c.must) satisfiable += 1
+          case None => if (c.must) eligible = false
+        }
+      }
+      // phrase range bound: phraseFreq <= min over members of the range's
+      // maxFreq; a doc containing EVERY member has dl >= each member's
+      // row-min, so max over members' minDl is a valid dl lower bound
+      pClauses.foreach { c =>
+        if (c.fkeys.forall(byKey.contains)) {
+          val maxF = c.fkeys.iterator.map(fk => byKey(fk).iterator.map(_._1).max).min
+          val minDl = c.fkeys.iterator.map(fk => byKey(fk).iterator.map(_._2).min).max
+          val b = c.scorer.bound(maxF, minDl)
+          bound += (if (c.must) b else math.max(0.0, b))
+          if (!c.must) satisfiable += 1
+        } else if (c.must) eligible = false
+      }
+      if (satisfiable < msm) eligible = false
+      if (noMust && satisfiable == 0) eligible = false
+      (bound, eligible)
     })
 
-    // NUL-joined (field, term) key for set membership in column space (an
-    // escaped literal, NOT a raw byte — keeps the source text); NUL stays
-    // unambiguous even when keyword-field values contain spaces
-    val sep = "\u0000"
-    def fkey(ks: Seq[(String, String)]): Seq[String] =
-      ks.distinct.map { case (f, t) => f + sep + t }
-    val mustKeys = fkey(fb.must.map(key))
-    val presentShould = fb.should.map(key).filter(stats.contains)
-    val shouldKeys = fkey(presentShould)
-    // minimum DISTINCT should-keys a doc matching msm CLAUSES must touch:
-    // greedy cover by clause multiplicity (all multiplicities 1 → msm itself)
-    val minShouldKeys = {
-      val mult = presentShould.groupBy(identity).map(_._2.size).toSeq.sortBy(m => -m)
-      var covered = 0
-      var t = 0
-      while (covered < fb.msm && t < mult.size) { covered += mult(t); t += 1 }
-      t
-    }
-    val meta = searcher.postingRowsMeta(scorers.keys.toSeq)
-    val byRange = meta
-      .withColumn("bound", boundUdf(col("field"), col("term"), col("maxFreq"), col("minDl")))
-      .withColumn("fkey", concat_ws(sep, col("field"), col("term")))
+    val meta = searcher.postingRowsMeta(allKeys.filter(stats.contains))
+    val eligible = meta
+      .withColumn("enc", concat_ws(sepNum,
+        concat_ws(sep, col("field"), col("term")), col("maxFreq"), col("minDl")))
       .groupBy("rangeId")
-      .agg(
-        sum("bound").as("rangeBound"),
-        count_distinct(when(col("fkey").isin(mustKeys: _*), col("fkey"))).as("mustPresent"),
-        count_distinct(when(col("fkey").isin(shouldKeys: _*), col("fkey"))).as("shouldPresent"))
-    // eligibility: a match needs every MUST term and enough SHOULD terms IN
-    // THIS RANGE (terms can't match from another range) — conjunction-shape
-    // pruning before any τ is known
-    val eligible = byRange
-      .where(col("mustPresent") === mustKeys.size && col("shouldPresent") >= minShouldKeys)
-      .select(col("rangeId"), col("rangeBound"))
+      .agg(collect_list(col("enc")).as("rows"))
+      .select(col("rangeId"), evalUdf(col("rows")).as("be"))
+      .where(col("be._2"))
+      .select(col("rangeId"), col("be._1").as("rangeBound"))
 
     // phase 1: best-bound eligible ranges (distributed TakeOrdered, tiny)
     val phase1 = eligible.orderBy(col("rangeBound").desc, col("rangeId"))

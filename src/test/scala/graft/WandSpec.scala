@@ -125,15 +125,50 @@ class WandSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("phrase shapes fall back to exact semantics") {
-    val q = BooleanQuery(Seq(
-      BooleanClause(Occur.MUST, PhraseQuery(Seq("posting", "list"))),
-      BooleanClause(Occur.SHOULD, TermQuery("parser"))))
-    val exact = searcher.search(q, 10, ScoreMode.Ref32)
-    val wand = Wand.searchTopK(searcher, q, 10, ScoreMode.Ref32)
-    assert(!wand.totalHitsIsLowerBound)
-    assert(wand.totalHits == exact.totalHits)
-    assert(wand.scoreDocs.map(_.docId).toSeq == exact.scoreDocs.map(_.docId).toSeq)
+  test("phrase leaves are pruned with parity (MUST and SHOULD shapes, both modes)") {
+    val shapes = Seq(
+      BooleanQuery(Seq(
+        BooleanClause(Occur.MUST, PhraseQuery(Seq("posting", "list"))),
+        BooleanClause(Occur.SHOULD, TermQuery("parser")))),
+      BooleanQuery(Seq(
+        BooleanClause(Occur.SHOULD, PhraseQuery(Seq("posting", "list"))),
+        BooleanClause(Occur.SHOULD, TermQuery("parser")),
+        BooleanClause(Occur.SHOULD, TermQuery("buffer")))),
+      PhraseQuery(Seq("posting", "list")),
+      BooleanQuery(Seq( // phrase + msm over mixed term/phrase SHOULDs
+        BooleanClause(Occur.SHOULD, PhraseQuery(Seq("posting", "list"))),
+        BooleanClause(Occur.SHOULD, TermQuery("parser")),
+        BooleanClause(Occur.SHOULD, TermQuery("scorer"))), minShouldMatch = 2))
+    for (q <- shapes; mode <- Seq[ScoreMode](ScoreMode.Ref32, ScoreMode.ExactDouble)) {
+      val exact = searcher.search(q, 10, mode)
+      val wand = Wand.searchTopK(searcher, q, 10, mode, phase1Ranges = 4)
+      assert(wand.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        exact.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"parity $q mode=$mode")
+      assert(wand.totalHits <= exact.totalHits)
+    }
+  }
+
+  test("phrase bound under b=0 (norm-insensitive) with tie-break adversarial data") {
+    // b=0 kills the norm margin: bounds are exactly attainable, so a doc
+    // scoring exactly tau with a SMALLER docId in a pruned-late range must
+    // still win the tie-break. Identical phrase tf everywhere → all phrase
+    // scores equal → correctness rests on the >= tau inclusion.
+    val dir = java.nio.file.Files.createTempDirectory("graft-wand-b0").toString
+    val docs = (0 until 512).map { i =>
+      CodeFile(s"r$i", f"p$i%05d", "", "scala",
+        s"alpha beta gap_$i " + ("pad " * (i % 7)))
+    }
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 64, numSegments = 4, segmentsPerWave = 4)
+    new IndexBuilder(spark, cfg).build(docs.toDF(), dir)
+    val s = new IndexSearcher(spark, dir, similarity = new Bm25Similarity(1.2f, 0f))
+    for (mode <- Seq[ScoreMode](ScoreMode.Ref32, ScoreMode.ExactDouble)) {
+      val q = PhraseQuery(Seq("alpha", "beta"))
+      val exact = s.search(q, 5, mode)
+      val wand = Wand.searchTopK(s, q, 5, mode, phase1Ranges = 2)
+      assert(wand.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        exact.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"b=0 parity mode=$mode")
+    }
   }
 
   test("duplicate clauses (same term, multiple occurs/boosts): pruned == exhaustive") {
