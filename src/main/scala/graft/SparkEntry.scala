@@ -143,6 +143,12 @@ object SparkEntry {
     "ft_dfi" -> ((s, d) => // divergence-from-independence (chi²): freq at or
       // below expectation scores 0 but still matches
       FtQueries.matchesSim(s, d, TermQuery("data"), "dfi", new DFISimilarity)),
+    "ft_lm_pitmanyor" -> ((s, d) => // LM Pitman-Yor μ=2000 δ=0.7: the
+      // reference's discount term ln(1 - sumTokens/(dl+μ)) clamps every doc
+      // of a corpus with > dl+μ tokens to 0 — docs still MATCH at score 0
+      // (the same reference behavior the float32 path reproduces)
+      FtQueries.matchesSim(s, d, TermQuery("hash"), "lmpy",
+        new LMPitmanYorProcessSimilarity)),
     "ft_perfield" -> ((s, d) => // PerFieldSimilarityWrapper routing: the path
       // leaf scores TF-IDF (unnormalized: wrapper queryNorm comes from the
       // BM25 default), the content leaf BM25
@@ -291,6 +297,20 @@ object SparkEntry {
         .select(col("doc_id"), col("t.pos").as("pos"), col("t.term").as("term"))
         .orderBy("doc_id", "pos")),
 
+    "ta_stemmed" -> ((s, d) => { // Porter stemming end-to-end on corpus
+      // tokens (round-4: the one analyzer chain previously sbt-only): the
+      // oracle pins each vocab word's stem HAND-DERIVED from the published
+      // algorithm (PorterSpec pins 60+ paper vectors independently)
+      val stemUdf = udf((t: String) => graft.analysis.Porter.stem(t))
+      docs(s, d).where(col("doc_id") < 40)
+        .select(col("doc_id"),
+          explode(graft.functions.Functions.tokenizeCode(col("text"))).as("t"))
+        .select(col("doc_id"), col("t.pos").as("pos"), col("t.term").as("term"))
+        .where(col("term").isin(SparkEntry.stemVocab.map(_._1): _*))
+        .withColumn("stem", stemUdf(col("term")))
+        .orderBy("doc_id", "pos")
+    }),
+
     // ---- multimodal (binary columns; decode stubbed, plumbing real) ----
     "mm_blob_stats" -> ((s, d) => Multimodal.blobStats(docs(s, d), "doc_id", "text")
       .orderBy("doc_id")),
@@ -310,6 +330,23 @@ object SparkEntry {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
+
+  /** (word, stem) pairs HAND-DERIVED from the published Porter rules (step
+    * citations inline) — the oracle's independent ground truth; Porter.stem
+    * never generates these.
+    */
+  private[graft] val stemVocab: Seq[(String, String)] = Seq(
+    "merge" -> "merg", // 5a: m=1, 'merg' not *o (n-3 'e' vowel) → drop e
+    "batch" -> "batch", // no rule fires
+    "data" -> "data", // no rule fires
+    "window" -> "window", // no rule fires
+    "sort" -> "sort", // no rule fires
+    "query" -> "queri", // 1c: ends y, stem has a vowel → i
+    "table" -> "tabl", // 5a: m=1, 'tabl' not *o (n-3 'a' vowel) → drop e
+    "line" -> "line", // 5a: m=1 but 'lin' IS *o (l-i-n, n∉wxy) → keep e
+    "value" -> "valu", // 5a: m=1, 'valu' ends vowel → not *o → drop e
+    "order" -> "order", // 4 'er': stem 'ord' m=1, needs m>1 → keep
+    "filter" -> "filter") // 4 'er': stem 'filt' m=1, needs m>1 → keep
 
   // ---------------- DuckDB oracle SQL ----------------
 
@@ -865,6 +902,23 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(CASE WHEN s > 0 THEN s ELSE 0 END, 4) AS score_r
          |FROM sx ORDER BY doc_id""".stripMargin,
+    "ft_lm_pitmanyor" -> // fp=max(f-δ·f^δ, 0); s=ln(1+fp/(μp))+ln(1-sumT/(dl+μ)),
+      // NaN/negative clamps to 0 (domain CASE models the NaN leg); δ widened
+      s"""${ftBase(Seq("hash"))}, lp AS (
+         |  SELECT CAST(CAST(0.7 AS REAL) AS DOUBLE) AS dd,
+         |    CAST((SELECT sum(len(tk)) FROM docs) AS DOUBLE) AS sumt,
+         |    CAST((SELECT sum(${freqCol("hash")}) FROM docs) + 1 AS DOUBLE) /
+         |    CAST((SELECT sum(len(tk)) FROM docs) + 1 AS DOUBLE) AS p
+         |), sx AS (
+         |  SELECT doc_id,
+         |    CASE WHEN (1.0 - (SELECT sumt FROM lp) / (CAST(len(tk) AS DOUBLE) + 2000.0)) <= 0 THEN 0
+         |         ELSE ln(1 + greatest(CAST(f_hash AS DOUBLE) - (SELECT dd FROM lp) * pow(CAST(f_hash AS DOUBLE), (SELECT dd FROM lp)), 0)
+         |                 / (2000.0 * (SELECT p FROM lp)))
+         |            + ln(1.0 - (SELECT sumt FROM lp) / (CAST(len(tk) AS DOUBLE) + 2000.0)) END AS s
+         |  FROM base WHERE f_hash > 0
+         |)
+         |SELECT doc_id, round(CASE WHEN s > 0 THEN s ELSE 0 END, 4) AS score_r
+         |FROM sx ORDER BY doc_id""".stripMargin,
     "ft_dfi" -> // chi²: e=(ttf+1)·dl/(sumTtf+1); s=log2(1+(f-e)²/e), 0 at f≤e
       s"""${ftBase(Seq("data"))}, dfi AS (
          |  SELECT CAST((SELECT sum(${freqCol("data")}) FROM docs) + 1 AS DOUBLE) AS t1,
@@ -1276,6 +1330,19 @@ object SparkEntry {
          |) WHERE term NOT IN (${TextOpsOracle.stopSql})
          |ORDER BY doc_id, pos""".stripMargin,
 
+    "ta_stemmed" -> // stems come from the hand-derived CASE map (published
+      // Porter rules), never from the engine — matching pins the chain
+      s"""WITH raw AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk_all
+         |  FROM documents WHERE doc_id < 40
+         |)
+         |SELECT doc_id, CAST(pos AS INT) AS pos, term,
+         |  CASE term ${stemVocab.map { case (w, st) => s"WHEN '$w' THEN '$st'" }.mkString(" ")} END AS stem
+         |FROM (
+         |  SELECT doc_id, unnest(tk_all) AS term, generate_subscripts(tk_all, 1) - 1 AS pos FROM raw
+         |) WHERE term NOT IN (${TextOpsOracle.stopSql})
+         |  AND term IN (${stemVocab.map(v => s"'${v._1}'").mkString(",")})
+         |ORDER BY doc_id, pos""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id,
         |  array_to_string(list_transform(range(0, 5), i ->

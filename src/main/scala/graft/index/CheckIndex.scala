@@ -29,6 +29,14 @@ object CheckIndex {
 
     val manifest = IndexManifest.load(spark, indexPath)
     val docs = spark.read.parquet(s"$indexPath/docs")
+    // format gate (advisor round-3 fix): a pre-fieldDls index must produce a
+    // clean 'rebuild required' report, not an AnalysisException mid-run
+    if (manifest.formatVersion < IndexManifest.CurrentFormat ||
+        !docs.columns.contains("fieldDls"))
+      return Report(0, 0, 0, 0, 0, 0, Seq(
+        s"index format version ${manifest.formatVersion} < current " +
+          s"${IndexManifest.CurrentFormat} (docs ${if (docs.columns.contains("fieldDls")) "have" else "LACK"} " +
+          "per-field dls) — rebuild the index with the current builder"))
     val postings = spark.read.parquet(s"$indexPath/postings")
     val terms = spark.read.parquet(manifest.termsLocation)
     val stats = spark.read.parquet(manifest.statsLocation)

@@ -595,7 +595,12 @@ object Hashing {
   */
 final case class IndexManifest(indexPath: String, maxDoc: Long, docCount: Long,
     docsPerRange: Int, maxDocId: Long = -1L,
-    termsGen: Int = 0, publishedWaves: Seq[Int] = Nil) {
+    termsGen: Int = 0, publishedWaves: Seq[Int] = Nil,
+    /** On-disk index schema generation (advisor round-3 fix: readers gate on
+      * this instead of crashing mid-run on a missing column). Manifests
+      * written before the field existed load as version 1.
+      */
+    formatVersion: Int = IndexManifest.CurrentFormat) {
 
   /** Committed terms-dictionary dir. Generation 0 is the full-publish dir
     * ("terms"); incremental publishes write generational dirs and flip the
@@ -611,6 +616,12 @@ final case class IndexManifest(indexPath: String, maxDoc: Long, docCount: Long,
 }
 
 object IndexManifest {
+  /** Current index schema generation: 2 = per-field dls on doc rows
+    * (`fieldDls`), generational terms dirs. Version-1 indexes (round-1
+    * layout) must be rebuilt — CheckIndex reports this cleanly.
+    */
+  val CurrentFormat = 2
+
   def commit(spark: SparkSession, m: IndexManifest): Unit = {
     val p = new Path(s"${m.indexPath}/commit.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -618,7 +629,8 @@ object IndexManifest {
     out.write(
       (s"""{"maxDoc":${m.maxDoc},"docCount":${m.docCount},"docsPerRange":${m.docsPerRange},""" +
         s""""maxDocId":${m.maxDocId},"termsGen":${m.termsGen},""" +
-        s""""publishedWaves":[${m.publishedWaves.mkString(",")}]}""")
+        s""""publishedWaves":[${m.publishedWaves.mkString(",")}],""" +
+        s""""formatVersion":${m.formatVersion}}""")
         .getBytes("UTF-8"))
     out.close()
   }
@@ -639,6 +651,7 @@ object IndexManifest {
       extract("docsPerRange").get.toInt,
       // manifests written before maxDocId existed: dense 0-based ids only
       extract("maxDocId").getOrElse(maxDoc - 1),
-      extract("termsGen").map(_.toInt).getOrElse(0), waves)
+      extract("termsGen").map(_.toInt).getOrElse(0), waves,
+      extract("formatVersion").map(_.toInt).getOrElse(1))
   }
 }

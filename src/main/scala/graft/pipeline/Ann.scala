@@ -290,7 +290,11 @@ object Ann {
       .withColumn("prank", row_number().over(wProbe))
       .where(col("prank") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("cid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, NOT persist (advisor round-3 fix: the persisted
+      // probes DF was never unpersisted and accumulated one cache entry per
+      // query batch): the bounded probe set (queries × nprobe rows)
+      // materializes eagerly and its blocks free with the DF reference
+      .localCheckpoint(true)
     // collect ONLY the distinct probed cell ids (≤ queries × nprobe, tiny):
     // as an isin literal they prune assignment PARTITIONS at the source
     val cids = probes.select("cid").distinct().collect().map(_.getLong(0))

@@ -159,8 +159,19 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
         if (f == defaultField) (analyzed(text, None), rest)
         else if (analyzedFields.contains(f)) (analyzed(text, Some(f)), rest)
         else if (keywordFields.contains(f)) (Some(TermQuery(text, 1.0f, Some(f))), rest)
-        else if (!strictFields) (analyzed(w, None), rest) // whole word as text
-        else unknownField(f)
+        else if (!strictFields) {
+          // advisor round-3 fix: lenient routing must not make a typo'd
+          // prefix ('lagn:de') silently invisible on a view that HAS
+          // configured fields — warn with the known-field list. Surfaces
+          // with no configured fields stay silent (std::vector, URLs).
+          if ((keywordFields.nonEmpty || analyzedFields.nonEmpty) &&
+              f.matches("[A-Za-z][A-Za-z0-9_]*"))
+            QueryParser.log.warn(
+              s"query token '$w' looks like a field prefix but '$f' is not a known field " +
+                s"(known: ${(Set(defaultField) ++ keywordFields ++ analyzedFields).toSeq.sorted.mkString(", ")}); " +
+                "searching it as default-field text (strictFields=false)")
+          (analyzed(w, None), rest) // whole word as text
+        } else unknownField(f)
       } else (analyzed(w, None), rest)
     case other => (None, if (other.isEmpty) Nil else other.tail)
   }
@@ -182,4 +193,8 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
       case ts => Some(BooleanQuery(
         ts.map(t => BooleanClause(Occur.SHOULD, TermQuery(t, 1.0f, field))).toList))
     }
+}
+
+private object QueryParser {
+  val log: org.slf4j.Logger = org.slf4j.LoggerFactory.getLogger(classOf[QueryParser])
 }

@@ -348,6 +348,26 @@ class LMPitmanYorProcessSimilarity(mu: Float = 2000f, delta: Float = 0.7f)
       math.log(1 - (st.numberOfFieldTokens.toFloat / (docLen + mu)).toDouble).toFloat)
     if (s > 0) s else 0 // NaN (log of negative) also lands here, as in the reference
   }
+
+  // exact-double twin (round-4: every shipped model has one): δ widened
+  // (SQL CAST(CAST(0.7 AS REAL) AS DOUBLE)), μ=2000 exact. The reference's
+  // discount term ln(1 - sumTokens/(dl+μ)) goes NaN whenever the corpus has
+  // more than dl+μ tokens — the clamp lands those at 0, exactly as float32
+  // does; the SQL twin models the clamp with an explicit domain CASE.
+  override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    new Similarity.ExactScorer {
+      private val (muD, deltaD) = (mu.toDouble, delta.toDouble)
+      private val p = (ts.totalTermFreq + 1).toDouble / (cs.sumTotalTermFreq + 1).toDouble
+      def score(freq: Double, dl: Double): Double = {
+        val tw = if (freq > 0) math.pow(freq, deltaD) else 0.0
+        val fp = math.max(freq - deltaD * tw, 0.0)
+        val s = boost * (math.log(1 + fp / (muD * p)) +
+          math.log(1.0 - cs.sumTotalTermFreq.toDouble / (dl + muD)))
+        if (s > 0) s else 0.0
+      }
+    }
+  override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
+    Similarity.sumOf(tss.map(t => exactTermScorer(t, cs, boost)))
 }
 
 /** LM two-stage smoothing (lmTwoStage.go:30-46, λ=0.1, μ=2000). */

@@ -115,4 +115,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(chained.size == 121 && chained.values.forall(_ == 0L))
   }
+
+  test("simhash32: one row per doc, ZERO shuffle; vote semantics preserved") {
+    val df = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta gamma alpha"), // identical → identical hash
+      (3L, "totally different words here entirely"),
+      (4L, "")) // zero tokens → absent (explode parity)
+    .toDF("doc_id", "text")
+    val sh = Dedup.simhash32(df, "text", "doc_id")
+    // the whole computation lives inside the doc's row: the physical plan
+    // must contain NO Exchange (round-3 fix: the old explode(0..31) shuffled
+    // 32 rows per token)
+    val plan = sh.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"simhash32 plan shuffles:\n$plan")
+    val got = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == got(2L) && got(1L) != got(3L))
+    // hand-check one doc against the vote rule (md5 high hex nibble = +1)
+    val hashes = Seq("alpha", "beta", "gamma", "alpha").map { t =>
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val expected = (0 until 32).map { j =>
+      val votes = hashes.map(h => if ("89abcdef".contains(h(j))) 1 else -1).sum
+      if (votes >= 0) 1L << j else 0L
+    }.sum
+    assert(got(1L) == expected)
+  }
 }

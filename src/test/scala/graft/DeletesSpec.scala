@@ -88,8 +88,8 @@ class DeletesSpec extends AnyFunSuite with SparkTestBase {
     Deletes.append(spark, dir2, (0L until 300L).filter(_ % 3 == 0).toDF("docId"))
     val sSmall = new IndexSearcher(spark, dir2) // default threshold → broadcast
     assert(!sSmall.rangedDeletes)
-    val sRanged = new IndexSearcher(spark, dir2)
-    sRanged.deleteBroadcastMax = 10 // 100 persisted deletes > 10 → ranged
+    val sRanged = new IndexSearcher(spark, dir2,
+      deleteBroadcastMax = 10) // 100 persisted deletes > 10 → ranged
     assert(sRanged.rangedDeletes)
     for (q <- Seq[Query](TermQuery("import"),
       BooleanQuery(Seq(
@@ -138,5 +138,19 @@ class DeletesSpec extends AnyFunSuite with SparkTestBase {
     val s1 = s0.withDeletes(Array(hit.docId))
     val ex = s1.explain(TermQuery("parser"), hit.docId)
     assert(!ex.isMatch && ex.value == 0.0)
+  }
+
+  test("close() releases the ranged-delete cache (no leaked persisted DF per view)") {
+    val del = spark.range(0, 50).selectExpr("id * 7 as docId")
+    val view = new IndexSearcher(spark, indexPath).withDeletesDF(del)
+    view.search(TermQuery("parser"), 10) // materializes delRangesDF
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(before > 0)
+    view.close()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after < before, s"close() released nothing: $before -> $after")
+    // idempotent, and the searcher stays usable (caches rebuild)
+    view.close()
+    assert(view.search(TermQuery("parser"), 10).totalHits > 0)
   }
 }

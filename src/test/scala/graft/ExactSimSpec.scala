@@ -169,4 +169,28 @@ class ExactSimSpec extends AnyFunSuite with SparkTestBase {
       assert(ex.value == hit.score, ex.render)
     }
   }
+
+  test("LM Pitman-Yor exact twin: clamp on real stats, positive regime on small stats") {
+    val s = new IndexSearcher(spark, indexPath,
+      similarity = new LMPitmanYorProcessSimilarity)
+    val q = TermQuery("import")
+    // on this corpus sumTokens >> dl+mu → the discount log goes NaN → every
+    // match clamps to 0 (reference behavior); docs still MATCH
+    val hits = s.scoredDocs(q, ScoreMode.ExactDouble).collect()
+    assert(hits.nonEmpty && hits.forall(_.score == 0.0))
+    // positive regime: a tiny synthetic collection where the discount term
+    // is in-domain — pin the exact formula by hand computation
+    val sim = new LMPitmanYorProcessSimilarity
+    val cs = CollectionStats("content", maxDoc = 10, docCount = 10,
+      sumTotalTermFreq = 50, sumDocFreq = 30)
+    val ts = TermStats("content", "t", docFreq = 2, totalTermFreq = 2)
+    val sc = sim.exactTermScorer(ts, cs, 1.0)
+    val (f, dl) = (10.0, 20.0)
+    val deltaD = 0.7f.toDouble
+    val p = 3.0 / 51.0
+    val fp = math.max(f - deltaD * math.pow(f, deltaD), 0.0)
+    val expected = math.log(1 + fp / (2000.0 * p)) + math.log(1.0 - 50.0 / (dl + 2000.0))
+    assert(sc.score(f, dl) == (if (expected > 0) expected else 0.0))
+    assert(expected > 0, "fixture must exercise the positive regime")
+  }
 }

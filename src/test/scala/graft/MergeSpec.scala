@@ -225,4 +225,16 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     val r = CheckIndex.run(spark, dir)
     assert(!r.ok && r.problems.exists(_.contains("maxDoc")))
   }
+
+  test("CheckIndex reports an old format version cleanly (no mid-run crash)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chk-fmt").toString
+    build(dir, wavesOf = 12)
+    val m = IndexManifest.load(spark, dir)
+    assert(m.formatVersion == IndexManifest.CurrentFormat)
+    IndexManifest.commit(spark, m.copy(formatVersion = 1))
+    val r = CheckIndex.run(spark, dir)
+    assert(!r.ok && r.problems.exists(_.contains("format version 1")), r.problems.toString)
+    IndexManifest.commit(spark, m) // restore
+    assert(CheckIndex.run(spark, dir).ok)
+  }
 }
