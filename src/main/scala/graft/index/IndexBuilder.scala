@@ -289,6 +289,24 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     Await.result(docsJob, scala.concurrent.duration.Duration.Inf)
   }
 
+  /** Aggregate one wave's postings metadata into `termsPartial/wave=N` —
+    * the tree-wise dictionary fold input ([[publish]] folds per-wave
+    * partials when every live wave has one; vocabulary-sized instead of
+    * (field, term, rangeId)-sized). Written by merge outputs (TieredMerge)
+    * and available on demand; NOT written during the batch invert — measured
+    * on the scaling corpus, aggregating the freshly-written wave there
+    * double-pays the dictionary aggregation (the single-wave publish does it
+    * anyway) and LOWERS fused N→4N efficiency.
+    */
+  def writeTermsPartial(indexPath: String, wave: Int): Unit =
+    spark.read.parquet(s"$indexPath/postings/wave=$wave")
+      .groupBy("field", "term")
+      .agg(
+        sum("docFreq").as("docFreq"),
+        sum("ttf").as("ttf"),
+        when(sum("docFreq") === 1L, max("firstDocId")).otherwise(-1L).as("singletonDocId"))
+      .write.mode("overwrite").parquet(s"$indexPath/termsPartial/wave=$wave")
+
   /** Stage 3: (re)publish terms dict, stats, segment metadata, commit. */
   def publish(indexPath: String): IndexManifest = {
     // crash-consistency sweep: a merge that died mid-flight leaves either an
@@ -312,8 +330,21 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     // the aggregated dictionary is CACHED so the fieldstats job reads the
     // cache concurrently with the parquet write instead of re-reading the
     // written dictionary after it — one fewer serial barrier (publish fixed
-    // cost weighs 4x heavier on the 4N level of the scaling ratio)
-    val termsAgg = postings
+    // cost weighs 4x heavier on the 4N level of the scaling ratio).
+    // TREE-WISE fold (round-4): when every live wave has its termsPartial
+    // (written during invert/merge), the dictionary folds vocabulary-sized
+    // per-wave partials — input is nWaves × vocab rows, NOT the full
+    // (field, term, rangeId) posting metadata; a wave built by older code or
+    // an interrupted partial write falls back to the direct postings scan.
+    val partialsOk = liveWaves.nonEmpty &&
+      liveWaves.forall(w => exists(s"$indexPath/termsPartial/wave=${w.wave}/_SUCCESS"))
+    val termsSrc =
+      if (partialsOk)
+        spark.read.parquet(
+          liveWaves.map(w => s"$indexPath/termsPartial/wave=${w.wave}"): _*)
+          .withColumnRenamed("singletonDocId", "firstDocId") // fold-compatible
+      else postings
+    val termsAgg = termsSrc
       .groupBy("field", "term")
       .agg(
         sum("docFreq").as("docFreq"),
@@ -465,12 +496,19 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     // 1) merged dictionary = full-outer fold of (old, wave delta); singleton
     // survives only while the TOTAL df is 1, from whichever side holds it
     val termsJob = Future {
-      val delta = spark.read.parquet(s"$indexPath/postings/wave=$wave")
-        .groupBy("field", "term")
-        .agg(
-          sum("docFreq").as("dDf"),
-          sum("ttf").as("dTtf"),
-          when(sum("docFreq") === 1L, max("firstDocId")).otherwise(-1L).as("dSingle"))
+      // the wave's termsPartial (written during invert) IS the delta — a
+      // vocabulary-sized read instead of re-aggregating the wave's postings
+      val delta =
+        if (exists(s"$indexPath/termsPartial/wave=$wave/_SUCCESS"))
+          spark.read.parquet(s"$indexPath/termsPartial/wave=$wave")
+            .select(col("field"), col("term"), col("docFreq").as("dDf"),
+              col("ttf").as("dTtf"), col("singletonDocId").as("dSingle"))
+        else spark.read.parquet(s"$indexPath/postings/wave=$wave")
+          .groupBy("field", "term")
+          .agg(
+            sum("docFreq").as("dDf"),
+            sum("ttf").as("dTtf"),
+            when(sum("docFreq") === 1L, max("firstDocId")).otherwise(-1L).as("dSingle"))
       spark.read.parquet(prev.termsLocation)
         .join(delta, Seq("field", "term"), "full_outer")
         .select(col("field"), col("term"),

@@ -312,6 +312,20 @@ object TieredMerge {
         }
     }
 
+    // merged wave's terms partial (publish folds partials tree-wise): from
+    // the POST-FILTER postings, so reclaimed entries are already excluded.
+    // Written before the commit point — an orphan's partial is swept with it.
+    spark.read.parquet(target)
+      .groupBy("field", "term")
+      .agg(
+        org.apache.spark.sql.functions.sum("docFreq").as("docFreq"),
+        org.apache.spark.sql.functions.sum("ttf").as("ttf"),
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.sum("docFreq") === 1L,
+          org.apache.spark.sql.functions.max("firstDocId"))
+          .otherwise(-1L).as("singletonDocId"))
+      .write.mode("overwrite").parquet(s"$indexPath/termsPartial/wave=$newWave")
+
     // Two-phase commit (advisor round-2 fix): the merges log is written
     // DURABLY before any source deletion. Crash windows:
     //  - before the log: the merged wave (postings AND docs) is an
