@@ -309,12 +309,17 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
 
   /** Stage 3: (re)publish terms dict, stats, segment metadata, commit. */
   def publish(indexPath: String): IndexManifest = {
+    val t0 = System.nanoTime()
+    def mark(tag: String): Unit =
+      if (sys.env.contains("SPARK_GRAFT_PUBLISH_TIMING"))
+        System.err.println(f"[publish] $tag at ${(System.nanoTime() - t0) / 1e9}%.2f s")
     // crash-consistency sweep: a merge that died mid-flight leaves either an
     // uncommitted merged wave or logged-retired source dirs — both would
     // double postings for every reader of <index>/postings. waves() deletes
     // them on load (two-phase commit; see TieredMerge.waves). Merges must not
     // run concurrently with publish.
     val liveWaves = TieredMerge.waves(spark, indexPath)
+    mark("waves-swept")
     val stagedPath = s"$indexPath/staged"
     val docsPath = s"$indexPath/docs"
     val termsPath = s"$indexPath/terms"
@@ -364,12 +369,19 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
       min("docId").as("docLo"), max("docId").as("docHi"),
       count(lit(1)).as("docCount"),
       sum(when(col("dl") > 0, 1L).otherwise(0L)).as("nonEmpty"))
+    // the PRIMARY field's docCount is just dl > 0 — only EXTRA fields touch
+    // the fieldDls map column. With no extra fields the rollup scan reads
+    // narrow primitive columns only (the map column's row-by-row decode was
+    // the single largest publish cost: ~2.6 s of a 3 s publish at 8 cores
+    // on the 2^21-doc scaling corpus)
     val fieldAggs = indexedFields.map(f =>
-      sum(when(element_at(col("fieldDls"), f) > 0, 1L).otherwise(0L)).as(s"dc_$f"))
+      if (f == config.field) sum(when(col("dl") > 0, 1L).otherwise(0L)).as(s"dc_$f")
+      else sum(when(element_at(col("fieldDls"), f) > 0, 1L).otherwise(0L)).as(s"dc_$f"))
     val allAggs = baseAggs ++ fieldAggs
     val docRoll = docs.rollup("segId")
       .agg(allAggs.head, allAggs.tail: _*)
       .collect()
+    mark("docRoll-collected")
     val fieldStats = termsAgg.groupBy("field").agg(
       sum("totalTermFreq").as("sumTotalTermFreq"),
       sum("docFreq").as("sumDocFreq"),
@@ -411,8 +423,11 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
         "\n").getBytes("UTF-8"))
     }
     segOut.close()
+    mark("segments-written")
     Await.result(termsJob, scala.concurrent.duration.Duration.Inf)
+    mark("terms-done")
     Await.result(statsJob, scala.concurrent.duration.Duration.Inf)
+    mark("stats-done")
     termsAgg.unpersist()
 
     // two-phase commit: all data dirs are durable; the marker makes it live.
@@ -524,8 +539,9 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
       (Seq(config.field) ++ config.analyzedFields ++ config.keywordFields).distinct
     val batchAggs = Seq(count(lit(1)).as("n"), min("docId").as("lo"), max("docId").as("hi"),
       sum(when(col("dl") > 0, 1L).otherwise(0L)).as("ne")) ++
-      indexedFields.map(f =>
-        sum(when(element_at(col("fieldDls"), f) > 0, 1L).otherwise(0L)).as(s"dc_$f"))
+      indexedFields.map(f => // primary field avoids the map column (see publish)
+        if (f == config.field) sum(when(col("dl") > 0, 1L).otherwise(0L)).as(s"dc_$f")
+        else sum(when(element_at(col("fieldDls"), f) > 0, 1L).otherwise(0L)).as(s"dc_$f"))
     val batchRowF = Future {
       spark.read.parquet(s"$indexPath/docs/wave=$wave")
         .agg(batchAggs.head, batchAggs.tail: _*).collect()(0)
