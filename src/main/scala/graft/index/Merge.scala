@@ -397,6 +397,17 @@ object TieredMerge {
       segsPerTier: Int = 10, maxMergeAtOnce: Int = 10): Seq[Int] =
     maybeMergeWith(spark, indexPath, plan(_, segsPerTier, maxMergeAtOnce))
 
+  /** [[maybeMerge]] with reclaim-aware candidate scoring: deleted-doc
+    * fractions recompute each planning round (reclaiming merges shrink the
+    * deletes table as they go), so delete-heavy waves keep tiering lower
+    * until their dead postings are gone.
+    */
+  def maybeMergeReclaim(spark: SparkSession, indexPath: String,
+      segsPerTier: Int = 10, maxMergeAtOnce: Int = 10): Seq[Int] =
+    maybeMergeWith(spark, indexPath, segs =>
+      plan(segs, segsPerTier, maxMergeAtOnce,
+        delFracByWave = deletedFractions(spark, indexPath)))
+
   /** Merge driver loop with a pluggable policy. Size-based policies (tiered)
     * see waves in number order; POSITIONAL policies (planLog) must receive
     * generational order, so the driver feeds them [[wavesByAge]].

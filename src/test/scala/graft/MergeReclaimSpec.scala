@@ -162,6 +162,29 @@ class MergeReclaimSpec extends AnyFunSuite with SparkTestBase {
       s"delete-heavy waves not grouped: $p1")
   }
 
+  test("maybeMergeReclaim: delete-heavy waves merge first and deletes clear") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rec-auto").toString
+    val builder = new IndexBuilder(spark, cfg(1))
+    builder.build(corpusDf, dir)
+    Deletes.append(spark, dir, (0L until 100L)) // waves 0-1 fully deleted
+    // tight tier budget: the reclaim-aware planner groups the delete-heavy
+    // waves (effective size ~0) into their own merge
+    val merged = TieredMerge.maybeMergeReclaim(spark, dir, segsPerTier = 1, maxMergeAtOnce = 3)
+    assert(merged.nonEmpty)
+    builder.publish(dir)
+    assert(Deletes.count(spark, dir) == 0L) // full merge coverage reclaims all
+    val s = new IndexSearcher(spark, dir)
+    val ref = java.nio.file.Files.createTempDirectory("graft-rec-auto-ref").toString
+    new IndexBuilder(spark, cfg(12)).build(corpusDf.where(col("docId") >= 100), ref)
+    val sR = new IndexSearcher(spark, ref)
+    val a = s.search(TermQuery("import"), 10, ScoreMode.Ref32)
+    val b = sR.search(TermQuery("import"), 10, ScoreMode.Ref32)
+    assert(a.totalHits == b.totalHits)
+    assert(a.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+      b.scoreDocs.map(d => (d.docId, d.score)).toSeq)
+    assert(CheckIndex.run(spark, dir).ok)
+  }
+
   test("deletes swap crash windows: committed swap completes, partial swap rolls back") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rec-swap").toString
     new IndexBuilder(spark, cfg(12)).build(corpusDf, dir)
