@@ -14,6 +14,8 @@ import graft.search.{IndexSearcher, QueryParser, ScoreMode}
   * sbt "runMain graft.Cli search <indexDir> <k> <query...>"   # classic query syntax
   * sbt "runMain graft.Cli delete <indexDir> <field> <term>"   # persistent delete-by-term
   * sbt "runMain graft.Cli check <indexDir>"                   # CheckIndex validation
+  * sbt "runMain graft.Cli merge <indexDir>"                   # tiered merge (reclaim-aware) + republish
+  * sbt "runMain graft.Cli expunge <indexDir> [minFrac]"       # rewrite delete-heavy waves + republish
   * }}}
   */
 object Cli {
@@ -66,9 +68,29 @@ object Cli {
         println(s"CHECK FAILED:\n  ${report.problems.mkString("\n  ")}")
         sys.exit(1)
       }
+    case "merge" :: indexDir :: Nil =>
+      val delsBefore = graft.index.Deletes.count(spark, indexDir)
+      val merged = graft.index.TieredMerge.maybeMergeReclaim(spark, indexDir)
+      if (merged.nonEmpty)
+        new IndexBuilder(spark, IndexConfig(analyzer = new StandardCodeAnalyzer()))
+          .publish(indexDir)
+      val delsAfter = graft.index.Deletes.count(spark, indexDir)
+      println(s"MERGED ${merged.size} groups into waves ${merged.mkString(",")}; " +
+        s"deletes $delsBefore -> $delsAfter")
+    case "expunge" :: indexDir :: rest if rest.size <= 1 =>
+      val frac = rest.headOption.map(_.toDouble).getOrElse(0.1)
+      val delsBefore = graft.index.Deletes.count(spark, indexDir)
+      val rewritten = graft.index.TieredMerge.expungeDeletes(spark, indexDir, frac)
+      if (rewritten.nonEmpty)
+        new IndexBuilder(spark, IndexConfig(analyzer = new StandardCodeAnalyzer()))
+          .publish(indexDir)
+      val delsAfter = graft.index.Deletes.count(spark, indexDir)
+      println(s"EXPUNGED ${rewritten.size} waves (deleted fraction >= $frac); " +
+        s"deletes $delsBefore -> $delsAfter")
     case other =>
       System.err.println("usage: build <corpusParquet> <indexDir> | search <indexDir> <k> <query...> | " +
-        s"delete <indexDir> <field> <term> | check <indexDir> (got: $other)")
+        s"delete <indexDir> <field> <term> | check <indexDir> | merge <indexDir> | " +
+        s"expunge <indexDir> [minFrac] (got: $other)")
       sys.exit(2)
   }
 }

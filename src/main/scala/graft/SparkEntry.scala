@@ -297,6 +297,16 @@ object SparkEntry {
         .select(col("doc_id"), col("t.pos").as("pos"), col("t.term").as("term"))
         .orderBy("doc_id", "pos")),
 
+    "ta_sample" -> ((s, d) => // deterministic stratified sampling (data
+      // mixing): per-language keep fractions via the md5-hex draw — a pure
+      // row-local filter, reproducible at any cluster size
+      TextOps.stratifiedSample(docs(s, d), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), default = 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "ta_pack" -> ((s, d) => // greedy sequence packing into 512-token bins,
+      // windowed per source (the training-context assembly shape)
+      TextOps.packSequences(docs(s, d), "doc_id", "text", capacity = 512,
+        partitionCol = Some("source")).orderBy("doc_id")),
     "ta_stemmed" -> ((s, d) => { // Porter stemming end-to-end on corpus
       // tokens (round-4: the one analyzer chain previously sbt-only): the
       // oracle pins each vocab word's stem HAND-DERIVED from the published
@@ -1330,6 +1340,28 @@ object SparkEntry {
          |) WHERE term NOT IN (${TextOpsOracle.stopSql})
          |ORDER BY doc_id, pos""".stripMargin,
 
+    "ta_sample" -> { // thresholds from the same hex formula (TextOps.sampleThreshold)
+      val cases = Seq("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25)
+        .map { case (l, w) => s"WHEN '$l' THEN '${TextOps.sampleThreshold(w)}'" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+         |  CASE lang $cases ELSE '${TextOps.sampleThreshold(0.1)}' END
+         |ORDER BY doc_id""".stripMargin
+    },
+    "ta_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), o AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, CAST(floor(start_off / 512.0) AS BIGINT) AS bin_id
+         |FROM o ORDER BY doc_id""".stripMargin,
     "ta_stemmed" -> // stems come from the hand-derived CASE map (published
       // Porter rules), never from the engine — matching pins the chain
       s"""WITH raw AS (

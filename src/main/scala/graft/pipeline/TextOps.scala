@@ -51,6 +51,54 @@ object TextOps {
       .toDF(idCol, "n_tokens", "n_grams")
   }
 
+  /** 8-hex-digit threshold for a sampling weight: the first 8 md5 hex chars
+    * of the id are a uniform 32-bit draw (identical in ANSI SQL), and
+    * lowercase-hex string order == numeric order, so `hexDraw < threshold`
+    * keeps exactly a `w` fraction deterministically. w ≥ 1 → "g" (above any
+    * hex string — keep all); w ≤ 0 → "00000000" (keep none).
+    */
+  def sampleThreshold(w: Double): String =
+    if (w >= 1.0) "g"
+    else f"${math.max(0L, (w * 4294967296.0).round)}%08x"
+
+  /** DETERMINISTIC stratified sampling — the data-mixing primitive of a
+    * training pipeline (per-source/per-language mixture weights). A pure
+    * row-local filter: no shuffle, no RNG state, reproducible across runs
+    * and cluster sizes, and the kept set is STABLE under corpus growth
+    * (a doc's fate depends only on its own id). Keep fraction =
+    * `weights(stratum)` (else `default`).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      weights: Map[String, Double], default: Double = 0.0): DataFrame = {
+    val thresh = weights.toSeq.sortBy(_._1).foldLeft(lit(sampleThreshold(default))) {
+      case (acc, (s, w)) => when(col(stratumCol) === s, lit(sampleThreshold(w))).otherwise(acc)
+    }
+    df.where(substring(md5(col(idCol).cast("string")), 1, 8) < thresh)
+  }
+
+  /** Greedy-by-order SEQUENCE PACKING for training-context assembly: docs
+    * (in id order within each `partitionCol` group) are laid end-to-end and
+    * cut into bins of ~`capacity` tokens; bin id = floor(startOffset /
+    * capacity) — the streaming-pack approximation (a straddling doc joins
+    * the bin its first token falls in, so bins can exceed capacity by at
+    * most one doc's tail). Pure window arithmetic, ANSI-SQL-reproducible.
+    *
+    * Scale: the running sum is windowed PER `partitionCol` group — at corpus
+    * scale pack within (source, shard) so no group exceeds one executor's
+    * sort; a global window (partitionCol = None) is for small scopes only.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int, partitionCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("pack_group").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        partitionCol.map(col).getOrElse(lit(0)).as("pack_group"))
+      .withColumn("start_off", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("start_off") / lit(capacity.toDouble)).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("bin_id"))
+  }
+
   /** Token counting: whitespace-ish tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation marks).
     */
