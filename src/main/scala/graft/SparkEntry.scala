@@ -181,6 +181,14 @@ object SparkEntry {
                          mode 'exact', analyzer 'simple')""")
       s.sql("SELECT docId AS doc_id, round(score, 4) AS score_r FROM graft_hits ORDER BY doc_id")
     }),
+    "ft_sql_wand" -> ((s, d) => { // WAND pruning through the SQL surface:
+      // the wand 'true' option must still return the exact exhaustive top-k
+      val idx = FtQueries.indexPath(s, d)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_hits_w USING `graft-search`
+                OPTIONS (index '$idx', query 'spark window batch', k '10',
+                         mode 'exact', analyzer 'simple', wand 'true')""")
+      s.sql("SELECT docId AS doc_id, round(score, 4) AS score_r FROM graft_hits_w ORDER BY doc_id")
+    }),
     "ft_wide_or" -> ((s, d) => // 20-term disjunction: evaluation breadth
       // (term-index routing, accumulator widths) under one oracle
       FtQueries.pageDF(s, d, BooleanQuery(
@@ -1024,6 +1032,19 @@ object SparkEntry {
          |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
     "ft_wand_topk" -> // raw-score rank window (same bit-for-bit basis as
       // ft_paged); matching proves the pruned result IS the exhaustive one
+      s"""${ftBase(Seq("spark", "window", "batch"))}, sc AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN f_spark > 0 THEN ${termScore("spark")} ELSE 0 END
+         |    + CASE WHEN f_window > 0 THEN ${termScore("window")} ELSE 0 END
+         |    + CASE WHEN f_batch > 0 THEN ${termScore("batch")} ELSE 0 END AS s
+         |  FROM base WHERE f_spark > 0 OR f_window > 0 OR f_batch > 0
+         |), rk AS (
+         |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
+         |)
+         |SELECT doc_id, round(s, 4) AS score_r FROM rk
+         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "ft_sql_wand" -> // identical ranking to ft_wand_topk: wand pruning via
+      // the DSv2 view must not change a single row of the exhaustive top-10
       s"""${ftBase(Seq("spark", "window", "batch"))}, sc AS (
          |  SELECT doc_id, tk,
          |    CASE WHEN f_spark > 0 THEN ${termScore("spark")} ELSE 0 END
