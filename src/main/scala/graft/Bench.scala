@@ -361,9 +361,10 @@ object Bench {
           "partition boundaries to docId ranges the same way.\n"
         md ++= "- Run-to-run variance: host noise arrives in WINDOWS — two " +
           "identical round-3 full runs measured fused 0.834 / 0.741 " +
-          "(invert 0.887 / 0.777, full pipeline 0.885 / 0.847), hence 5 " +
-          "interleaved pairs and min-of-reps; treat any single run's " +
-          "efficiency as ±0.05.\n"
+          "(invert 0.887 / 0.777, full pipeline 0.885 / 0.847), hence " +
+          "interleaved pairs with min-of-reps at BOTH the primary and the " +
+          "4→16 secondary (round 4: the secondary was a 1-pair artifact); " +
+          "treat any single run's efficiency as ±0.05.\n"
       }
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md.toString)
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH.md write failed: $e") }
