@@ -107,6 +107,14 @@ class MergeReclaimSpec extends AnyFunSuite with SparkTestBase {
     }
 
     assert(CheckIndex.run(spark, waved).ok)
+
+    // resume after reclamation: retired waves (whose postings AND doc dirs
+    // are gone) must NOT re-invert, and the republish must keep the
+    // survivor stats bit-for-bit
+    builder.build(corpusDf, waved, resume = true)
+    assert(stats(waved) == stats(ref), "resume after reclaim changed stats")
+    assert(Deletes.count(spark, waved) == 0L)
+    assert(CheckIndex.run(spark, waved).ok)
   }
 
   test("expungeDeletes rewrites only delete-heavy waves; partial coverage keeps other deletes") {
