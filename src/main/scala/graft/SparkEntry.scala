@@ -315,19 +315,18 @@ object SparkEntry {
       // windowed per source (the training-context assembly shape)
       TextOps.packSequences(docs(s, d), "doc_id", "text", capacity = 512,
         partitionCol = Some("source")).orderBy("doc_id")),
-    "ta_stemmed" -> ((s, d) => { // Porter stemming end-to-end on corpus
-      // tokens (round-4: the one analyzer chain previously sbt-only): the
-      // oracle pins each vocab word's stem HAND-DERIVED from the published
-      // algorithm (PorterSpec pins 60+ paper vectors independently)
-      val stemUdf = udf((t: String) => graft.analysis.Porter.stem(t))
+    "ta_stemmed" -> ((s, d) => // Porter stemming end-to-end on corpus
+      // tokens (round-4: the one analyzer chain previously sbt-only) via the
+      // native porter_stem Catalyst expression; the oracle pins each vocab
+      // word's stem HAND-DERIVED from the published algorithm (PorterSpec
+      // pins 60+ paper vectors independently)
       docs(s, d).where(col("doc_id") < 40)
         .select(col("doc_id"),
           explode(graft.functions.Functions.tokenizeCode(col("text"))).as("t"))
         .select(col("doc_id"), col("t.pos").as("pos"), col("t.term").as("term"))
         .where(col("term").isin(SparkEntry.stemVocab.map(_._1): _*))
-        .withColumn("stem", stemUdf(col("term")))
-        .orderBy("doc_id", "pos")
-    }),
+        .withColumn("stem", graft.functions.Functions.porterStem(col("term")))
+        .orderBy("doc_id", "pos")),
 
     // ---- multimodal (binary columns; decode stubbed, plumbing real) ----
     "mm_blob_stats" -> ((s, d) => Multimodal.blobStats(docs(s, d), "doc_id", "text")

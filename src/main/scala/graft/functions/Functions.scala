@@ -46,6 +46,23 @@ object TokenizeCode {
     containsNull = false)
 }
 
+/** Native Catalyst expression for the Porter stemmer: `porter_stem(term)` —
+  * a pure String→String kernel (interpreted body, CodegenFallback;
+  * surrounding operators stay in whole-stage codegen), replacing the Scala
+  * UDF row ser/de on the stemming pipeline path.
+  */
+case class PorterStem(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "porter_stem"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(graft.analysis.Porter.stem(input.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(newChild: Expression): PorterStem =
+    copy(child = newChild)
+}
+
 /** Column-level function surface. BM25 is pure `functions._` arithmetic —
   * fully whole-stage-codegen'd, no UDF, no custom expression needed
   * (SURVEY §2.5 "optionally exposed as a registered function").
@@ -55,6 +72,10 @@ object Functions {
   def tokenizeCode(text: Column): Column =
     org.apache.spark.sql.GraftShims.column(
       TokenizeCode(org.apache.spark.sql.GraftShims.expression(text)))
+
+  def porterStem(term: Column): Column =
+    org.apache.spark.sql.GraftShims.column(
+      PorterStem(org.apache.spark.sql.GraftShims.expression(term)))
 
   /** BM25 (k1=1.2, b=0.75) from per-doc freq/dl and per-term df plus
     * collection stats — float64 (the engine's SQL-oracle mode).
@@ -71,9 +92,12 @@ object Functions {
   /** Register SQL names on an existing session (alternative to the
     * extensions path for spark-shell use): `SELECT tokenize_code(content)`.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tokenize_code", (children: Seq[Expression]) => TokenizeCode(children.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "porter_stem", (children: Seq[Expression]) => PorterStem(children.head), "scala_udf")
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` wiring:
@@ -85,5 +109,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("tokenize_code"),
       new ExpressionInfo(classOf[TokenizeCode].getName, "tokenize_code"),
       (children: Seq[Expression]) => TokenizeCode(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("porter_stem"),
+      new ExpressionInfo(classOf[PorterStem].getName, "porter_stem"),
+      (children: Seq[Expression]) => PorterStem(children.head)))
   }
 }

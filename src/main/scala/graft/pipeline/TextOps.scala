@@ -85,10 +85,13 @@ object TextOps {
     *
     * Scale: the running sum is windowed PER `partitionCol` group — at corpus
     * scale pack within (source, shard) so no group exceeds one executor's
-    * sort; a global window (partitionCol = None) is for small scopes only.
+    * sort. `partitionCol` has NO permissive default (same discipline as
+    * ngramJaccardPairs' explicit maxId): a bare global window would be a
+    * single-task sort of the whole corpus; pass None only for explicitly
+    * small scopes.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      capacity: Int, partitionCol: Option[String] = None): DataFrame = {
+      capacity: Int, partitionCol: Option[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("pack_group").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -27,6 +27,20 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSql.map(_._2) == Seq("quick", "foo.bar", "baz", "import", "io.spark_utils"))
   }
 
+  test("porter_stem expression: DataFrame and SQL surfaces match Porter.stem") {
+    val words = Seq("caresses", "motoring", "happy", "relational", "merge", "sky")
+    val df = words.toDF("w")
+    val got = df.select(Functions.porterStem(col("w")).as("s")).as[String].collect().toSeq
+    assert(got == words.map(graft.analysis.Porter.stem))
+    Functions.register(spark)
+    df.createOrReplaceTempView("pw")
+    val viaSql = spark.sql("SELECT porter_stem(w) FROM pw").as[String].collect().toSeq
+    assert(viaSql == words.map(graft.analysis.Porter.stem))
+    // paper vectors through the expression (independent expected values)
+    assert(df.where(col("w") === "caresses")
+      .select(Functions.porterStem(col("w"))).as[String].head() == "caress")
+  }
+
   test("bm25Score column arithmetic matches the exact scorer") {
     val df = Seq((3, 50, 100L), (1, 10, 5L)).toDF("freq", "dl", "df")
     val got = df.select(Functions.bm25Score(col("freq"), col("dl"), col("df"),
