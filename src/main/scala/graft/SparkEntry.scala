@@ -189,6 +189,14 @@ object SparkEntry {
                          mode 'exact', analyzer 'simple', wand 'true')""")
       s.sql("SELECT docId AS doc_id, round(score, 4) AS score_r FROM graft_hits_w ORDER BY doc_id")
     }),
+    "ft_sql_tvf" -> ((s, d) => { // graft_search TABLE-VALUED function: top-k
+      // directly in a FROM clause (SparkSessionExtensions injectTableFunction)
+      graft.functions.GraftSearchTvf.register(s)
+      val idx = FtQueries.indexPath(s, d)
+      s.sql(s"""SELECT docId AS doc_id, round(score, 4) AS score_r
+                FROM graft_search('$idx', 'merge sort', 12, 'bm25', 'exact')
+                ORDER BY doc_id""")
+    }),
     "ft_wide_or" -> ((s, d) => // 20-term disjunction: evaluation breadth
       // (term-index routing, accumulator widths) under one oracle
       FtQueries.pageDF(s, d, BooleanQuery(
@@ -1042,6 +1050,18 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(s, 4) AS score_r FROM rk
          |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "ft_sql_tvf" -> // same ranking as ft_sql_source (the view surface): the
+      // TVF must return the identical top-12 raw-score window
+      s"""${ftBase(Seq("merge", "sort"))}, sc AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN f_merge > 0 THEN ${termScore("merge")} ELSE 0 END
+         |    + CASE WHEN f_sort > 0 THEN ${termScore("sort")} ELSE 0 END AS s
+         |  FROM base WHERE f_merge > 0 OR f_sort > 0
+         |), rk AS (
+         |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
+         |)
+         |SELECT doc_id, round(s, 4) AS score_r FROM rk
+         |WHERE rn <= 12 ORDER BY doc_id""".stripMargin,
     "ft_sql_wand" -> // identical ranking to ft_wand_topk: wand pruning via
       // the DSv2 view must not change a single row of the exhaustive top-10
       s"""${ftBase(Seq("spark", "window", "batch"))}, sc AS (

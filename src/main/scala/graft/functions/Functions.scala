@@ -100,6 +100,67 @@ object Functions {
   }
 }
 
+/** `graft_search(index, query[, k[, similarity]])` TABLE-VALUED function:
+  * BM25 top-k directly in a FROM clause —
+  *
+  * {{{ SELECT * FROM graft_search('/idx', '+import parser', 20) }}}
+  *
+  * The search is driver-coordinated at analysis time (the same bounded
+  * top-k coordination as the `graft-search` DataSource V2 view — the result
+  * is ≤ k rows, never data-sized) and lands as a LocalRelation, composing
+  * with joins/filters like any table. Arguments must be literals. Shares
+  * the freshness-keyed searcher cache with the DSv2 source.
+  */
+object GraftSearchTvf {
+  import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+
+  def plan(children: Seq[Expression]): LogicalPlan = {
+    require(children.size >= 2 && children.size <= 5,
+      s"graft_search(index, query[, k[, similarity[, mode]]]) takes 2-5 arguments, got ${children.size}")
+    def lit(i: Int, what: String): String = {
+      val e = children(i)
+      require(e.foldable, s"graft_search: $what must be a literal")
+      e.eval(null) match {
+        case u: UTF8String => u.toString
+        case other => String.valueOf(other)
+      }
+    }
+    val index = lit(0, "index")
+    val query = lit(1, "query")
+    val k = if (children.size > 2) lit(2, "k").toInt else 10
+    val sim = if (children.size > 3) lit(3, "similarity") else "bm25"
+    val mode = if (children.size > 4) lit(4, "mode") else "ref32"
+    val scoreMode = mode.toLowerCase match {
+      case "exact" | "exactdouble" => graft.search.ScoreMode.ExactDouble
+      case _ => graft.search.ScoreMode.Ref32
+    }
+    val searcher = graft.sources.GraftSearchTable.searcher(index, "content", sim)
+    // the driver-verifiable surface tokenizes like its SQL twin (simple);
+    // mode 'exact' implies it — ref32 keeps the ICU StandardAnalyzer
+    val analyzer: graft.analysis.Analyzer =
+      if (scoreMode == graft.search.ScoreMode.ExactDouble)
+        new graft.analysis.SimpleAnalyzer(graft.analysis.Analyzer.EnglishStopWords)
+      else new StandardCodeAnalyzer()
+    val q = new graft.search.QueryParser(analyzer, strictFields = false).parse(query)
+    val top = searcher.search(q, k, scoreMode)
+    LocalRelation(
+      Seq(AttributeReference("docId", LongType, nullable = false)(),
+        AttributeReference("score", DoubleType, nullable = false)()),
+      top.scoreDocs.map(d => InternalRow(d.docId, d.score)).toIndexedSeq)
+  }
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (new FunctionIdentifier("graft_search"),
+      new ExpressionInfo(GraftSearchTvf.getClass.getName, "graft_search"),
+      (children: Seq[Expression]) => plan(children))
+
+  /** Register on an existing session (alternative to the extensions path). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      registration._1, registration._2, registration._3)
+}
+
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` wiring:
   * injects the engine's SQL functions at session build (SURVEY §4.3).
   */
@@ -113,5 +174,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("porter_stem"),
       new ExpressionInfo(classOf[PorterStem].getName, "porter_stem"),
       (children: Seq[Expression]) => PorterStem(children.head)))
+    ext.injectTableFunction(GraftSearchTvf.registration)
   }
 }

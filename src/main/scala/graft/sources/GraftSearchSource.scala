@@ -111,7 +111,7 @@ object GraftSearchTable {
           "tfidf|lmdirichlet|lmjelinekmercer|lmhiemstra|lmabsdisc|lmtwostage|dfr|ib|dfi)")
     }
 
-  private[sources] def searcher(index: String, field: String,
+  private[graft] def searcher(index: String, field: String,
       simName: String = "bm25"): IndexSearcher = {
     val spark = SparkSession.active
     val tok = freshness(spark, index)

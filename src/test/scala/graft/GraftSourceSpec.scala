@@ -122,4 +122,34 @@ class GraftSourceSpec extends AnyFunSuite with SparkTestBase {
       .scoreDocs.map(d => (d.docId, d.score))
     assert(rows.toSeq == expected.toSeq)
   }
+
+  test("graft_search table-valued function: FROM-clause search, join-composable") {
+    graft.functions.GraftSearchTvf.register(spark)
+    val rows = spark.sql(
+      s"SELECT docId, score FROM graft_search('$indexPath', 'import parser', 10) " +
+        "ORDER BY score DESC, docId")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = searcher.search(parser.parse("import parser"), 10, ScoreMode.Ref32)
+      .scoreDocs.map(d => (d.docId, d.score))
+    assert(rows.toSeq == expected.toSeq)
+    // composes as a relation: join hits back to a docs table
+    spark.read.parquet(s"$indexPath/docs").createOrReplaceTempView("src_docs")
+    val joined = spark.sql(
+      s"""SELECT count(*) FROM graft_search('$indexPath', 'import', 5) h
+         |JOIN src_docs d ON d.docId = h.docId""".stripMargin).collect()(0).getLong(0)
+    assert(joined == 5)
+    // default k and similarity selection
+    assert(spark.sql(s"SELECT * FROM graft_search('$indexPath', 'import')").count() == 10)
+    val tfidf = spark.sql(
+      s"SELECT docId FROM graft_search('$indexPath', 'import', 5, 'tfidf') ORDER BY score DESC, docId")
+      .collect().map(_.getLong(0))
+    val expTfidf = new IndexSearcher(spark, indexPath, similarity = new TfIdfSimilarity)
+      .search(parser.parse("import"), 5, ScoreMode.Ref32).scoreDocs.map(_.docId)
+    assert(tfidf.toSeq == expTfidf.toSeq)
+    // non-literal arguments are rejected with a clear error
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_search(concat('$indexPath', docId), 'x') ").collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
