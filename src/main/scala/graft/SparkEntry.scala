@@ -208,6 +208,11 @@ object SparkEntry {
         BooleanClause(Occur.SHOULD, TermQuery("spark")),
         BooleanClause(Occur.SHOULD, TermQuery("window")),
         BooleanClause(Occur.SHOULD, TermQuery("batch")))), 10)),
+    "ft_wand_nested" -> ((s, d) => // WAND over a NESTED boolean (round-4:
+      // recursive bound tree, no exhaustive fallback): spark OR (merge AND
+      // sort), pruned ≡ the exhaustive SQL ranking
+      FtQueries.wandTopKDF(s, d,
+        new QueryParser(FtQueries.analyzer).parse("spark OR (merge AND sort)"), 10)),
     "ft_wand_phrase" -> ((s, d) => // WAND phrase bounds (round-4): a SHOULD
       // mix of terms and an exact phrase, pruned ≡ the exhaustive SQL ranking
       FtQueries.wandTopKDF(s, d, BooleanQuery(Seq(
@@ -1070,6 +1075,19 @@ object SparkEntry {
          |    + CASE WHEN f_window > 0 THEN ${termScore("window")} ELSE 0 END
          |    + CASE WHEN f_batch > 0 THEN ${termScore("batch")} ELSE 0 END AS s
          |  FROM base WHERE f_spark > 0 OR f_window > 0 OR f_batch > 0
+         |), rk AS (
+         |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
+         |)
+         |SELECT doc_id, round(s, 4) AS score_r FROM rk
+         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "ft_wand_nested" -> // ft_parsed's scoring (SHOULD spark, SHOULD nested
+      // (merge AND sort)) as a raw-score top-10 rank window — matching
+      // proves the recursively-pruned result IS the exhaustive one
+      s"""${ftBase(Seq("spark", "merge", "sort"))}, sc AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN f_spark > 0 THEN ${termScore("spark")} ELSE 0 END
+         |    + CASE WHEN f_merge > 0 AND f_sort > 0 THEN (${termScore("merge")} + ${termScore("sort")}) ELSE 0 END AS s
+         |  FROM base WHERE f_spark > 0 OR (f_merge > 0 AND f_sort > 0)
          |), rk AS (
          |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
          |)

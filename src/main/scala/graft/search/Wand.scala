@@ -7,12 +7,14 @@ import graft.codec.SmallFloat
 /** Block-max-WAND-style pruned top-k (north-star requirement; additive over
   * the reference — Lucene 4.10 predates impacts, /root/repo/SURVEY.md §4.2).
   *
-  * Every posting row carries block-max metadata (maxFreq, minDl). For a flat
-  * boolean of term leaves, a docId range's score is upper-bounded by the sum
-  * of its rows' per-term bounds; additionally a range can only contain a
-  * match if EVERY MUST term has a row there and enough SHOULD terms do (the
-  * reference's leapfrog cost-ordering of conjunctionScorer.go:16-40,
-  * restated range-wise). Two phases:
+  * Every posting row carries block-max metadata (maxFreq, minDl). For ANY
+  * boolean tree of term/phrase leaves, a docId range's score is
+  * upper-bounded by a recursive bound over the tree (MUST bounds sum raw,
+  * SHOULD bounds clamp at 0, phrase bounds from member-row extremes);
+  * additionally a range can only contain a match if every MUST subtree and
+  * >= minShouldMatch SHOULD subtrees are matchable there (the reference's
+  * leapfrog cost-ordering of conjunctionScorer.go:16-40, restated
+  * range-wise and recursively). Two phases:
   *
   *  1. evaluate the B highest-bound eligible ranges → candidate top-k →
   *     threshold τ = kth score;
@@ -76,163 +78,202 @@ object Wand {
       s.score(maxFreq.toDouble, math.max(minDl, 1).toDouble)
   }
 
-  /** One scoring clause for range-bound evaluation. Term clauses bound by
-    * summing their key's per-row bounds; phrase clauses bound by the phrase
-    * scorer at (min over members of the range's maxFreq, max over members of
-    * the range's minDl) — a phrase occurrence cannot outnumber its rarest
-    * member, and a doc containing every member has dl ≥ each member row's
-    * minDl. SHOULD bounds clamp at 0 (a non-matching clause contributes 0);
-    * MUST bounds sum raw (negative-scoring LM models).
-    */
-  private final case class TClause(fkey: String, scorer: BScorer, must: Boolean)
-  private final case class PClause(fkeys: Array[String], scorer: BScorer, must: Boolean)
-
-  /** Flat boolean of term AND phrase leaves — the shapes WAND covers. */
-  private final case class FlatBool(
-      must: Seq[TermQuery], should: Seq[TermQuery], mustNot: Seq[TermQuery], msm: Int,
-      mustPhrases: Seq[PhraseQuery] = Nil, shouldPhrases: Seq[PhraseQuery] = Nil)
-
-  /** Pruned top-k for term queries and flat booleans of term/phrase leaves
-    * (MUST/SHOULD/MUST_NOT, any minShouldMatch; phrases in MUST/SHOULD).
-    * Falls back to [[IndexSearcher.search]] for shapes WAND does not cover
-    * (nested booleans, MUST_NOT phrases).
+  /** Pruned top-k for ANY query tree of term/phrase leaves and nested
+    * booleans (MUST/SHOULD/MUST_NOT at every level, any minShouldMatch) —
+    * the bound tree mirrors the compiled plan recursively, so nothing falls
+    * back to exhaustive search except the all-singleton shortcut below.
     */
   def searchTopK(searcher: IndexSearcher, q0: Query, k: Int,
       mode: ScoreMode = ScoreMode.Ref32, phase1Ranges: Int = 64): TopDocs = {
     val q = Query.rewrite(q0)
-    flatten(q) match {
-      case None => searcher.search(q, k, mode)
-      case Some(fb) =>
-        // every present term df==1 → the searcher's singleton-pulsing path
-        // answers with ZERO postings reads; WAND's metadata scan would be
-        // strictly more work (stats are cached, so this check is free)
-        val keys = Query.leafKeys(q, searcher.field)
-        if (searcher.termStats(keys).values.forall(_.docFreq == 1) && keys.nonEmpty)
-          searcher.search(q, k, mode)
-        else pruned(searcher, q, fb, k, mode, phase1Ranges)
+    // every present term df==1 → the searcher's singleton-pulsing path
+    // answers with ZERO postings reads; WAND's metadata scan would be
+    // strictly more work (stats are cached, so this check is free)
+    val keys = Query.leafKeys(q, searcher.field)
+    if (keys.isEmpty || searcher.termStats(keys).values.forall(_.docFreq == 1))
+      searcher.search(q, k, mode)
+    else pruned(searcher, q, k, mode, phase1Ranges)
+  }
+
+  /** Serializable range-bound tree mirroring the compiled query plan: one
+    * node per scoring clause (a term duplicated across clauses scores once
+    * per clause in Eval, so each clause carries its OWN scorer and bounds
+    * sum per clause). MUST_NOT children are dropped entirely — they only
+    * remove docs, so ignoring them keeps the bound an upper bound and the
+    * eligibility a superset. `BNever` marks a subtree that can match
+    * nowhere (a term/phrase member with no dictionary entry).
+    */
+  private sealed trait BNode extends Serializable
+  private final case class BTerm(fkey: String, scorer: BScorer) extends BNode
+  private final case class BPhrase(fkeys: Array[String], scorer: BScorer) extends BNode
+  private final case class BBool(must: Array[BNode], should: Array[BNode], msm: Int) extends BNode
+  private case object BNever extends BNode
+
+  /** Per-range (bound, canMatch) over the tree given the range's per-key
+    * (maxFreq, minDl) row lists. MUST bounds sum raw (negative-scoring LM
+    * models: every MUST clause matches), SHOULD bounds clamp at 0 (a
+    * non-matching clause contributes 0 — a common term's negative bound must
+    * not drag the range below a doc matching only the rare term).
+    * Eligibility: every MUST child matchable, >= msm SHOULD children
+    * matchable, and — with no MUSTs — at least one scoring child matchable
+    * (terms cannot match from another range).
+    */
+  private def evalNode(n: BNode,
+      byKey: scala.collection.Map[String, scala.collection.mutable.ArrayBuffer[(Int, Int)]]): (Double, Boolean) =
+    n match {
+      case BTerm(fk, sc) => byKey.get(fk) match {
+        case Some(rs) => (rs.iterator.map(e => sc.bound(e._1, e._2)).sum, true)
+        case None => (0.0, false)
+      }
+      case BPhrase(fks, sc) =>
+        // phraseFreq <= min over members of the range's maxFreq; a doc
+        // containing EVERY member has dl >= each member's row-min, so max
+        // over members' minDl is a valid dl lower bound
+        if (fks.forall(byKey.contains)) {
+          val maxF = fks.iterator.map(fk => byKey(fk).iterator.map(_._1).max).min
+          val minDl = fks.iterator.map(fk => byKey(fk).iterator.map(_._2).min).max
+          (sc.bound(maxF, minDl), true)
+        } else (0.0, false)
+      case BBool(must, should, msm) =>
+        var bound = 0.0
+        var ok = true
+        var i = 0
+        while (i < must.length) {
+          val (b, e) = evalNode(must(i), byKey)
+          if (!e) ok = false
+          bound += b
+          i += 1
+        }
+        var sat = 0
+        i = 0
+        while (i < should.length) {
+          val (b, e) = evalNode(should(i), byKey)
+          if (e) { sat += 1; bound += math.max(0.0, b) }
+          i += 1
+        }
+        if (sat < msm) ok = false
+        if (must.isEmpty && sat == 0) ok = false
+        (bound, ok)
+      case BNever => (0.0, false)
     }
-  }
 
-  private def flatten(q: Query): Option[FlatBool] = q match {
-    case t: TermQuery => Some(FlatBool(Nil, Seq(t), Nil, 0))
-    case p: PhraseQuery => Some(FlatBool(Nil, Nil, Nil, 0, Nil, Seq(p)))
-    case BooleanQuery(clauses, msm, boost)
-        if clauses.forall(c => c.query.isInstanceOf[TermQuery] ||
-          (c.query.isInstanceOf[PhraseQuery] && c.occur != Occur.MUST_NOT)) =>
-      def of(o: Occur): Seq[TermQuery] = clauses.collect {
-        case BooleanClause(`o`, t: TermQuery) => TermQuery(t.term, t.boost * boost, t.field)
-      }
-      def pOf(o: Occur): Seq[PhraseQuery] = clauses.collect {
-        case BooleanClause(`o`, p: PhraseQuery) => PhraseQuery(p.terms, p.boost * boost, p.field)
-      }
-      Some(FlatBool(of(Occur.MUST), of(Occur.SHOULD), of(Occur.MUST_NOT), msm,
-        pOf(Occur.MUST), pOf(Occur.SHOULD)))
-    case _ => None
-  }
-
-  private def pruned(searcher: IndexSearcher, q: Query, fb: FlatBool,
+  private def pruned(searcher: IndexSearcher, q: Query,
       k: Int, mode: ScoreMode, phase1Count: Int): TopDocs = {
     val spark = searcher.sparkSession
     import spark.implicits._
-    def key(tq: TermQuery): (String, String) = (tq.field.getOrElse(searcher.field), tq.term)
-    def pkeys(p: PhraseQuery): Seq[(String, String)] =
-      p.terms.map(t => (p.field.getOrElse(searcher.field), t))
-    val termScoring = fb.must ++ fb.should
-    val phrases = fb.mustPhrases ++ fb.shouldPhrases
-    val allKeys = (termScoring.map(key) ++ phrases.flatMap(pkeys)).distinct
-    val stats = searcher.termStats(allKeys)
-    def phrasePresent(p: PhraseQuery): Boolean = pkeys(p).forall(stats.contains)
-
-    // a missing MUST term / phrase member => zero matches anywhere
-    if (fb.must.exists(t => !stats.contains(key(t))))
-      return TopDocs(0, Array.empty)
-    if (fb.mustPhrases.exists(p => !phrasePresent(p)))
-      return TopDocs(0, Array.empty)
-    // more SHOULD matches demanded than matchable SHOULD clauses => zero
-    if (fb.msm > fb.should.count(t => stats.contains(key(t))) +
-        fb.shouldPhrases.count(phrasePresent))
-      return TopDocs(0, Array.empty)
-
+    def fld(of: Option[String]): String = of.getOrElse(searcher.field)
+    val stats = searcher.termStats(Query.leafKeys(q, searcher.field))
     val sim = searcher.similarity
     val exactMode = mode == ScoreMode.ExactDouble
     def cs(f: String) = searcher.collectionStats(f)
-    def phraseMemberStats(p: PhraseQuery): Seq[TermStats] = {
-      val fn = p.field.getOrElse(searcher.field)
-      p.terms.map(t => stats((fn, t)))
-    }
+    def phraseMemberStats(p: PhraseQuery): Seq[TermStats] =
+      p.terms.map(t => stats((fld(p.field), t)))
     // the searcher compiles a phrase's normalization weight from composite
     // stats (min member df, summed ttf) -- replicate exactly (compile.v/vD)
     def phraseCompositeStats(p: PhraseQuery): TermStats = {
       val ms = phraseMemberStats(p)
-      TermStats(p.field.getOrElse(searcher.field), p.terms.mkString(" "),
+      TermStats(fld(p.field), p.terms.mkString(" "),
         ms.map(_.docFreq).min, ms.map(_.totalTermFreq).sum)
     }
-    // replicate the searcher's queryNorm so TF-IDF-style similarities (qn !=
-    // 1) cannot score above an unnormalized bound; coord <= 1 only lowers
-    // evaluated scores, so summing unscaled leaf bounds stays safe
-    val qn = sim.queryNorm(math.max(
-      termScoring.flatMap(tq => stats.get(key(tq)).map(ts =>
-        sim.valueForNormalization(ts, cs(key(tq)._1), tq.boost))).sum +
-        phrases.filter(phrasePresent).map(p =>
-          sim.valueForNormalization(phraseCompositeStats(p),
-            cs(p.field.getOrElse(searcher.field)), p.boost)).sum,
-      Float.MinPositiveValue))
-    val qnD = sim.exactQueryNorm(math.max(
-      termScoring.flatMap(tq => stats.get(key(tq)).map(ts =>
-        sim.exactValueForNormalization(ts, cs(key(tq)._1), tq.boost.toDouble))).sum +
-        phrases.filter(phrasePresent).map(p =>
-          sim.exactValueForNormalization(phraseCompositeStats(p),
-            cs(p.field.getOrElse(searcher.field)), p.boost.toDouble)).sum,
-      Double.MinPositiveValue))
+    def phrasePresent(p: PhraseQuery): Boolean =
+      p.terms.forall(t => stats.contains((fld(p.field), t)))
 
-    // mode-matched bounds (advisor round-3 fix): ExactDouble evaluation gets
-    // float64 bounds from the exact scorers; Ref32 keeps the safe-byte
-    // float32 bound. tau and bound then share one arithmetic.
-    def termB(tq: TermQuery): BScorer = {
-      val kk = key(tq)
-      if (exactMode)
-        ExactB(sim.exactTermScorer(stats(kk), cs(kk._1), tq.boost.toDouble).normalize(qnD))
-      else FloatB(sim.termScorer(stats(kk), cs(kk._1), tq.boost).normalize(qn))
+    // replicate the searcher's queryNorm recursion (compile.v / compile.vD)
+    // so TF-IDF-style similarities (qn != 1) cannot score above an
+    // unnormalized bound; coord <= 1 at every nesting level only lowers
+    // evaluated scores, so summing unscaled leaf bounds stays safe
+    def vF(q0: Query, topBoost: Float): Float = q0 match {
+      case TermQuery(t, boost, f) =>
+        stats.get((fld(f), t))
+          .map(ts => sim.valueForNormalization(ts, cs(fld(f)), boost * topBoost))
+          .getOrElse(0f)
+      case p @ PhraseQuery(_, boost, f) =>
+        if (phrasePresent(p))
+          sim.valueForNormalization(phraseCompositeStats(p), cs(fld(f)), boost * topBoost)
+        else 0f
+      case BooleanQuery(clauses, _, boost) =>
+        clauses.filter(_.occur != Occur.MUST_NOT)
+          .map(c => vF(c.query, boost * topBoost)).sum
     }
-    def phraseB(p: PhraseQuery): BScorer = {
-      val fn = p.field.getOrElse(searcher.field)
-      if (exactMode)
-        ExactB(sim.exactPhraseScorer(phraseMemberStats(p), cs(fn), p.boost.toDouble).normalize(qnD))
-      else FloatB(sim.phraseScorer(phraseMemberStats(p), cs(fn), p.boost).normalize(qn))
+    def vD(q0: Query, topBoost: Double): Double = q0 match {
+      case TermQuery(t, boost, f) =>
+        stats.get((fld(f), t))
+          .map(ts => sim.exactValueForNormalization(ts, cs(fld(f)), boost.toDouble * topBoost))
+          .getOrElse(0.0)
+      case p @ PhraseQuery(_, boost, f) =>
+        if (phrasePresent(p))
+          sim.exactValueForNormalization(phraseCompositeStats(p), cs(fld(f)), boost.toDouble * topBoost)
+        else 0.0
+      case BooleanQuery(clauses, _, boost) =>
+        clauses.filter(_.occur != Occur.MUST_NOT)
+          .map(c => vD(c.query, boost.toDouble * topBoost)).sum
     }
+    val qn = sim.queryNorm(math.max(vF(q, 1.0f), Float.MinPositiveValue))
+    val qnD = sim.exactQueryNorm(math.max(vD(q, 1.0), Double.MinPositiveValue))
 
     // NUL-joined (field, term) key (an escaped literal, NOT a raw byte --
     // keeps the source text); NUL stays unambiguous even when keyword-field
     // values contain spaces
     val sep = "\u0000"
     def fkey(kk: (String, String)): String = kk._1 + sep + kk._2
-    // one clause descriptor PER CLAUSE: a term duplicated across clauses
-    // ('+merge merge', repeated SHOULDs with distinct boosts) scores once
-    // per clause in Eval, so the range bound must SUM its clauses' bounds.
-    // Occur matters for SOUNDNESS with negative-scoring models (LM family:
-    // the +ln lambda background term): MUST bounds sum raw, SHOULD bounds
-    // clamp at 0 (a non-matching clause contributes 0 -- a common term's
-    // negative bound must not drag the range below a real doc matching only
-    // the rare term).
-    val tClauses: Seq[TClause] =
-      fb.must.filter(t => stats.contains(key(t)))
-        .map(t => TClause(fkey(key(t)), termB(t), must = true)) ++
-        fb.should.filter(t => stats.contains(key(t)))
-          .map(t => TClause(fkey(key(t)), termB(t), must = false))
-    val pClauses: Seq[PClause] =
-      fb.mustPhrases.map(p => PClause(pkeys(p).map(fkey).toArray, phraseB(p), must = true)) ++
-        fb.shouldPhrases.filter(phrasePresent)
-          .map(p => PClause(pkeys(p).map(fkey).toArray, phraseB(p), must = false))
-    if (tClauses.isEmpty && pClauses.isEmpty) return TopDocs(0, Array.empty)
-    val msm = fb.msm
-    val noMust = fb.must.isEmpty && fb.mustPhrases.isEmpty
+
+    // mode-matched bounds (advisor round-3 fix): ExactDouble evaluation gets
+    // float64 bounds from the exact scorers; Ref32 keeps the safe-byte
+    // float32 bound. tau and bound then share one arithmetic.
+    def termB(tq: TermQuery): BScorer = {
+      val kk = (fld(tq.field), tq.term)
+      if (exactMode)
+        ExactB(sim.exactTermScorer(stats(kk), cs(kk._1), tq.boost.toDouble).normalize(qnD))
+      else FloatB(sim.termScorer(stats(kk), cs(kk._1), tq.boost).normalize(qn))
+    }
+    def phraseB(p: PhraseQuery): BScorer = {
+      val fn = fld(p.field)
+      if (exactMode)
+        ExactB(sim.exactPhraseScorer(phraseMemberStats(p), cs(fn), p.boost.toDouble).normalize(qnD))
+      else FloatB(sim.phraseScorer(phraseMemberStats(p), cs(fn), p.boost).normalize(qn))
+    }
+
+    // Query -> bound tree, mirroring compile.node's boost threading. A
+    // BooleanQuery whose MUST child can match nowhere collapses to BNever.
+    def build(q0: Query, topBoost: Float): BNode = q0 match {
+      case tq @ TermQuery(t, boost, f) =>
+        if (stats.contains((fld(f), t)))
+          BTerm(fkey((fld(f), t)), termB(TermQuery(t, boost * topBoost, f)))
+        else BNever
+      case p @ PhraseQuery(ts, boost, f) =>
+        if (phrasePresent(p))
+          BPhrase(ts.map(t => fkey((fld(f), t))).toArray,
+            phraseB(PhraseQuery(ts, boost * topBoost, f)))
+        else BNever
+      case BooleanQuery(clauses, msm, boost) =>
+        val b = boost * topBoost
+        val must = clauses.filter(_.occur == Occur.MUST).map(c => build(c.query, b))
+        val should = clauses.filter(_.occur == Occur.SHOULD).map(c => build(c.query, b))
+          .filter(_ != BNever) // an unmatchable SHOULD clause never counts toward msm
+        if (must.contains(BNever)) BNever
+        else if (should.size < msm) BNever
+        else if (must.isEmpty && should.isEmpty) BNever
+        else BBool(must.toArray, should.toArray, msm)
+    }
+    val root = build(q, 1.0f)
+    if (root == BNever) return TopDocs(0, Array.empty)
+
+    // keys the tree actually scores (MUST_NOT and unmatchable leaves are out)
+    def treeKeys(n: BNode): Seq[String] = n match {
+      case BTerm(fk, _) => Seq(fk)
+      case BPhrase(fks, _) => fks.toSeq
+      case BBool(m, s0, _) => (m ++ s0).flatMap(treeKeys).toSeq
+      case BNever => Nil
+    }
+    val scoringKeys = treeKeys(root).distinct.map { enc =>
+      val i = enc.indexOf(sep)
+      (enc.substring(0, i), enc.substring(i + 1))
+    }
+    if (scoringKeys.isEmpty) return TopDocs(0, Array.empty)
 
     // per-range bound + eligibility in ONE pass over the range's metadata
     // rows, collected per range: <= #query keys x #live waves entries of a
-    // few bytes each -- a bounded buffer, never O(docs). Eligibility: every
-    // MUST term / phrase member present IN THIS RANGE (terms cannot match
-    // from another range), enough SHOULD clauses matchable, and -- with no
-    // MUST -- at least one scoring clause matchable.
+    // few bytes each -- a bounded buffer, never O(docs).
     val sepNum = "\u0001"
     val evalUdf = udf((rows: Seq[String]) => {
       val byKey = scala.collection.mutable.HashMap
@@ -244,36 +285,10 @@ object Wand {
           scala.collection.mutable.ArrayBuffer.empty) +=
           ((enc.substring(j1 + 1, j2).toInt, enc.substring(j2 + 1).toInt))
       }
-      var bound = 0.0
-      var eligible = true
-      var satisfiable = 0
-      tClauses.foreach { c =>
-        byKey.get(c.fkey) match {
-          case Some(rs) =>
-            val b = rs.iterator.map(e => c.scorer.bound(e._1, e._2)).sum
-            bound += (if (c.must) b else math.max(0.0, b))
-            if (!c.must) satisfiable += 1
-          case None => if (c.must) eligible = false
-        }
-      }
-      // phrase range bound: phraseFreq <= min over members of the range's
-      // maxFreq; a doc containing EVERY member has dl >= each member's
-      // row-min, so max over members' minDl is a valid dl lower bound
-      pClauses.foreach { c =>
-        if (c.fkeys.forall(byKey.contains)) {
-          val maxF = c.fkeys.iterator.map(fk => byKey(fk).iterator.map(_._1).max).min
-          val minDl = c.fkeys.iterator.map(fk => byKey(fk).iterator.map(_._2).min).max
-          val b = c.scorer.bound(maxF, minDl)
-          bound += (if (c.must) b else math.max(0.0, b))
-          if (!c.must) satisfiable += 1
-        } else if (c.must) eligible = false
-      }
-      if (satisfiable < msm) eligible = false
-      if (noMust && satisfiable == 0) eligible = false
-      (bound, eligible)
+      evalNode(root, byKey)
     })
 
-    val meta = searcher.postingRowsMeta(allKeys.filter(stats.contains))
+    val meta = searcher.postingRowsMeta(scoringKeys)
     val eligible = meta
       .withColumn("enc", concat_ws(sepNum,
         concat_ws(sep, col("field"), col("term")), col("maxFreq"), col("minDl")))

@@ -148,6 +148,46 @@ class WandSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("nested booleans prune with parity (round 4: no exhaustive fallback left)") {
+    val p = new QueryParser(new StandardCodeAnalyzer())
+    val shapes: Seq[Query] = Seq(
+      p.parse("parser OR (buffer AND scorer)"),
+      p.parse("+import (parser OR buffer) -uniqtoken_3"),
+      // nested msm inside a SHOULD
+      BooleanQuery(Seq(
+        BooleanClause(Occur.SHOULD, TermQuery("import")),
+        BooleanClause(Occur.SHOULD, BooleanQuery(Seq(
+          BooleanClause(Occur.SHOULD, TermQuery("parser")),
+          BooleanClause(Occur.SHOULD, TermQuery("buffer")),
+          BooleanClause(Occur.SHOULD, TermQuery("scorer"))), minShouldMatch = 2)))),
+      // phrase nested under a MUST boolean
+      BooleanQuery(Seq(
+        BooleanClause(Occur.MUST, BooleanQuery(Seq(
+          BooleanClause(Occur.SHOULD, PhraseQuery(Seq("posting", "list"))),
+          BooleanClause(Occur.SHOULD, TermQuery("scorer"))))),
+        BooleanClause(Occur.SHOULD, TermQuery("parser")))),
+      // a nested MUST child that can match nowhere collapses the whole tree
+      BooleanQuery(Seq(
+        BooleanClause(Occur.MUST, BooleanQuery(Seq(
+          BooleanClause(Occur.MUST, TermQuery("zzz_nosuchterm")),
+          BooleanClause(Occur.SHOULD, TermQuery("parser"))))),
+        BooleanClause(Occur.SHOULD, TermQuery("import")))))
+    for (q <- shapes; mode <- Seq[ScoreMode](ScoreMode.Ref32, ScoreMode.ExactDouble)) {
+      val exact = searcher.search(q, 10, mode)
+      val wand = Wand.searchTopK(searcher, q, 10, mode, phase1Ranges = 4)
+      assert(wand.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        exact.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"parity $q mode=$mode")
+      assert(wand.totalHits <= exact.totalHits)
+    }
+    // nested query under a negative-scoring model (SHOULD clamp recursion)
+    val lm = new IndexSearcher(spark, indexPath, similarity = new LMJelinekMercerSimilarity)
+    val q = p.parse("parser OR (buffer AND scorer)")
+    val e = lm.search(q, 10, ScoreMode.Ref32)
+    val w = Wand.searchTopK(lm, q, 10, ScoreMode.Ref32, phase1Ranges = 4)
+    assert(w.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+      e.scoreDocs.map(d => (d.docId, d.score)).toSeq)
+  }
+
   test("phrase bound under b=0 (norm-insensitive) with tie-break adversarial data") {
     // b=0 kills the norm margin: bounds are exactly attainable, so a doc
     // scoring exactly tau with a SMALLER docId in a pruned-late range must
