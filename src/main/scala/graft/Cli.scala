@@ -71,9 +71,11 @@ object Cli {
     case "merge" :: indexDir :: Nil =>
       val delsBefore = graft.index.Deletes.count(spark, indexDir)
       val merged = graft.index.TieredMerge.maybeMergeReclaim(spark, indexDir)
+      // republish with the COMMITTED field config (docsPerRange, extra
+      // fields) — a default IndexConfig would corrupt the manifest of an
+      // index built with other settings (advisor round-4 fix)
       if (merged.nonEmpty)
-        new IndexBuilder(spark, IndexConfig(analyzer = new StandardCodeAnalyzer()))
-          .publish(indexDir)
+        IndexBuilder.forExisting(spark, indexDir).publish(indexDir)
       val delsAfter = graft.index.Deletes.count(spark, indexDir)
       println(s"MERGED ${merged.size} groups into waves ${merged.mkString(",")}; " +
         s"deletes $delsBefore -> $delsAfter")
@@ -82,8 +84,7 @@ object Cli {
       val delsBefore = graft.index.Deletes.count(spark, indexDir)
       val rewritten = graft.index.TieredMerge.expungeDeletes(spark, indexDir, frac)
       if (rewritten.nonEmpty)
-        new IndexBuilder(spark, IndexConfig(analyzer = new StandardCodeAnalyzer()))
-          .publish(indexDir)
+        IndexBuilder.forExisting(spark, indexDir).publish(indexDir)
       val delsAfter = graft.index.Deletes.count(spark, indexDir)
       println(s"EXPUNGED ${rewritten.size} waves (deleted fraction >= $frac); " +
         s"deletes $delsBefore -> $delsAfter")

@@ -299,13 +299,7 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     * anyway) and LOWERS fused N→4N efficiency.
     */
   def writeTermsPartial(indexPath: String, wave: Int): Unit =
-    spark.read.parquet(s"$indexPath/postings/wave=$wave")
-      .groupBy("field", "term")
-      .agg(
-        sum("docFreq").as("docFreq"),
-        sum("ttf").as("ttf"),
-        when(sum("docFreq") === 1L, max("firstDocId")).otherwise(-1L).as("singletonDocId"))
-      .write.mode("overwrite").parquet(s"$indexPath/termsPartial/wave=$wave")
+    IndexBuilder.writeTermsPartial(spark, indexPath, wave)
 
   /** Stage 3: (re)publish terms dict, stats, segment metadata, commit. */
   def publish(indexPath: String): IndexManifest = {
@@ -434,7 +428,9 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     // publishedWaves records which waves' term contributions this dictionary
     // covers (replay idempotence for streaming's incremental publish)
     val m = IndexManifest(indexPath, maxDoc, docCount, config.docsPerRange, maxDocId,
-      termsGen = 0, publishedWaves = liveWaves.map(_.wave).sorted)
+      termsGen = 0, publishedWaves = liveWaves.map(_.wave).sorted,
+      field = config.field, analyzedFields = config.analyzedFields,
+      keywordFields = config.keywordFields)
     // the generation that was live BEFORE this commit survives one round
     // for in-flight readers (same grace publishIncremental gives); older
     // stale generations are dead and swept
@@ -598,7 +594,9 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     // in-flight readers
     val m = IndexManifest(indexPath, newMaxDoc, prev.docCount + batchRow.getLong(3),
       config.docsPerRange, math.max(prev.maxDocId, batchRow.getLong(2)),
-      termsGen = gen, publishedWaves = prev.publishedWaves :+ wave)
+      termsGen = gen, publishedWaves = prev.publishedWaves :+ wave,
+      field = config.field, analyzedFields = config.analyzedFields,
+      keywordFields = config.keywordFields)
     IndexManifest.commit(spark, m)
     fsys.listStatus(new Path(indexPath)).map(_.getPath)
       .filter { p =>
@@ -617,6 +615,36 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
 object IndexBuilder {
   /** The four stored metadata columns of the CodeFile input shape. */
   val MetaCols = Seq("repo", "path", "commit", "lang")
+
+  /** A builder whose field config MATCHES an existing committed index —
+    * the only safe way to republish one you didn't just build (advisor
+    * round-4 fix: Cli merge/expunge used a default IndexConfig, stamping
+    * docsPerRange=8192 into a manifest built with another range width and
+    * zeroing the extra fields' docCounts). The analyzer is caller-supplied
+    * (publish itself never tokenizes).
+    */
+  /** Aggregate one wave's postings into `termsPartial/wave=N` (the tree-wise
+    * dictionary fold input) — ONE implementation shared by the builder and
+    * merge outputs (TieredMerge.execute), so the df/ttf/singleton fold shape
+    * cannot drift between the two (advisor round-4 fix).
+    */
+  def writeTermsPartial(spark: SparkSession, indexPath: String, wave: Int): Unit =
+    spark.read.parquet(s"$indexPath/postings/wave=$wave")
+      .groupBy("field", "term")
+      .agg(
+        sum("docFreq").as("docFreq"),
+        sum("ttf").as("ttf"),
+        when(sum("docFreq") === 1L, max("firstDocId")).otherwise(-1L).as("singletonDocId"))
+      .write.mode("overwrite").parquet(s"$indexPath/termsPartial/wave=$wave")
+
+  def forExisting(spark: SparkSession, indexPath: String,
+      analyzer: graft.analysis.Analyzer = new graft.analysis.StandardCodeAnalyzer())
+      : IndexBuilder = {
+    val m = IndexManifest.load(spark, indexPath)
+    new IndexBuilder(spark, IndexConfig(
+      field = m.field, analyzer = analyzer, docsPerRange = m.docsPerRange,
+      analyzedFields = m.analyzedFields, keywordFields = m.keywordFields))
+  }
 }
 
 object Hashing {
@@ -654,7 +682,17 @@ final case class IndexManifest(indexPath: String, maxDoc: Long, docCount: Long,
       * this instead of crashing mid-run on a missing column). Manifests
       * written before the field existed load as version 1.
       */
-    formatVersion: Int = IndexManifest.CurrentFormat) {
+    formatVersion: Int = IndexManifest.CurrentFormat,
+    /** Persisted FIELD CONFIG (advisor round-4 fix): a republish of an
+      * existing index (Cli merge/expunge) must aggregate the SAME field set
+      * and stamp the SAME docsPerRange the index was built with — a default
+      * IndexConfig would durably corrupt rangeId-based paths and zero the
+      * extra fields' docCounts. Manifests written before these fields
+      * existed load with the historical defaults.
+      */
+    field: String = "content",
+    analyzedFields: Seq[String] = Nil,
+    keywordFields: Seq[String] = Nil) {
 
   /** Committed terms-dictionary dir. Generation 0 is the full-publish dir
     * ("terms"); incremental publishes write generational dirs and flip the
@@ -680,11 +718,14 @@ object IndexManifest {
     val p = new Path(s"${m.indexPath}/commit.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
+    def arr(xs: Seq[String]): String = xs.map(x => s""""$x"""").mkString(",")
     out.write(
       (s"""{"maxDoc":${m.maxDoc},"docCount":${m.docCount},"docsPerRange":${m.docsPerRange},""" +
         s""""maxDocId":${m.maxDocId},"termsGen":${m.termsGen},""" +
         s""""publishedWaves":[${m.publishedWaves.mkString(",")}],""" +
-        s""""formatVersion":${m.formatVersion}}""")
+        s""""formatVersion":${m.formatVersion},""" +
+        s""""field":"${m.field}","analyzedFields":[${arr(m.analyzedFields)}],""" +
+        s""""keywordFields":[${arr(m.keywordFields)}]}""")
         .getBytes("UTF-8"))
     out.close()
   }
@@ -701,11 +742,20 @@ object IndexManifest {
     val waves = """"publishedWaves":\[([0-9,\s]*)\]""".r.findFirstMatchIn(txt)
       .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
       .getOrElse(Nil)
+    def strArr(k: String): Seq[String] =
+      (s""""$k":\\[([^\\]]*)\\]""").r.findFirstMatchIn(txt)
+        .map(_.group(1).split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
     IndexManifest(indexPath, maxDoc, extract("docCount").get,
       extract("docsPerRange").get.toInt,
       // manifests written before maxDocId existed: dense 0-based ids only
       extract("maxDocId").getOrElse(maxDoc - 1),
       extract("termsGen").map(_.toInt).getOrElse(0), waves,
-      extract("formatVersion").map(_.toInt).getOrElse(1))
+      extract("formatVersion").map(_.toInt).getOrElse(1),
+      field = """"field":"([^"]*)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("content"),
+      analyzedFields = strArr("analyzedFields"),
+      keywordFields = strArr("keywordFields"))
   }
 }

@@ -111,10 +111,10 @@ object TieredMerge {
       val d = new Path(s"$indexPath/docs/wave=$w")
       if (fs.exists(d)) fs.delete(d, true)
     }
-    // staged deletes snapshots from an interrupted reclaiming merge are
-    // NEVER applied at recovery (deletes appended after the crash would be
-    // resurrected by a stale snapshot) — lingering reclaimed ids in the live
-    // table are harmless no-ops, so the stage is simply discarded
+    // staged applied-delete sets from an interrupted reclaiming merge are
+    // NEVER applied at recovery (subtracting a set whose merge never
+    // committed would resurrect those docs) — lingering reclaimed ids in the
+    // live table are harmless no-ops, so the stage is simply discarded
     fs.listStatus(new Path(indexPath)).toSeq
       .filter(_.getPath.getName.startsWith("deletes_stage_"))
       .foreach(s => fs.delete(s.getPath, true))
@@ -256,8 +256,13 @@ object TieredMerge {
       if (fs.exists(new Path(s"$indexPath/commit.json")))
         scala.util.Try(IndexManifest.load(spark, indexPath)).toOption
       else None
+    // localCheckpoint = a TRUE point-in-time snapshot: the postings filter,
+    // the docs anti-join, and the applied-set staging below must all see the
+    // SAME delete set even if appends race the merge (a lazy DataFrame would
+    // re-read the live dir per job and could stage an id the postings job
+    // never filtered)
     val delDf = if (reclaimDeletes && manifest.isDefined)
-      Deletes.df(spark, indexPath).map(_.distinct()) else None
+      Deletes.df(spark, indexPath).map(_.distinct().localCheckpoint()) else None
 
     val rows = spark.read.parquet(group.map(_.path): _*).as[PostingRow]
     val logs = mergeLog(spark, indexPath)
@@ -303,11 +308,15 @@ object TieredMerge {
             docsFrom.map(w => s"$indexPath/docs/wave=$w"): _*)
           docsUnion.join(dels, Seq("docId"), "left_anti")
             .write.mode("overwrite").parquet(s"$indexPath/docs/wave=$newWave")
-          // surviving deletes = ids OUTSIDE the group's doc coverage; the
-          // coverage must be read from the SOURCE doc dirs (still present),
-          // so the survivor set is staged now and swapped in only after the
-          // log commit point below
-          dels.join(docsUnion.select(col("docId")), Seq("docId"), "left_anti")
+          // stage the APPLIED set (snapshot ∩ group coverage) — the ids this
+          // merge physically reclaimed. The swap below subtracts it from the
+          // CURRENT table, so deletes appended DURING the merge survive
+          // instead of being silently discarded by a stale survivor snapshot
+          // (advisor round-4 fix): an id deleted mid-merge keeps its row
+          // (its postings were NOT filtered) and stays query-time-filtered.
+          // Coverage must be read from the SOURCE doc dirs (still present),
+          // hence staging now, applying only after the log commit point.
+          dels.join(docsUnion.select(col("docId")), Seq("docId"), "left_semi")
             .write.mode("overwrite").parquet(s"$indexPath/deletes_stage_$newWave")
         }
     }
@@ -315,16 +324,7 @@ object TieredMerge {
     // merged wave's terms partial (publish folds partials tree-wise): from
     // the POST-FILTER postings, so reclaimed entries are already excluded.
     // Written before the commit point — an orphan's partial is swept with it.
-    spark.read.parquet(target)
-      .groupBy("field", "term")
-      .agg(
-        org.apache.spark.sql.functions.sum("docFreq").as("docFreq"),
-        org.apache.spark.sql.functions.sum("ttf").as("ttf"),
-        org.apache.spark.sql.functions.when(
-          org.apache.spark.sql.functions.sum("docFreq") === 1L,
-          org.apache.spark.sql.functions.max("firstDocId"))
-          .otherwise(-1L).as("singletonDocId"))
-      .write.mode("overwrite").parquet(s"$indexPath/termsPartial/wave=$newWave")
+    IndexBuilder.writeTermsPartial(spark, indexPath, newWave)
 
     // Two-phase commit (advisor round-2 fix): the merges log is written
     // DURABLY before any source deletion. Crash windows:
@@ -348,7 +348,16 @@ object TieredMerge {
 
     val stage = new Path(s"$indexPath/deletes_stage_$newWave")
     if (docsFrom.nonEmpty && fs.exists(stage)) {
-      Deletes.swapIn(spark, indexPath, spark.read.parquet(stage.toString))
+      // post-reclaim table = CURRENT deletes minus the applied set: computed
+      // at swap time, not merge-start time, so appends that raced the merge
+      // are preserved. (A writer racing the swap itself still needs the
+      // single-writer rule that already covers merge-vs-publish.)
+      val applied = spark.read.parquet(stage.toString).select("docId")
+      val survivors = Deletes.df(spark, indexPath) match {
+        case Some(cur) => cur.join(applied, Seq("docId"), "left_anti")
+        case None => Seq.empty[Long].toDF("docId")
+      }
+      Deletes.swapIn(spark, indexPath, survivors)
       fs.delete(stage, true)
     }
     newWave

@@ -59,7 +59,13 @@ object TextOps {
     */
   def sampleThreshold(w: Double): String =
     if (w >= 1.0) "g"
-    else f"${math.max(0L, (w * 4294967296.0).round)}%08x"
+    else {
+      // w just below 1.0 can ROUND to 2^32, which formats as 9 hex chars and
+      // breaks the lexicographic comparison (advisor round-4 fix) — a
+      // rounded-up full range means keep-all, same as w >= 1
+      val r = math.max(0L, (w * 4294967296.0).round)
+      if (r >= 4294967296L) "g" else f"$r%08x"
+    }
 
   /** DETERMINISTIC stratified sampling — the data-mixing primitive of a
     * training pipeline (per-source/per-language mixture weights). A pure

@@ -44,6 +44,16 @@ object Similarity {
     /** multiplied in after queryNorm is known (TF-IDF two-phase weighting) */
     def normalize(queryNorm: Float): Scorer = this
 
+    /** WAND range bound: an upper bound on score(f, b') over all f ≤ freq
+      * and all docs AT LEAST as long as `normByte` encodes. Defaults to
+      * score itself — valid whenever the model is nonincreasing in doc
+      * length (every shipped model EXCEPT LM Pitman-Yor, whose discount
+      * term ln(1 - sumTokens/(dl+μ)) GROWS with dl; it overrides with a
+      * dl-independent bound). Wrappers that COMBINE sub-scorers (mean, sum)
+      * must combine the subs' boundScore, not their score.
+      */
+    def boundScore(freq: Float, normByte: Byte): Float = score(freq, normByte)
+
     /** Multiplicative factors whose float32 product IN ORDER equals
       * score(freq, normByte) exactly — the reference Explanation's
       * "product of:" composition (explanation.go, term.go:163-193).
@@ -63,6 +73,10 @@ object Similarity {
     def normalize(queryNorm: Double): ExactScorer = this
     def explainFactors(freq: Double, dl: Double): Seq[(String, Double)] =
       Seq(("score", score(freq, dl)))
+    /** WAND range bound (see [[Scorer.boundScore]]): upper bound over all
+      * f ≤ freq, dl' ≥ dl; default = score (dl-monotone models).
+      */
+    def boundScore(freq: Double, dl: Double): Double = score(freq, dl)
   }
 
   /** phrase exact twin shared by the SimilarityBase family: Σ member exact
@@ -70,6 +84,8 @@ object Similarity {
     */
   def sumOf(subs: Seq[ExactScorer]): ExactScorer = new ExactScorer {
     def score(freq: Double, dl: Double): Double = subs.map(_.score(freq, dl)).sum
+    override def boundScore(freq: Double, dl: Double): Double =
+      subs.map(_.boundScore(freq, dl)).sum
   }
 
   /** norm byte → decoded doc length 1/f² (shared by BM25 + SimilarityBase). */
@@ -209,6 +225,12 @@ final case class BasicStats(
 abstract class SimilarityBase extends Similarity {
   protected def score(stats: BasicStats, freq: Float, docLen: Float): Float
 
+  /** WAND bound hook (see [[Similarity.Scorer.boundScore]]): default = score,
+    * valid for every dl-nonincreasing model; LM Pitman-Yor overrides.
+    */
+  protected def boundScore(stats: BasicStats, freq: Float, docLen: Float): Float =
+    score(stats, freq, docLen)
+
   private def stats(ts: TermStats, cs: CollectionStats, boost: Float) =
     BasicStats(cs.maxDoc, cs.sumTotalTermFreq,
       if (cs.sumTotalTermFreq <= 0) 1.0f else cs.sumTotalTermFreq.toFloat / cs.maxDoc.toFloat,
@@ -217,6 +239,8 @@ abstract class SimilarityBase extends Similarity {
   private final class S(st: BasicStats, self: SimilarityBase) extends Similarity.Scorer {
     def score(freq: Float, normByte: Byte): Float =
       self.score(st, freq, Similarity.docLenTable(normByte & 0xff))
+    override def boundScore(freq: Float, normByte: Byte): Float =
+      self.boundScore(st, freq, Similarity.docLenTable(normByte & 0xff))
   }
 
   override def termScorer(ts: TermStats, cs: CollectionStats, boost: Float): Similarity.Scorer =
@@ -227,6 +251,8 @@ abstract class SimilarityBase extends Similarity {
     new Similarity.Scorer {
       def score(freq: Float, normByte: Byte): Float =
         subs.map(_.score(freq, normByte)).sum
+      override def boundScore(freq: Float, normByte: Byte): Float =
+        subs.map(_.boundScore(freq, normByte)).sum
     }
   }
 }
@@ -349,6 +375,22 @@ class LMPitmanYorProcessSimilarity(mu: Float = 2000f, delta: Float = 0.7f)
     if (s > 0) s else 0 // NaN (log of negative) also lands here, as in the reference
   }
 
+  /** WAND bound (advisor round-4 fix): the discount term ln(1-T/(dl+μ))
+    * INCREASES with dl, so score(maxFreq, minDl) is NOT an upper bound over
+    * the range. The discount is always ≤ 0 (or NaN → clamped), so dropping
+    * it yields a dl-INDEPENDENT upper bound: max(0, boost·ln(1+f'/(μp))).
+    * A negative boost flips the inequality and the discount is unbounded
+    * below — no finite bound exists, so +∞ disables pruning (sound).
+    */
+  override protected def boundScore(st: BasicStats, freq: Float, docLen: Float): Float = {
+    if (st.totalBoost < 0) return Float.PositiveInfinity
+    val p = (st.totalTermFreq + 1).toFloat / (st.numberOfFieldTokens + 1).toFloat
+    val tw = if (freq > 0) math.pow(freq.toDouble, delta.toDouble) else 0.0
+    val fp = math.max(freq.toDouble - delta.toDouble * tw, 0.0)
+    val b = st.totalBoost * math.log(1 + fp / (mu * p).toDouble).toFloat
+    if (b > 0) b else 0
+  }
+
   // exact-double twin (round-4: every shipped model has one): δ widened
   // (SQL CAST(CAST(0.7 AS REAL) AS DOUBLE)), μ=2000 exact. The reference's
   // discount term ln(1 - sumTokens/(dl+μ)) goes NaN whenever the corpus has
@@ -364,6 +406,15 @@ class LMPitmanYorProcessSimilarity(mu: Float = 2000f, delta: Float = 0.7f)
         val s = boost * (math.log(1 + fp / (muD * p)) +
           math.log(1.0 - cs.sumTotalTermFreq.toDouble / (dl + muD)))
         if (s > 0) s else 0.0
+      }
+      // same non-monotone-in-dl story as the float32 twin: drop the (≤ 0)
+      // discount term for a dl-independent upper bound; negative boost has
+      // no finite bound (discount unbounded below) → +∞ disables pruning
+      override def boundScore(freq: Double, dl: Double): Double = {
+        if (boost < 0) return Double.PositiveInfinity
+        val tw = if (freq > 0) math.pow(freq, deltaD) else 0.0
+        val fp = math.max(freq - deltaD * tw, 0.0)
+        math.max(boost * math.log(1 + fp / (muD * p)), 0.0)
       }
     }
   override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer =
@@ -769,6 +820,8 @@ class MultiSimilarity(subs: Seq[Similarity]) extends Similarity {
     new Similarity.Scorer {
       def score(freq: Float, normByte: Byte): Float =
         ss.map(_.score(freq, normByte)).sum / ss.size
+      override def boundScore(freq: Float, normByte: Byte): Float =
+        ss.map(_.boundScore(freq, normByte)).sum / ss.size
     }
   }
   override def phraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Float): Similarity.Scorer = {
@@ -776,18 +829,24 @@ class MultiSimilarity(subs: Seq[Similarity]) extends Similarity {
     new Similarity.Scorer {
       def score(freq: Float, normByte: Byte): Float =
         ss.map(_.score(freq, normByte)).sum / ss.size
+      override def boundScore(freq: Float, normByte: Byte): Float =
+        ss.map(_.boundScore(freq, normByte)).sum / ss.size
     }
   }
   override def exactTermScorer(ts: TermStats, cs: CollectionStats, boost: Double): Similarity.ExactScorer = {
     val ss = subs.map(_.exactTermScorer(ts, cs, boost))
     new Similarity.ExactScorer {
       def score(freq: Double, dl: Double): Double = ss.map(_.score(freq, dl)).sum / ss.size
+      override def boundScore(freq: Double, dl: Double): Double =
+        ss.map(_.boundScore(freq, dl)).sum / ss.size
     }
   }
   override def exactPhraseScorer(tss: Seq[TermStats], cs: CollectionStats, boost: Double): Similarity.ExactScorer = {
     val ss = subs.map(_.exactPhraseScorer(tss, cs, boost))
     new Similarity.ExactScorer {
       def score(freq: Double, dl: Double): Double = ss.map(_.score(freq, dl)).sum / ss.size
+      override def boundScore(freq: Double, dl: Double): Double =
+        ss.map(_.boundScore(freq, dl)).sum / ss.size
     }
   }
 }

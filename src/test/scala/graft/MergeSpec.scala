@@ -226,6 +226,35 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(!r.ok && r.problems.exists(_.contains("maxDoc")))
   }
 
+  test("republish of an existing index inherits its field config (forExisting)") {
+    // advisor round-4 case: Cli merge/expunge republished with a DEFAULT
+    // IndexConfig — docsPerRange 8192 stamped over a 128-range index and
+    // extra fields' docCounts zeroed. forExisting must reproduce the
+    // committed config exactly.
+    val dir = java.nio.file.Files.createTempDirectory("graft-repub").toString
+    val cfg = IndexConfig(analyzer = analyzer, docsPerRange = 128,
+      numSegments = 4, segmentsPerWave = 1, buildPartitions = 8,
+      keywordFields = Seq("lang"), analyzedFields = Seq("path"))
+    new IndexBuilder(spark, cfg).build(TestCorpus.corpus(200).toDF(), dir)
+    val before = IndexManifest.load(spark, dir)
+    assert(before.docsPerRange == 128 && before.keywordFields == Seq("lang") &&
+      before.analyzedFields == Seq("path"))
+    if (TieredMerge.waves(spark, dir).size > 1)
+      TieredMerge.maybeMerge(spark, dir, segsPerTier = 1, maxMergeAtOnce = 10)
+    // the Cli path: republish WITHOUT the original builder/config in hand
+    IndexBuilder.forExisting(spark, dir).publish(dir)
+    val after = IndexManifest.load(spark, dir)
+    assert(after.docsPerRange == 128, s"docsPerRange corrupted: ${after.docsPerRange}")
+    assert(after.keywordFields == Seq("lang") && after.analyzedFields == Seq("path"))
+    // extra fields keep nonzero docCounts (a default config would zero them)
+    val stats = spark.read.parquet(after.statsLocation)
+      .select("field", "docCount").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("lang") > 0 && stats("path") > 0, stats.toString)
+    // rangeId-dependent paths still work: fielded query through the searcher
+    val s = new IndexSearcher(spark, dir)
+    assert(s.search(TermQuery("scala", 1.0f, Some("lang")), 5, ScoreMode.Ref32).totalHits > 0)
+  }
+
   test("CheckIndex reports an old format version cleanly (no mid-run crash)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-chk-fmt").toString
     build(dir, wavesOf = 12)

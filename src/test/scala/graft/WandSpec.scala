@@ -326,4 +326,48 @@ class WandSpec extends AnyFunSuite with SparkTestBase {
     val r = Wand.searchTopK(searcher, TermQuery("zzz_none"), 10)
     assert(r.totalHits == 0 && r.scoreDocs.isEmpty)
   }
+
+  test("LM Pitman-Yor: boundScore dominates score over ALL doc lengths (advisor round-4)") {
+    // PY's discount term ln(1 - T/(dl+μ)) INCREASES with dl, so the generic
+    // bound (score at minDl) is NOT an upper bound over a range. NOTE: with
+    // CONSISTENT corpus stats (f ≤ ttf, dl ≤ T) the raw PY score is provably
+    // ≤ ~0 for every μ — the clamp lands every real match at 0, so the
+    // mis-prune cannot manifest on an actual index (verified by exhaustive
+    // numeric search). The bound must STILL dominate for arbitrary stats
+    // (MultiSimilarity mixes, future similarity params): assert the
+    // dl-independent boundScore ≥ score at every length, both arithmetics,
+    // in the positive regime the exact-twin fixture uses (ExactSimSpec).
+    val sim = new LMPitmanYorProcessSimilarity
+    val cs = CollectionStats("content", maxDoc = 10, docCount = 10,
+      sumTotalTermFreq = 50, sumDocFreq = 30)
+    val ts = TermStats("content", "t", docFreq = 2, totalTermFreq = 2)
+    for (boost <- Seq(1.0, 3.5)) {
+      val ex = sim.exactTermScorer(ts, cs, boost)
+      for (f <- Seq(1.0, 2.0, 10.0, 40.0); dlLo <- Seq(1.0, 5.0, 20.0)) {
+        val b = ex.boundScore(f, dlLo)
+        for (dl <- Seq(dlLo, dlLo + 1, 50.0, 200.0, 1950.0, 10000.0) if dl >= dlLo)
+          assert(b >= ex.score(f, dl),
+            s"exact bound $b < score(${ex.score(f, dl)}) at f=$f dl=$dl (dlLo=$dlLo)")
+      }
+      val fs = sim.termScorer(ts, cs, boost.toFloat)
+      for (f <- Seq(1f, 2f, 10f, 40f); bLo <- 0 until 256) {
+        val bound = fs.boundScore(f, bLo.toByte)
+        for (b2 <- 0 until 256) // every byte = every representable length
+          assert(bound >= fs.score(f, b2.toByte),
+            s"float bound $bound < ${fs.score(f, b2.toByte)} at f=$f byte=$b2")
+      }
+    }
+    // end-to-end parity on the shared corpus (all-clamped regime: scores 0,
+    // tie-break by docId — pruning must preserve it), both modes
+    val s2 = new IndexSearcher(spark, indexPath, similarity = new LMPitmanYorProcessSimilarity)
+    val q = BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("parser")),
+      BooleanClause(Occur.SHOULD, TermQuery("buffer"))))
+    for (mode <- Seq[ScoreMode](ScoreMode.Ref32, ScoreMode.ExactDouble)) {
+      val exact = s2.search(q, 10, mode)
+      val wand = Wand.searchTopK(s2, q, 10, mode, phase1Ranges = 4)
+      assert(wand.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        exact.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"PY mixed-corpus parity $mode")
+    }
+  }
 }
