@@ -51,6 +51,11 @@ object SparkEntry {
     "ft_phrase" -> ((s, d) => FtQueries.matches(s, d, PhraseQuery(Seq("batch", "batch")))),
     "ft_parsed" -> ((s, d) => FtQueries.topK(s, d,
       new QueryParser(FtQueries.analyzer).parse("spark OR (merge AND sort)"), 10)),
+    "ft_phrase_slop" -> ((s, d) => // SLOPPY phrase `"batch data"~2` through
+      // the parser (round-5: the reference stubs sloppy phrases — engine
+      // spec: anchored on the first term, Σ min-displacement ≤ slop,
+      // phraseFreq = #matching anchors; reorders match at slop ≥ 2)
+      FtQueries.matches(s, d, FtQueries.parser.parse("\"batch data\"~2"))),
     "ft_req_opt" -> ((s, d) => FtQueries.matches(s, d, BooleanQuery(Seq(
       BooleanClause(Occur.MUST, TermQuery("merge")),
       BooleanClause(Occur.SHOULD, TermQuery("spark")))))),
@@ -632,6 +637,23 @@ object SparkEntry {
          |  FROM base
          |)
          |SELECT doc_id, round(${scoreSql("pf", "(idf_batch + idf_batch)")}, 4) AS score_r
+         |FROM ph WHERE pf > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_phrase_slop" -> // engine sloppy spec: anchor a on term0's positions,
+      // each later term i snaps to its nearest position around a+i, total
+      // displacement ≤ slop; pf = #matching anchors; weight = Σ member idf
+      s"""${ftBase(Seq("batch", "data"))}, ps AS (
+         |  SELECT doc_id, tk, idf_batch, idf_data,
+         |    list_filter(range(1, len(tk_all)+1), i -> tk_all[i] = 'batch') AS pa,
+         |    list_filter(range(1, len(tk_all)+1), i -> tk_all[i] = 'data') AS pb
+         |  FROM base
+         |), ph AS (
+         |  SELECT doc_id, tk, idf_batch, idf_data,
+         |    len(list_filter(pa, a -> len(pb) > 0 AND
+         |      list_min(list_transform(pb, b -> abs(b - (a+1)))) <= 2)) AS pf
+         |  FROM ps
+         |)
+         |SELECT doc_id, round(${scoreSql("pf", "(idf_batch + idf_data)")}, 4) AS score_r
          |FROM ph WHERE pf > 0
          |ORDER BY doc_id""".stripMargin,
     "ft_parsed" ->

@@ -95,10 +95,10 @@ private[search] object Explain {
           parts.map { case (l, x) => Explanation(x, l) })
       }
 
-    case (PhraseQuery(ts, boost, f), leaf @ CLeafPhrase(idxs, fi, refS, exactS)) =>
+    case (PhraseQuery(ts, boost, f, slop), leaf @ CLeafPhrase(idxs, fi, refS, exactS, _)) =>
       val fieldName = f.getOrElse(searcher.field)
       val v = evalAt(leaf, acc, slot, mode)
-      val pf = Eval.phraseFreq(idxs, acc, slot)
+      val pf = Eval.phraseFreq(idxs, acc, slot, slop)
       if (v.isNaN)
         Explanation(0.0, s"no match: phrase(\"${ts.mkString(" ")}\")", Nil, isMatch = false)
       else {
@@ -111,12 +111,13 @@ private[search] object Explain {
         }
         Explanation(v,
           s"product of: weight($fieldName:\"${ts.mkString(" ")}\" in $docId) [phrase" +
+            (if (slop > 0) s"~$slop" else "") +
             (if (boost != 1.0f) s", boost=$boost" else "") +
             s"] (phraseFreq=$pf, dl=${acc.dls(fi)(slot)})",
           parts.map { case (l, x) => Explanation(x, l) })
       }
 
-    case (PhraseQuery(ts, _, _), leaf: CLeafTerm) => // missing member term
+    case (PhraseQuery(ts, _, _, _), leaf: CLeafTerm) => // missing member term
       Explanation(0.0, s"no match: phrase(\"${ts.mkString(" ")}\") has unindexed terms",
         Nil, isMatch = false)
 

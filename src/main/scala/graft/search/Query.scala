@@ -14,13 +14,23 @@ sealed trait Query
 final case class TermQuery(term: String, boost: Float = 1.0f,
     field: Option[String] = None) extends Query
 
-/** Exact phrase, slop=0 (/root/reference/core/search/exactPhraseScorer.go).
-  * `field = None` targets the searcher's default field; `Some(f)` a named
-  * ANALYZED field (reference phrases are per-field,
-  * /root/reference/core/search/phrase.go:18-60).
+/** Phrase query. slop=0 is the exact phrase
+  * (/root/reference/core/search/exactPhraseScorer.go); slop>0 is the SLOPPY
+  * phrase the reference stubs (phrase.go:87 panics, the
+  * newSloppyPhraseScorer call at :165 is commented out), so the matching
+  * semantics here are this engine's own DEFINED spec (chosen to be
+  * ANSI-SQL-reproducible, unlike Lucene's stateful repeat handling):
+  * anchored on the first term, an occurrence at position p0 matches iff
+  * Σᵢ minₚ∈Pᵢ |p − (p0+i)| ≤ slop — each later term independently picks its
+  * nearest position to the in-order slot, total displacement bounded by
+  * slop. phraseFreq = #matching p0 (an INTEGER, like the exact path — no
+  * order-dependent fractional sums). Reordering matches at slop ≥ 2
+  * (`"b a"` has displacement 2), as in Lucene. `field = None` targets the
+  * searcher's default field; `Some(f)` a named ANALYZED field (reference
+  * phrases are per-field, phrase.go:18-60).
   */
 final case class PhraseQuery(terms: Seq[String], boost: Float = 1.0f,
-    field: Option[String] = None) extends Query
+    field: Option[String] = None, slop: Int = 0) extends Query
 
 sealed trait Occur
 object Occur {
@@ -45,7 +55,7 @@ object Query {
     val buf = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
     def walk(q: Query): Unit = q match {
       case TermQuery(t, _, f) => buf += ((f.getOrElse(defaultField), t))
-      case PhraseQuery(ts, _, f) => ts.foreach(t => buf += ((f.getOrElse(defaultField), t)))
+      case PhraseQuery(ts, _, f, _) => ts.foreach(t => buf += ((f.getOrElse(defaultField), t)))
       case BooleanQuery(cs, _, _) => cs.foreach(c => walk(c.query))
     }
     walk(q)
@@ -54,7 +64,7 @@ object Query {
 
   /** (field, term) keys that need positions decoded (phrase members). */
   def phraseTerms(q: Query, defaultField: String): Set[(String, String)] = q match {
-    case PhraseQuery(ts, _, f) => ts.map(t => (f.getOrElse(defaultField), t)).toSet
+    case PhraseQuery(ts, _, f, _) => ts.map(t => (f.getOrElse(defaultField), t)).toSet
     case BooleanQuery(cs, _, _) => cs.flatMap(c => phraseTerms(c.query, defaultField)).toSet
     case _ => Set.empty
   }
@@ -65,7 +75,7 @@ object Query {
     * optional==minShouldMatch → promote to required (boolean.go:164-169).
     */
   def rewrite(q: Query): Query = q match {
-    case PhraseQuery(Seq(t), boost, f) => TermQuery(t, boost, f)
+    case PhraseQuery(Seq(t), boost, f, _) => TermQuery(t, boost, f)
     case t: TermQuery => t
     case bq @ BooleanQuery(cs, msm, boost) =>
       val rewritten = cs.map(c => c.copy(query = rewrite(c.query)))
@@ -85,7 +95,7 @@ object Query {
 
   private def foldBoost(q: Query, b: Float): Query = q match {
     case TermQuery(t, b0, f) => TermQuery(t, b0 * b, f)
-    case PhraseQuery(ts, b0, f) => PhraseQuery(ts, b0 * b, f)
+    case PhraseQuery(ts, b0, f, sl) => PhraseQuery(ts, b0 * b, f, sl)
     case BooleanQuery(cs, m, b0) => BooleanQuery(cs, m, b0 * b)
   }
 }

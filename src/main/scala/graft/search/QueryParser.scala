@@ -53,6 +53,15 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
           val stop = if (end < 0) s.length else end
           out += Quoted(s.substring(i + 1, stop))
           i = stop + 1
+        // single-quote phrases, gated to TOKEN BOUNDARIES so apostrophes
+        // inside words (don't, it's) stay ordinary text: shells routinely
+        // eat double quotes before they reach the CLI/sbt arg vector, and a
+        // closing quote must exist or the char is treated as word text
+        case '\'' if (i == 0 || s.charAt(i - 1).isWhitespace ||
+            "()+-\"".contains(s.charAt(i - 1))) && s.indexOf('\'', i + 1) >= 0 =>
+          val end = s.indexOf('\'', i + 1)
+          out += Quoted(s.substring(i + 1, end))
+          i = end + 1
         case _ =>
           val start = i
           while (i < s.length && !s.charAt(i).isWhitespace &&
@@ -138,15 +147,17 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
     case Word(w) :: Quoted(s) :: rest if w.length > 1 && w.endsWith(":") &&
         (strictFields || fieldKnown(w.dropRight(1))) =>
       val f = w.dropRight(1)
-      if (f == defaultField) (phrase(s, None), rest)
-      else if (analyzedFields.contains(f)) (phrase(s, Some(f)), rest)
+      val (slop, rest2) = slopSuffix(rest)
+      if (f == defaultField) (phrase(s, None, slop), rest2)
+      else if (analyzedFields.contains(f)) (phrase(s, Some(f), slop), rest2)
       else if (keywordFields.contains(f))
         throw new IllegalArgumentException(
           s"keyword field '$f' indexes one unanalyzed token — a phrase can never match; " +
             s"use $f:value without quotes")
       else unknownField(f)
     case Quoted(s) :: rest =>
-      (phrase(s, None), rest)
+      val (slop, rest2) = slopSuffix(rest)
+      (phrase(s, None, slop), rest2)
     case Word(w) :: rest =>
       // `field:text` routes to a named field (queryBuilder.go:23-130):
       // defaultField and analyzed fields re-analyze; keyword fields take the
@@ -179,11 +190,23 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
   private def fieldKnown(f: String): Boolean =
     f == defaultField || keywordFields.contains(f) || analyzedFields.contains(f)
 
-  private def phrase(s: String, field: Option[String]): Option[Query] =
+  /** `"..."~N` sloppy-phrase suffix: the lexer yields the tilde word right
+    * after the quoted token (classic syntax, queryParser.go lexes FUZZY_SLOP
+    * — the reference then panics in the handler; evaluation here is this
+    * engine's defined sloppy spec, see [[PhraseQuery]]).
+    */
+  private def slopSuffix(toks: List[Tok]): (Int, List[Tok]) = toks match {
+    case Word(w) :: r if w.length > 1 && w.charAt(0) == '~' &&
+        w.drop(1).forall(_.isDigit) =>
+      (w.drop(1).toInt, r)
+    case r => (0, r)
+  }
+
+  private def phrase(s: String, field: Option[String], slop: Int = 0): Option[Query] =
     analyzer(s).tokens.map(_.term).toSeq match {
       case Seq() => None
       case Seq(t) => Some(TermQuery(t, 1.0f, field))
-      case ts => Some(PhraseQuery(ts, 1.0f, field))
+      case ts => Some(PhraseQuery(ts, 1.0f, field, slop))
     }
 
   private def analyzed(text: String, field: Option[String]): Option[Query] =

@@ -17,7 +17,8 @@ private[search] sealed trait CNode extends Serializable
 private[search] final case class CLeafTerm(
     idx: Int, fi: Int, ref: Similarity.Scorer, exact: Similarity.ExactScorer) extends CNode
 private[search] final case class CLeafPhrase(
-    idxs: Array[Int], fi: Int, ref: Similarity.Scorer, exact: Similarity.ExactScorer) extends CNode
+    idxs: Array[Int], fi: Int, ref: Similarity.Scorer, exact: Similarity.ExactScorer,
+    slop: Int) extends CNode
 /** coords(i) = similarity.coord(i, maxOverlap) — 1.0 for BM25-family. */
 private[search] final case class CBool(
     must: Array[CNode], should: Array[CNode], mustNot: Array[CNode], msm: Int,
@@ -65,8 +66,8 @@ private[search] object Eval {
       if (idx >= 0 && acc.freqs(idx)(slot) > 0)
         exact.score(acc.freqs(idx)(slot).toDouble, acc.dls(fi)(slot).toDouble)
       else Double.NaN
-    case CLeafPhrase(idxs, fi, _, exact) =>
-      val pf = phraseFreq(idxs, acc, slot)
+    case CLeafPhrase(idxs, fi, _, exact, slop) =>
+      val pf = phraseFreq(idxs, acc, slot, slop)
       if (pf > 0) exact.score(pf.toDouble, acc.dls(fi)(slot).toDouble) else Double.NaN
     case CBool(must, should, mustNot, msm, coords) =>
       var score = 0.0
@@ -104,8 +105,8 @@ private[search] object Eval {
       if (idx >= 0 && acc.freqs(idx)(slot) > 0)
         ref.score(acc.freqs(idx)(slot).toFloat, acc.norms(fi)(slot))
       else Float.NaN
-    case CLeafPhrase(idxs, fi, ref, _) =>
-      val pf = phraseFreq(idxs, acc, slot)
+    case CLeafPhrase(idxs, fi, ref, _, slop) =>
+      val pf = phraseFreq(idxs, acc, slot, slop)
       if (pf > 0) ref.score(pf.toFloat, acc.norms(fi)(slot)) else Float.NaN
     case CBool(must, should, mustNot, msm, coords) =>
       var score = 0.0f
@@ -133,12 +134,19 @@ private[search] object Eval {
       score * coords(must.length + matched)
   }
 
-  /** Exact-phrase occurrence count: #positions p of term0 such that term i
-    * sits at p+i for all i (semantics of
+  /** Phrase occurrence count. slop=0: #positions p of term0 such that term
+    * i sits at p+i for all i (semantics of
     * /root/reference/core/search/exactPhraseScorer.go:141-279, without the
-    * 4096-chunking — position arrays here are per-doc and small).
+    * 4096-chunking — position arrays here are per-doc and small). slop>0:
+    * the engine's DEFINED sloppy spec (the reference stubs sloppy phrases,
+    * phrase.go:87,165): p matches when the total displacement
+    * Σᵢ minₚ∈Pᵢ |p − (p+i)| ≤ slop, each later term independently snapping
+    * to its nearest position (separable per term given the anchor, so it is
+    * exactly reproducible by the ANSI-SQL oracle; reorders match at
+    * slop ≥ 2). Repeated terms may snap to one shared position — documented
+    * behavior of this spec.
     */
-  def phraseFreq(idxs: Array[Int], acc: RangeAccum, slot: Int): Int = {
+  def phraseFreq(idxs: Array[Int], acc: RangeAccum, slot: Int, slop: Int): Int = {
     var i = 0
     while (i < idxs.length) {
       val idx = idxs(i)
@@ -151,13 +159,32 @@ private[search] object Eval {
     var j = 0
     while (j < first.length) {
       val p = first(j)
-      var ok = true
-      var k = 1
-      while (ok && k < idxs.length) {
-        ok = java.util.Arrays.binarySearch(acc.positions(idxs(k))(slot), p + k) >= 0
-        k += 1
+      if (slop == 0) {
+        var ok = true
+        var k = 1
+        while (ok && k < idxs.length) {
+          ok = java.util.Arrays.binarySearch(acc.positions(idxs(k))(slot), p + k) >= 0
+          k += 1
+        }
+        if (ok) count += 1
+      } else {
+        var d = 0
+        var k = 1
+        while (d <= slop && k < idxs.length) {
+          val arr = acc.positions(idxs(k))(slot)
+          val target = p + k
+          val ins = java.util.Arrays.binarySearch(arr, target)
+          if (ins < 0) { // distance to the nearest position around the slot
+            val ip = -ins - 1
+            var best = Int.MaxValue
+            if (ip < arr.length) best = arr(ip) - target
+            if (ip > 0 && target - arr(ip - 1) < best) best = target - arr(ip - 1)
+            d += best
+          }
+          k += 1
+        }
+        if (d <= slop) count += 1
       }
-      if (ok) count += 1
       j += 1
     }
     count
@@ -360,7 +387,7 @@ final class IndexSearcher(
         stats.get((fld(f), t))
           .map(ts => sim.valueForNormalization(ts, collectionStats(fld(f)), boost * topBoost))
           .getOrElse(0f)
-      case PhraseQuery(ts, boost, f) =>
+      case PhraseQuery(ts, boost, f, _) =>
         val fn = fld(f)
         if (ts.forall(t => stats.contains((fn, t))))
           sim.valueForNormalization(
@@ -382,7 +409,7 @@ final class IndexSearcher(
           .map(ts => sim.exactValueForNormalization(ts, collectionStats(fld(f)),
             boost.toDouble * topBoost))
           .getOrElse(0.0)
-      case PhraseQuery(ts, boost, f) =>
+      case PhraseQuery(ts, boost, f, _) =>
         val fn = fld(f)
         if (ts.forall(t => stats.contains((fn, t))))
           sim.exactValueForNormalization(
@@ -408,14 +435,14 @@ final class IndexSearcher(
               sim.exactTermScorer(ts, cs, (boost * topBoost).toDouble).normalize(qnD))
           case None => CLeafTerm(-1, 0, null, null)
         }
-      case PhraseQuery(ts, boost, f) =>
+      case PhraseQuery(ts, boost, f, slop) =>
         val fn = fld(f)
         if (ts.forall(t => stats.contains((fn, t)))) {
           val cs = collectionStats(fn)
           CLeafPhrase(ts.map(t => termIdx((fn, t))).toArray, fieldIdx(fn),
             sim.phraseScorer(ts.map(t => stats((fn, t))), cs, boost * topBoost).normalize(qn),
             sim.exactPhraseScorer(ts.map(t => stats((fn, t))), cs,
-              (boost * topBoost).toDouble).normalize(qnD))
+              (boost * topBoost).toDouble).normalize(qnD), slop)
         } else CLeafTerm(-1, 0, null, null)
       case BooleanQuery(clauses, msm, boost) =>
         val b = boost * topBoost

@@ -110,7 +110,7 @@ object Wand {
     */
   private sealed trait BNode extends Serializable
   private final case class BTerm(fkey: String, scorer: BScorer) extends BNode
-  private final case class BPhrase(fkeys: Array[String], scorer: BScorer) extends BNode
+  private final case class BPhrase(fkeys: Array[String], scorer: BScorer, slop: Int) extends BNode
   private final case class BBool(must: Array[BNode], should: Array[BNode], msm: Int) extends BNode
   private case object BNever extends BNode
 
@@ -130,12 +130,17 @@ object Wand {
         case Some(rs) => (rs.iterator.map(e => sc.bound(e._1, e._2)).sum, true)
         case None => (0.0, false)
       }
-      case BPhrase(fks, sc) =>
-        // phraseFreq <= min over members of the range's maxFreq; a doc
-        // containing EVERY member has dl >= each member's row-min, so max
-        // over members' minDl is a valid dl lower bound
+      case BPhrase(fks, sc, slop) =>
+        // slop=0: phraseFreq <= min over members of the range's maxFreq.
+        // slop>0: matches anchor on the FIRST member's positions, and one
+        // later-member position can serve MANY anchors — only the first
+        // member's maxFreq bounds the count. Either way a matching doc
+        // contains EVERY member, so max over members' minDl is a valid dl
+        // lower bound (a sloppy match still requires every member present).
         if (fks.forall(byKey.contains)) {
-          val maxF = fks.iterator.map(fk => byKey(fk).iterator.map(_._1).max).min
+          val maxF =
+            if (slop == 0) fks.iterator.map(fk => byKey(fk).iterator.map(_._1).max).min
+            else byKey(fks(0)).iterator.map(_._1).max
           val minDl = fks.iterator.map(fk => byKey(fk).iterator.map(_._2).min).max
           (sc.bound(maxF, minDl), true)
         } else (0.0, false)
@@ -192,7 +197,7 @@ object Wand {
         stats.get((fld(f), t))
           .map(ts => sim.valueForNormalization(ts, cs(fld(f)), boost * topBoost))
           .getOrElse(0f)
-      case p @ PhraseQuery(_, boost, f) =>
+      case p @ PhraseQuery(_, boost, f, _) =>
         if (phrasePresent(p))
           sim.valueForNormalization(phraseCompositeStats(p), cs(fld(f)), boost * topBoost)
         else 0f
@@ -205,7 +210,7 @@ object Wand {
         stats.get((fld(f), t))
           .map(ts => sim.exactValueForNormalization(ts, cs(fld(f)), boost.toDouble * topBoost))
           .getOrElse(0.0)
-      case p @ PhraseQuery(_, boost, f) =>
+      case p @ PhraseQuery(_, boost, f, _) =>
         if (phrasePresent(p))
           sim.exactValueForNormalization(phraseCompositeStats(p), cs(fld(f)), boost.toDouble * topBoost)
         else 0.0
@@ -245,10 +250,10 @@ object Wand {
         if (stats.contains((fld(f), t)))
           BTerm(fkey((fld(f), t)), termB(TermQuery(t, boost * topBoost, f)))
         else BNever
-      case p @ PhraseQuery(ts, boost, f) =>
+      case p @ PhraseQuery(ts, boost, f, slop) =>
         if (phrasePresent(p))
           BPhrase(ts.map(t => fkey((fld(f), t))).toArray,
-            phraseB(PhraseQuery(ts, boost * topBoost, f)))
+            phraseB(PhraseQuery(ts, boost * topBoost, f, slop)), slop)
         else BNever
       case BooleanQuery(clauses, msm, boost) =>
         val b = boost * topBoost
@@ -266,7 +271,7 @@ object Wand {
     // keys the tree actually scores (MUST_NOT and unmatchable leaves are out)
     def treeKeys(n: BNode): Seq[String] = n match {
       case BTerm(fk, _) => Seq(fk)
-      case BPhrase(fks, _) => fks.toSeq
+      case BPhrase(fks, _, _) => fks.toSeq
       case BBool(m, s0, _) => (m ++ s0).flatMap(treeKeys).toSeq
       case BNever => Nil
     }

@@ -44,7 +44,7 @@ object Oracle {
           case Some(f) => bm25(idf(t) * boost, f.toFloat, d.norm)
           case None => Float.NaN
         }
-      case PhraseQuery(ts, boost, _) =>
+      case PhraseQuery(ts, boost, _, _) =>
         val pf = phraseFreq(ts, d)
         if (pf > 0) bm25(ts.map(idf).sum * boost, pf.toFloat, d.norm) else Float.NaN
       case BooleanQuery(clauses, msm, boost) =>
@@ -68,7 +68,7 @@ object Oracle {
 
     private def scale(q: Query, b: Float): Query = q match {
       case TermQuery(t, b0, f) => TermQuery(t, b0 * b, f)
-      case PhraseQuery(ts, b0, f) => PhraseQuery(ts, b0 * b, f)
+      case PhraseQuery(ts, b0, f, sl) => PhraseQuery(ts, b0 * b, f, sl)
       case BooleanQuery(cs, m, b0) => BooleanQuery(cs, m, b0 * b)
     }
 
