@@ -71,6 +71,17 @@ object SparkEntry {
       // lift): `body` = first 12 words of the text, indexed with its own
       // df/dl/avgdl — BM25 over the body leaf summed with a content clause
       FtQueries.matches(s, d, FtQueries.parser.parse("+body:data +merge"))),
+    "ft_prefix" -> ((s, d) => // prefix expansion `c*` (round-5: reference
+      // lexes-but-panics): dictionary range scan → sorted SHOULD disjunction
+      // {column, customer}, each term scoring with its OWN df — the corpus
+      // vocabulary gives ≤2 contributing terms per doc, so the float64
+      // disjunction sum is order-independent and the SQL twin exact
+      FtQueries.matches(s, d, FtQueries.parser.parse("c*"))),
+    "ft_prefix_singleton" -> ((s, d) => // prefix over the commit KEYWORD
+      // field (raw, unanalyzed): every expanded term has df == 1, so the
+      // whole query answers through singleton pulsing — terms-dict range
+      // scan + stored dls, ZERO postings reads — through search()'s top-k
+      FtQueries.topDocsDF(s, d, FtQueries.parser.parse("commit:42*"), 20)),
     "ft_singleton" -> ((s, d) => // singleton pulsing via search(): the commit
       // keyword field's terms all have df == 1 → the query resolves from the
       // terms dict + stored dls with ZERO postings reads
@@ -668,6 +679,43 @@ object SparkEntry {
          |SELECT doc_id, round(${termScore("merge")}, 4) AS score_r
          |FROM base WHERE f_merge > 0 AND doc_id % 10 <> 0
          |ORDER BY doc_id""".stripMargin,
+    "ft_prefix" -> // expansion derived IN SQL via LIKE 'c%' (df per matched
+      // term recomputed from scratch); per-doc sum has ≤2 nonzero terms on
+      // this vocabulary → float64-exact regardless of SUM order
+      s"""$prelude, tdf AS (
+         |  SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |  FROM (SELECT DISTINCT doc_id, tok AS term
+         |        FROM (SELECT doc_id, unnest(tk) AS tok FROM docs) WHERE tok LIKE 'c%')
+         |  GROUP BY term
+         |), perdoc AS (
+         |  SELECT d.doc_id, t.term, t.df,
+         |    len(list_filter(d.tk, x -> x = t.term)) AS f, len(d.tk) AS dl
+         |  FROM docs d, tdf t
+         |), sc AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN f > 0 THEN
+         |      (ln(1 + ((SELECT n FROM g) - df + 0.5) / (df + 0.5))
+         |       * ((CAST(f AS DOUBLE) * (1.2 + 1)) /
+         |          (CAST(f AS DOUBLE) + 1.2 * ((1 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / (SELECT avgdl FROM g)))))
+         |      ELSE 0 END) AS score,
+         |    count(*) FILTER (f > 0) AS nm
+         |  FROM perdoc GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 4) AS score_r
+         |FROM sc WHERE nm > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_prefix_singleton" -> // commit LIKE '42%': every matched term df=1,
+      // freq=1, dl=1, avgdl(commit)=1 → identical idf-only scores; top-20 =
+      // smallest 20 matching doc_ids (tie-break docId asc)
+      s"""$prelude
+         |SELECT doc_id, score_r FROM (
+         |  SELECT doc_id, round(
+         |    (ln(1 + ((SELECT n FROM g) - 1.0 + 0.5) / (1.0 + 0.5))
+         |     * ((1.0 * (1.2 + 1)) / (1.0 + 1.2 * ((1 - 0.75) + (0.75 * 1.0) /
+         |        ((SELECT CAST(count(*) AS DOUBLE) FROM documents) / (SELECT n FROM g)))))), 4) AS score_r
+         |  FROM documents WHERE CAST(doc_id AS VARCHAR) LIKE '42%'
+         |  ORDER BY score_r DESC, doc_id LIMIT 20
+         |) ORDER BY doc_id""".stripMargin,
     "ft_singleton" -> // commit:'42' → df=1, freq=1, dl=1, avgdl(commit)=1
       s"""$prelude, cf AS (
          |  SELECT CAST(count(*) AS DOUBLE) AS df FROM documents WHERE CAST(doc_id AS VARCHAR) = '42'

@@ -32,6 +32,20 @@ final case class TermQuery(term: String, boost: Float = 1.0f,
 final case class PhraseQuery(terms: Seq[String], boost: Float = 1.0f,
     field: Option[String] = None, slop: Int = 0) extends Query
 
+/** Prefix term query `field:pre*`. The reference LEXES the star but its
+  * handlers panic (/root/reference/queryparser/classic/queryParserBase.go:
+  * 181-199,220-226), so this is additive, like WAND. Evaluation is by
+  * ANALYSIS-TIME EXPANSION against the terms dictionary (the searcher
+  * rewrites it to a bounded SHOULD disjunction of matching TermQuery
+  * leaves in SORTED term order, each scoring with its OWN statistics —
+  * Lucene's SCORING_BOOLEAN_QUERY_REWRITE): a sorted-parquet dictionary
+  * range scan is metadata-cheap, and the existing 1024-clause cap is the
+  * rewrite budget (expansion beyond it errors). Never reaches compile
+  * unexpanded.
+  */
+final case class PrefixQuery(prefix: String, boost: Float = 1.0f,
+    field: Option[String] = None) extends Query
+
 sealed trait Occur
 object Occur {
   case object MUST extends Occur
@@ -57,6 +71,9 @@ object Query {
       case TermQuery(t, _, f) => buf += ((f.getOrElse(defaultField), t))
       case PhraseQuery(ts, _, f, _) => ts.foreach(t => buf += ((f.getOrElse(defaultField), t)))
       case BooleanQuery(cs, _, _) => cs.foreach(c => walk(c.query))
+      case p: PrefixQuery => throw new IllegalStateException(
+        s"unexpanded $p reached leafKeys — multi-term queries must go through " +
+          "IndexSearcher.expandPrefixes first (search/scoredDocs/explain/Wand do)")
     }
     walk(q)
     buf.toSeq
@@ -96,6 +113,7 @@ object Query {
   private def foldBoost(q: Query, b: Float): Query = q match {
     case TermQuery(t, b0, f) => TermQuery(t, b0 * b, f)
     case PhraseQuery(ts, b0, f, sl) => PhraseQuery(ts, b0 * b, f, sl)
+    case PrefixQuery(pre, b0, f) => PrefixQuery(pre, b0 * b, f)
     case BooleanQuery(cs, m, b0) => BooleanQuery(cs, m, b0 * b)
   }
 }

@@ -167,7 +167,11 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
       if (ci > 0 && ci < w.length - 1) {
         val f = w.substring(0, ci)
         val text = w.substring(ci + 1)
-        if (f == defaultField) (analyzed(text, None), rest)
+        if (text.length > 1 && text.endsWith("*") && !text.dropRight(1).contains('*') &&
+            fieldKnown(f))
+          (Some(prefix(text.dropRight(1), Some(f).filter(_ != defaultField),
+            raw = keywordFields.contains(f))), rest)
+        else if (f == defaultField) (analyzed(text, None), rest)
         else if (analyzedFields.contains(f)) (analyzed(text, Some(f)), rest)
         else if (keywordFields.contains(f)) (Some(TermQuery(text, 1.0f, Some(f))), rest)
         else if (!strictFields) {
@@ -183,8 +187,24 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
                 "searching it as default-field text (strictFields=false)")
           (analyzed(w, None), rest) // whole word as text
         } else unknownField(f)
-      } else (analyzed(w, None), rest)
+      } else if (w.length > 1 && w.endsWith("*") && !w.dropRight(1).contains('*'))
+        (Some(prefix(w.dropRight(1), None, raw = false)), rest)
+      else (analyzed(w, None), rest)
     case other => (None, if (other.isEmpty) Nil else other.tail)
+  }
+
+  /** `pre*` → PrefixQuery. Analyzed fields lowercase/normalize the prefix
+    * through the index analyzer (it must stay ONE token — a multi-token
+    * prefix has no defined expansion); keyword fields take it raw
+    * (StringField terms are unanalyzed).
+    */
+  private def prefix(text: String, field: Option[String], raw: Boolean): Query = {
+    if (raw) return PrefixQuery(text, 1.0f, field)
+    analyzer(text).tokens.map(_.term).toSeq match {
+      case Seq(t) => PrefixQuery(t, 1.0f, field)
+      case other => throw new IllegalArgumentException(
+        s"prefix '$text*' must analyze to exactly one token (got: $other)")
+    }
   }
 
   private def fieldKnown(f: String): Boolean =

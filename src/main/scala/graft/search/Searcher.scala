@@ -399,6 +399,8 @@ final class IndexSearcher(
       case BooleanQuery(clauses, _, boost) =>
         clauses.filter(_.occur != Occur.MUST_NOT)
           .map(c => v(c.query, boost * topBoost)).sum
+      case p: PrefixQuery => throw new IllegalStateException(
+        s"unexpanded $p — expandPrefixes must run before compile")
     }
     val qn = sim.queryNorm(math.max(v(Query.rewrite(q0), 1.0f), Float.MinPositiveValue))
 
@@ -421,6 +423,8 @@ final class IndexSearcher(
       case BooleanQuery(clauses, _, boost) =>
         clauses.filter(_.occur != Occur.MUST_NOT)
           .map(c => vD(c.query, boost.toDouble * topBoost)).sum
+      case p: PrefixQuery => throw new IllegalStateException(
+        s"unexpanded $p — expandPrefixes must run before compile")
     }
     val qnD = sim.exactQueryNorm(math.max(vD(Query.rewrite(q0), 1.0), Double.MinPositiveValue))
 
@@ -454,6 +458,8 @@ final class IndexSearcher(
           clauses.filter(_.occur == Occur.MUST_NOT).map(c => node(c.query, 1.0f)).toArray,
           msm,
           Array.tabulate(maxOverlap + 1)(i => sim.coord(i, math.max(maxOverlap, 1))))
+      case p: PrefixQuery => throw new IllegalStateException(
+        s"unexpanded $p — expandPrefixes must run before compile")
     }
     node(Query.rewrite(q0), 1.0f)
   }
@@ -463,8 +469,55 @@ final class IndexSearcher(
       q: Query, keys: Seq[(String, String)], stats: Map[(String, String), TermStats],
       ge: GroupEval)
 
+  /** Per-searcher prefix-expansion cache: a searcher is a point-in-time view
+    * (same rationale as the row cache), so an expansion can never go stale
+    * within it. Keyed (field, prefix); values are SORTED term lists.
+    */
+  private val prefixCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[String]]
+
+  /** Matching dictionary terms for a prefix: a driver-side sorted range scan
+    * of the terms table. `startsWith` pushes down as parquet
+    * StringStartsWith (row-group pruning on the term column's min/max —
+    * metadata-cheap at any corpus size); the 1024 cap is the reference
+    * maxClauseCount acting as the rewrite budget, so the collect is bounded
+    * whatever the vocabulary.
+    */
+  private def prefixTerms(f: String, prefix: String): Seq[String] = {
+    require(prefix.nonEmpty, "empty prefix (bare '*' queries are not supported)")
+    val cached = prefixCache.get((f, prefix))
+    if (cached.isDefined) return cached.get
+    val terms = termsDF
+      .where(col("field") === f && col("term").startsWith(prefix))
+      .select("term").orderBy("term").limit(1025)
+      .as[String].collect().toSeq
+    require(terms.size <= 1024,
+      s"prefix '$f:$prefix*' expands to more than 1024 terms (reference " +
+        "maxClauseCount is the rewrite budget) — narrow the prefix")
+    prefixCache.put((f, prefix), terms)
+    terms
+  }
+
+  /** Rewrite multi-term leaves (PrefixQuery) into bounded SHOULD
+    * disjunctions of dictionary terms in sorted order, each scoring with its
+    * own statistics (Lucene SCORING_BOOLEAN_QUERY_REWRITE). An expansion
+    * with no matching terms becomes an empty BooleanQuery (matches
+    * nothing — same contract as a TermQuery on an absent term). Every query
+    * entry point (search/scoredDocs/explain, Wand.searchTopK) expands before
+    * compiling.
+    */
+  def expandPrefixes(q: Query): Query = q match {
+    case PrefixQuery(prefix, boost, f) =>
+      val fn = f.getOrElse(field)
+      BooleanQuery(prefixTerms(fn, prefix).map(t =>
+        BooleanClause(Occur.SHOULD, TermQuery(t, boost, f))))
+    case BooleanQuery(cs, msm, boost) =>
+      BooleanQuery(cs.map(c => c.copy(query = expandPrefixes(c.query))), msm, boost)
+    case other => other
+  }
+
   private def prepare(q0: Query, mode: ScoreMode): Prepared = {
-    val q = Query.rewrite(q0)
+    val q = Query.rewrite(expandPrefixes(q0))
     val keys = Query.leafKeys(q, field)
     // reference maxClauseCount (/root/reference/core/search/boolean.go:9)
     require(keys.size <= 1024, s"more than 1024 distinct query terms: ${keys.size}")

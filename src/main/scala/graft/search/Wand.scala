@@ -90,7 +90,7 @@ object Wand {
     */
   def searchTopK(searcher: IndexSearcher, q0: Query, k: Int,
       mode: ScoreMode = ScoreMode.Ref32, phase1Ranges: Int = 64): TopDocs = {
-    val q = Query.rewrite(q0)
+    val q = Query.rewrite(searcher.expandPrefixes(q0))
     // every present term df==1 → the searcher's singleton-pulsing path
     // answers with ZERO postings reads; WAND's metadata scan would be
     // strictly more work (stats are cached, so this check is free)
@@ -204,6 +204,8 @@ object Wand {
       case BooleanQuery(clauses, _, boost) =>
         clauses.filter(_.occur != Occur.MUST_NOT)
           .map(c => vF(c.query, boost * topBoost)).sum
+      case p: PrefixQuery => throw new IllegalStateException(
+        s"unexpanded $p — expandPrefixes must run before compile")
     }
     def vD(q0: Query, topBoost: Double): Double = q0 match {
       case TermQuery(t, boost, f) =>
@@ -217,6 +219,8 @@ object Wand {
       case BooleanQuery(clauses, _, boost) =>
         clauses.filter(_.occur != Occur.MUST_NOT)
           .map(c => vD(c.query, boost.toDouble * topBoost)).sum
+      case p: PrefixQuery => throw new IllegalStateException(
+        s"unexpanded $p — expandPrefixes must run before compile")
     }
     val qn = sim.queryNorm(math.max(vF(q, 1.0f), Float.MinPositiveValue))
     val qnD = sim.exactQueryNorm(math.max(vD(q, 1.0), Double.MinPositiveValue))
@@ -264,6 +268,8 @@ object Wand {
         else if (should.size < msm) BNever
         else if (must.isEmpty && should.isEmpty) BNever
         else BBool(must.toArray, should.toArray, msm)
+      case p: PrefixQuery => throw new IllegalStateException(
+        s"unexpanded $p — expandPrefixes must run before compile")
     }
     val root = build(q, 1.0f)
     if (root == BNever) return TopDocs(0, Array.empty)

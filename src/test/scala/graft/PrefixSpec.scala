@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.analysis.StandardCodeAnalyzer
+import graft.index._
+import graft.search._
+
+/** Prefix expansion (`field:pre*` → bounded SHOULD disjunction over the
+  * terms dictionary). The reference lexes the star but panics in the
+  * handlers (queryParserBase.go:181-199) — semantics here are Lucene's
+  * SCORING_BOOLEAN_QUERY_REWRITE with the 1024-clause cap as rewrite budget.
+  */
+class PrefixSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val N = 600
+  private lazy val indexPath = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prefix").toString
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 64, numSegments = 8, segmentsPerWave = 8,
+      keywordFields = Seq("lang"))
+    new IndexBuilder(spark, cfg).build(TestCorpus.corpus(N).toDF(), dir)
+    dir
+  }
+  private lazy val searcher = new IndexSearcher(spark, indexPath)
+
+  test("prefix == explicit disjunction of the matching vocabulary terms") {
+    // TestCorpus mid terms starting with 's': scorer, shard, sort? (vocab:
+    // parser buffer index scorer merge token query shard vector cache) →
+    // compute the truth from the dictionary itself, then compare against an
+    // explicit OR of those terms
+    val expanded = spark.read.parquet(
+      graft.index.IndexManifest.load(spark, indexPath).termsLocation)
+      .where(col("field") === "content" && col("term").startsWith("s"))
+      .select("term").as[String].collect().sorted.toSeq
+    assert(expanded.nonEmpty && expanded.size < 50)
+    val explicit = BooleanQuery(expanded.map(t =>
+      BooleanClause(Occur.SHOULD, TermQuery(t))))
+    for (mode <- Seq[ScoreMode](ScoreMode.Ref32, ScoreMode.ExactDouble)) {
+      val a = searcher.search(PrefixQuery("s"), 15, mode)
+      val b = searcher.search(explicit, 15, mode)
+      assert(a.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        b.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"mode=$mode")
+      assert(a.totalHits == b.totalHits)
+    }
+  }
+
+  test("prefix composes in boolean trees, including MUST_NOT") {
+    val q = BooleanQuery(Seq(
+      BooleanClause(Occur.MUST, TermQuery("import")),
+      BooleanClause(Occur.MUST_NOT, PrefixQuery("uniqtoken_1"))))
+    val hits = searcher.scoredDocs(q, ScoreMode.ExactDouble).collect()
+      .map(d => (d.docId, d.score)).sortBy(_._1).toSeq
+    assert(hits.nonEmpty)
+    // must equal the EXPLICIT disjunction of the expanded terms under MUST_NOT
+    val expanded = spark.read.parquet(
+      graft.index.IndexManifest.load(spark, indexPath).termsLocation)
+      .where(col("field") === "content" && col("term").startsWith("uniqtoken_1"))
+      .select("term").as[String].collect().sorted.toSeq
+    assert(expanded.size > 100) // 1, 1x, 1xx at N=600
+    val explicit = BooleanQuery(Seq(
+      BooleanClause(Occur.MUST, TermQuery("import")),
+      BooleanClause(Occur.MUST_NOT, BooleanQuery(expanded.map(t =>
+        BooleanClause(Occur.SHOULD, TermQuery(t)))))))
+    val hits2 = searcher.scoredDocs(explicit, ScoreMode.ExactDouble).collect()
+      .map(d => (d.docId, d.score)).sortBy(_._1).toSeq
+    assert(hits == hits2)
+    // and it must exclude strictly more than the bare MUST does
+    val bare = searcher.scoredDocs(TermQuery("import"), ScoreMode.ExactDouble).count()
+    assert(hits.size < bare)
+  }
+
+  test("single-term expansion folds to a TermQuery (singleton pulsing intact)") {
+    // uniqtoken_423* matches exactly uniqtoken_423 (N=600) → df==1 →
+    // the zero-postings-read singleton path must answer it
+    val top = searcher.search(PrefixQuery("uniqtoken_423"), 5, ScoreMode.Ref32)
+    assert(top.totalHits == 1 && top.scoreDocs.head.docId ==
+      searcher.search(TermQuery("uniqtoken_423"), 1, ScoreMode.Ref32).scoreDocs.head.docId)
+  }
+
+  test("keyword-field prefix takes the raw value; parser routes all forms") {
+    val p = new QueryParser(new StandardCodeAnalyzer(), keywordFields = Set("lang"))
+    assert(p.parse("sco*") == PrefixQuery("sco"))
+    assert(p.parse("lang:sc*") == PrefixQuery("sc", 1.0f, Some("lang")))
+    assert(p.parse("+import sco*") == BooleanQuery(Seq(
+      BooleanClause(Occur.MUST, TermQuery("import")),
+      BooleanClause(Occur.SHOULD, PrefixQuery("sco")))))
+    // analyzed prefix is lowercased through the analyzer
+    assert(p.parse("SCO*") == PrefixQuery("sco"))
+    // unknown field under strict parsing stays an error
+    intercept[IllegalArgumentException](p.parse("nosuch:ab*"))
+    // keyword prefix matches the raw dictionary values
+    val hits = searcher.search(PrefixQuery("sc", 1.0f, Some("lang")), 100, ScoreMode.Ref32)
+    assert(hits.totalHits == searcher.search(TermQuery("scala", 1.0f, Some("lang")),
+      1, ScoreMode.Ref32).totalHits)
+  }
+
+  test("WAND parity over prefix-bearing trees") {
+    val q = BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, PrefixQuery("sc")), // scorer...
+      BooleanClause(Occur.SHOULD, TermQuery("buffer"))))
+    for (mode <- Seq[ScoreMode](ScoreMode.Ref32, ScoreMode.ExactDouble)) {
+      val exact = searcher.search(q, 10, mode)
+      val wand = Wand.searchTopK(searcher, q, 10, mode, phase1Ranges = 4)
+      assert(wand.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        exact.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"mode=$mode")
+    }
+  }
+
+  test("no matching terms: empty result, no crash") {
+    val r = searcher.search(PrefixQuery("zzznope"), 5, ScoreMode.Ref32)
+    assert(r.totalHits == 0 && r.scoreDocs.isEmpty)
+  }
+
+  test("expansion beyond the 1024-clause budget is rejected; 1024 exactly works") {
+    // one doc whose content is 1025 distinct 'zz<i>' words → 'zz*' expands
+    // past the reference maxClauseCount and must error with a clear message
+    val dir = java.nio.file.Files.createTempDirectory("graft-prefix-cap").toString
+    val content = (0 until 1025).map(i => s"zz$i").mkString(" ")
+    val docs = Seq(CodeFile("r", "p", "", "scala", content)).toDF()
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 64, numSegments = 1, segmentsPerWave = 1)
+    new IndexBuilder(spark, cfg).build(docs, dir)
+    val s = new IndexSearcher(spark, dir)
+    val ex = intercept[IllegalArgumentException](
+      s.search(PrefixQuery("zz"), 5, ScoreMode.Ref32))
+    assert(ex.getMessage.contains("1024"), ex.getMessage)
+    // narrowing under the cap works: zz1* → zz1, zz10..zz19, zz100..zz1024
+    val ok = s.search(PrefixQuery("zz1"), 5, ScoreMode.Ref32)
+    assert(ok.totalHits == 1) // all terms live in the single doc
+  }
+}
