@@ -162,6 +162,44 @@ object FtQueries {
       dir
     })
 
+  /** An OFFSETS twin (format-3 index, IndexConfig.withOffsets): content is
+    * the doc's tokens re-joined with single spaces, so every token's
+    * character offset is pure arithmetic over token lengths — exactly what
+    * the ANSI-SQL twin recomputes (window sums of BIGINT lengths, no float).
+    */
+  def offsetsIndexPath(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#offsets", {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfo1_" +
+        graft.index.Hashing.sha256Hex(sfDir).take(12)
+      val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(
+          col("doc_id"),
+          col("source").as("repo"),
+          col("doc_id").cast("string").as("path"),
+          lit("").as("commit"),
+          col("lang"),
+          array_join(graft.pipeline.TextOps.tokens(col("text")), " ").as("content"))
+      new IndexBuilder(spark, IndexConfig(
+        analyzer = analyzer, docsPerRange = 1024, numSegments = 4,
+        segmentsPerWave = 2, explicitDocIdCol = Some("doc_id"),
+        withOffsets = true))
+        .build(corpus, dir, resume = true)
+      dir
+    })
+
+  /** All (doc, occurrence) character offsets of `term` from the offsets
+    * twin — driver-verified against pure token-length arithmetic in SQL.
+    */
+  def offsetsDF(spark: SparkSession, sfDir: String, term: String): DataFrame = {
+    val idx = offsetsIndexPath(spark, sfDir)
+    searcherCache.getOrElseUpdate(idx, new IndexSearcher(spark, idx))
+      .offsets("content", term)
+      .select(col("docId").as("doc_id"),
+        col("startOff").cast("long").as("start_off"),
+        col("endOff").cast("long").as("end_off"))
+      .orderBy("doc_id", "start_off")
+  }
+
   /** Top-k through searcher.search() — the collector/singleton-pulsing
     * path, unlike matches()' full scored-Dataset path.
     */

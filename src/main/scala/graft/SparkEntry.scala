@@ -82,6 +82,11 @@ object SparkEntry {
       // whole query answers through singleton pulsing — terms-dict range
       // scan + stored dls, ZERO postings reads — through search()'s top-k
       FtQueries.topDocsDF(s, d, FtQueries.parser.parse("commit:42*"), 20)),
+    "ft_offsets" -> ((s, d) => // per-occurrence CHARACTER OFFSETS (format-3
+      // postings carry start/end streams next to positions — the
+      // highlighting primitive; round-5): every occurrence of 'merge' in the
+      // space-joined twin vs pure token-length arithmetic in SQL
+      FtQueries.offsetsDF(s, d, "merge")),
     "ft_singleton" -> ((s, d) => // singleton pulsing via search(): the commit
       // keyword field's terms all have df == 1 → the query resolves from the
       // terms dict + stored dls with ZERO postings reads
@@ -716,6 +721,20 @@ object SparkEntry {
          |  FROM documents WHERE CAST(doc_id AS VARCHAR) LIKE '42%'
          |  ORDER BY score_r DESC, doc_id LIMIT 20
          |) ORDER BY doc_id""".stripMargin,
+    "ft_offsets" -> // offsets in the space-joined content: start of token i
+      // (1-based) = Σ len(t_1..t_{i-1}) + (i-1) separators; end = start+len
+      s"""WITH raw AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tka
+         |  FROM documents
+         |), occ AS (
+         |  SELECT doc_id, i,
+         |    CAST(coalesce(list_sum(list_transform(list_slice(tka, 1, i - 1), t -> len(t))), 0) + (i - 1) AS BIGINT) AS start_off,
+         |    CAST(len(tka[i]) AS BIGINT) AS tok_len
+         |  FROM (SELECT doc_id, tka, unnest(range(1, len(tka) + 1)) AS i FROM raw)
+         |  WHERE tka[i] = 'merge'
+         |)
+         |SELECT doc_id, start_off, start_off + tok_len AS end_off
+         |FROM occ ORDER BY doc_id, start_off""".stripMargin,
     "ft_singleton" -> // commit:'42' → df=1, freq=1, dl=1, avgdl(commit)=1
       s"""$prelude, cf AS (
          |  SELECT CAST(count(*) AS DOUBLE) AS df FROM documents WHERE CAST(doc_id AS VARCHAR) = '42'

@@ -27,6 +27,17 @@ trait Analyzer extends Serializable {
     */
   def tokenize(text: String)(emit: (String, Int) => Unit): Unit =
     apply(text).tokens.foreach(t => emit(t.term, t.pos))
+
+  /** Visitor with CHARACTER OFFSETS (term, pos, startOffset, endOffset) —
+    * required by offset-storing indexes (IndexConfig.withOffsets). Analyzers
+    * that cannot attribute offsets (wrapping/filtering chains that merge
+    * tokens) must not be used with withOffsets — this default makes the
+    * failure explicit at build time instead of silently storing garbage.
+    */
+  def tokenizeWithOffsets(text: String)(emit: (String, Int, Int, Int) => Unit): Unit =
+    throw new UnsupportedOperationException(
+      s"${getClass.getName} does not produce character offsets; " +
+        "use an offset-capable analyzer or disable IndexConfig.withOffsets")
 }
 
 object Analyzer {
@@ -169,6 +180,41 @@ final class StandardCodeAnalyzer(stopWords: Set[String]) extends Analyzer {
       end = bi.next()
     }
   }
+
+  /** Offset-emitting twin of [[tokenize]]: offsets are [start, end) char
+    * indexes into the ORIGINAL text (lowercasing is per-char here).
+    */
+  override def tokenizeWithOffsets(text: String)(emit: (String, Int, Int, Int) => Unit): Unit = {
+    val bi = local.get()
+    bi.setText(text)
+    var pos = -1
+    var start = bi.first()
+    var end = bi.next()
+    var buf = new Array[Char](64)
+    while (end != BreakIterator.DONE) {
+      if (bi.getRuleStatus >= 100) {
+        pos += 1
+        val n = end - start
+        if (n <= Analyzer.MaxTokenLength) {
+          if (buf.length < n) buf = new Array[Char](math.max(n, buf.length * 2))
+          var i = 0
+          var ascii = true
+          while (i < n) {
+            val c = text.charAt(start + i)
+            if (c < 128) buf(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+            else { ascii = false; buf(i) = c }
+            i += 1
+          }
+          val term =
+            if (ascii) new String(buf, 0, n)
+            else new String(buf, 0, n).toLowerCase(java.util.Locale.ROOT)
+          if (!stopWords.contains(term)) emit(term, pos, start, end)
+        }
+      }
+      start = end
+      end = bi.next()
+    }
+  }
 }
 
 /** Whitespace/regex analyzer whose semantics are exactly expressible in ANSI
@@ -201,10 +247,32 @@ final class SimpleAnalyzer(stopWords: Set[String]) extends Analyzer {
     }
     Analyzed(tokens.result(), length, numOverlap = 0)
   }
+
+  /** Offsets index into the LOWERCASED text (1:1 with the original for any
+    * corpus whose lowercase mapping preserves length — all ASCII).
+    */
+  override def tokenizeWithOffsets(text: String)(emit: (String, Int, Int, Int) => Unit): Unit = {
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    var pos = -1
+    var i = 0
+    val n = lower.length
+    while (i < n) {
+      var c = lower.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        while (i < n && { c = lower.charAt(i); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') }) i += 1
+        pos += 1
+        val term = lower.substring(start, i)
+        if (!stopWords.contains(term)) emit(term, pos, start, i)
+      } else i += 1
+    }
+  }
 }
 
 /** Whole-value single token (/root/reference/analysis/core/keywordTokenizer.go:16-96). */
 final class KeywordAnalyzer extends Analyzer {
   override def apply(text: String): Analyzed =
     Analyzed(Array(Token(text, 0)), 1, 0)
+  override def tokenizeWithOffsets(text: String)(emit: (String, Int, Int, Int) => Unit): Unit =
+    emit(text, 0, 0, text.length)
 }

@@ -16,7 +16,12 @@ final case class PostingEntry(
     freq: Int,
     dl: Int,
     norm: Byte,
-    positions: Array[Int])
+    positions: Array[Int],
+    /** Flattened (start, end) char-offset pairs, length 2·freq — present
+      * only when the index stores offsets (IndexOptions-style gate,
+      * reference postingsWriter.go:323-381 offset flags). Empty otherwise.
+      */
+    offsets: Array[Int] = Array.emptyIntArray)
 
 /** A decoded posting run (column-striped, sorted by docId ascending). */
 final class DecodedPostings(
@@ -47,6 +52,11 @@ final case class EncodedPostings(
     lastDocId: Long,
     payload: Array[Byte],
     positions: Option[Array[Byte]],
+    /** vInt stream of per-occurrence (startΔ, len) pairs, delta per entry —
+      * decoded whole-row like positions (no per-block skip: offsets are a
+      * retrieval-time stream, never on the scoring path).
+      */
+    offsets: Option[Array[Byte]],
     skip: SkipData,
     ttf: Long,
     maxFreq: Int,
@@ -63,7 +73,8 @@ object PostingsCodec {
   /** Bump when the on-disk posting layout changes (invalidates caches). */
   val FormatVersion = 1
 
-  def encode(entries: Array[PostingEntry], withPositions: Boolean): EncodedPostings = {
+  def encode(entries: Array[PostingEntry], withPositions: Boolean,
+      withOffsets: Boolean = false): EncodedPostings = {
     require(entries.nonEmpty, "empty posting run")
     var v = 1
     while (v < entries.length) {
@@ -74,6 +85,7 @@ object PostingsCodec {
     val n = entries.length
     val out = new GrowableBytes(n * 3 + 16)
     val posOut = if (withPositions) new GrowableBytes(n * 2) else null
+    val offOut = if (withOffsets) new GrowableBytes(n * 4) else null
     VByte.writeVInt(out, n)
     val base = entries(0).docId
     VByte.writeVLong(out, base)
@@ -150,6 +162,25 @@ object PostingsCodec {
           j += 1
         }
       }
+      if (withOffsets) {
+        // per occurrence: vInt(start - prevStart), vInt(end - start);
+        // prevStart resets per entry (entries decode independently)
+        var j = 0
+        while (j < len) {
+          val os = entries(i + j).offsets
+          require(os.length == entries(i + j).freq * 2,
+            s"offsets must be 2*freq ints, got ${os.length} for freq ${entries(i + j).freq}")
+          var prev = 0
+          var k = 0
+          while (k < os.length) {
+            VByte.writeVInt(offOut, os(k) - prev)
+            VByte.writeVInt(offOut, os(k + 1) - os(k))
+            prev = os(k)
+            k += 2
+          }
+          j += 1
+        }
+      }
       skipLast(block) = prevDoc
       skipMaxFreq(block) = bMaxFreq
       skipMinDl(block) = bMinDl
@@ -165,6 +196,7 @@ object PostingsCodec {
       lastDocId = prevDoc,
       payload = out.toArray,
       positions = if (withPositions) Some(posOut.toArray) else None,
+      offsets = if (withOffsets) Some(offOut.toArray) else None,
       skip = SkipData(skipLast, skipOff, skipPosOff, skipMaxFreq, skipMinDl),
       ttf = ttf,
       maxFreq = globalMaxFreq,
@@ -295,6 +327,30 @@ object PostingsCodec {
       block += 1
     }
     new DecodedPostings(out.result(), outF.result(), outD.result(), outN.result())
+  }
+
+  /** Decode per-entry flattened (start, end) offset pairs aligned with
+    * [[decode]] output: freqs(i) pairs per entry.
+    */
+  def decodeOffsets(offPayload: Array[Byte], freqs: Array[Int]): Array[Array[Int]] = {
+    val in = ByteBuffer.wrap(offPayload)
+    val res = new Array[Array[Int]](freqs.length)
+    var i = 0
+    while (i < freqs.length) {
+      val f = freqs(i)
+      val os = new Array[Int](f * 2)
+      var prev = 0
+      var k = 0
+      while (k < f * 2) {
+        prev += VByte.readVInt(in)
+        os(k) = prev
+        os(k + 1) = prev + VByte.readVInt(in)
+        k += 2
+      }
+      res(i) = os
+      i += 1
+    }
+    res
   }
 
   /** Decode per-entry position arrays aligned with [[decode]] output.

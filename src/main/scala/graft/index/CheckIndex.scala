@@ -32,10 +32,12 @@ object CheckIndex {
     // format gate (advisor round-3 fix): a pre-fieldDls index must produce a
     // clean 'rebuild required' report, not an AnalysisException mid-run
     if (manifest.formatVersion < IndexManifest.CurrentFormat ||
+        manifest.formatVersion > IndexManifest.FormatOffsets ||
         !docs.columns.contains("fieldDls"))
       return Report(0, 0, 0, 0, 0, 0, Seq(
-        s"index format version ${manifest.formatVersion} < current " +
-          s"${IndexManifest.CurrentFormat} (docs ${if (docs.columns.contains("fieldDls")) "have" else "LACK"} " +
+        s"index format version ${manifest.formatVersion} outside supported " +
+          s"[${IndexManifest.CurrentFormat}, ${IndexManifest.FormatOffsets}] " +
+          s"(docs ${if (docs.columns.contains("fieldDls")) "have" else "LACK"} " +
           "per-field dls) — rebuild the index with the current builder"))
     val postings = spark.read.parquet(s"$indexPath/postings")
     val terms = spark.read.parquet(manifest.termsLocation)

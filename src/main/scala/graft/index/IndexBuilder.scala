@@ -142,6 +142,7 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     val analyzerB = spark.sparkContext.broadcast(config.analyzer)
     val fieldName = config.field
     val withPositions = config.withPositions
+    val withOffsets = config.withOffsets
     val docsPerRange = config.docsPerRange
     val keywordFields = config.keywordFields
     val analyzedExtras = config.analyzedFields
@@ -211,19 +212,39 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     val partial = staged.mapPartitions { it =>
       val acc = scala.collection.mutable.HashMap
         .empty[(String, String, Long), scala.collection.mutable.ArrayBuffer[PostingEntry]]
-      val m = new java.util.HashMap[String, IntsBuf]() // reused per doc
+      val m = new java.util.HashMap[String, IntsBuf]() // positions, reused per doc
+      val mo = new java.util.HashMap[String, IntsBuf]() // offsets (withOffsets only)
       val kwNorm = SmallFloat.encodeNorm(1, 0)
-      it.foreach { row =>
-        val docId = row.getLong(0)
-        val content = row.getString(6)
+      // one tokenize pass filling m (positions) and mo (offsets when stored);
+      // returns the field dl
+      def invertField(text: String): Int = {
         m.clear()
         var dl = 0
-        analyzerB.value.tokenize(content) { (term, p) =>
+        if (withOffsets) {
+          mo.clear()
+          analyzerB.value.tokenizeWithOffsets(text) { (term, p, so, eo) =>
+            dl += 1
+            var b = m.get(term)
+            if (b == null) { b = new IntsBuf; m.put(term, b) }
+            b.add(p)
+            var o = mo.get(term)
+            if (o == null) { o = new IntsBuf; mo.put(term, o) }
+            o.add(so); o.add(eo)
+          }
+        } else analyzerB.value.tokenize(text) { (term, p) =>
           dl += 1
           var b = m.get(term)
           if (b == null) { b = new IntsBuf; m.put(term, b) }
           b.add(p)
         }
+        dl
+      }
+      def offsetsOf(term: String): Array[Int] =
+        if (withOffsets) mo.get(term).toArray else Array.emptyIntArray
+      it.foreach { row =>
+        val docId = row.getLong(0)
+        val content = row.getString(6)
+        val dl = invertField(content)
         val norm = SmallFloat.encodeNorm(dl, 0)
         val rangeId = docId / docsPerRange
         val mit = m.entrySet().iterator()
@@ -231,7 +252,8 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
           val e = mit.next()
           acc.getOrElseUpdate((fieldName, e.getKey, rangeId), scala.collection.mutable.ArrayBuffer.empty) +=
             PostingEntry(docId, e.getValue.n, dl, norm,
-              if (withPositions) e.getValue.toArray else Array.emptyIntArray)
+              if (withPositions) e.getValue.toArray else Array.emptyIntArray,
+              offsetsOf(e.getKey))
         }
         // extra ANALYZED fields: tokenized with their own per-field dl/norm
         // and positions (TextField on a named field — the searcher's
@@ -239,14 +261,7 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
         analyzedExtras.foreach { af =>
           val v = fv(row, af)
           if (v != null && v.nonEmpty) {
-            m.clear()
-            var adl = 0
-            analyzerB.value.tokenize(v) { (term, p) =>
-              adl += 1
-              var b = m.get(term)
-              if (b == null) { b = new IntsBuf; m.put(term, b) }
-              b.add(p)
-            }
+            val adl = invertField(v)
             if (adl > 0) {
               val anorm = SmallFloat.encodeNorm(adl, 0)
               val arId = docId / docsPerRange
@@ -255,7 +270,8 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
                 val e = ait.next()
                 acc.getOrElseUpdate((af, e.getKey, arId), scala.collection.mutable.ArrayBuffer.empty) +=
                   PostingEntry(docId, e.getValue.n, adl, anorm,
-                    if (withPositions) e.getValue.toArray else Array.emptyIntArray)
+                    if (withPositions) e.getValue.toArray else Array.emptyIntArray,
+                    offsetsOf(e.getKey))
               }
             }
           }
@@ -266,13 +282,14 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
           val v = fv(row, kf)
           if (v != null && v.nonEmpty)
             acc.getOrElseUpdate((kf, v, rangeId), scala.collection.mutable.ArrayBuffer.empty) +=
-              PostingEntry(docId, 1, 1, kwNorm, Array.emptyIntArray)
+              PostingEntry(docId, 1, 1, kwNorm, Array.emptyIntArray,
+                if (withOffsets) Array(0, v.length) else Array.emptyIntArray)
         }
       }
       val analyzedSet = analyzedExtras.toSet + fieldName
       acc.iterator.map { case ((f, term, rangeId), entries) =>
         PostingRows.fromEntries(entries.toArray.sortBy(_.docId), wave, f,
-          term, rangeId, withPositions && analyzedSet.contains(f))
+          term, rangeId, withPositions && analyzedSet.contains(f), withOffsets)
       }
     }
 
@@ -429,6 +446,8 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     // covers (replay idempotence for streaming's incremental publish)
     val m = IndexManifest(indexPath, maxDoc, docCount, config.docsPerRange, maxDocId,
       termsGen = 0, publishedWaves = liveWaves.map(_.wave).sorted,
+      formatVersion = if (config.withOffsets) IndexManifest.FormatOffsets
+        else IndexManifest.CurrentFormat,
       field = config.field, analyzedFields = config.analyzedFields,
       keywordFields = config.keywordFields)
     // the generation that was live BEFORE this commit survives one round
@@ -595,6 +614,8 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     val m = IndexManifest(indexPath, newMaxDoc, prev.docCount + batchRow.getLong(3),
       config.docsPerRange, math.max(prev.maxDocId, batchRow.getLong(2)),
       termsGen = gen, publishedWaves = prev.publishedWaves :+ wave,
+      formatVersion = if (config.withOffsets) IndexManifest.FormatOffsets
+        else IndexManifest.CurrentFormat,
       field = config.field, analyzedFields = config.analyzedFields,
       keywordFields = config.keywordFields)
     IndexManifest.commit(spark, m)
@@ -643,6 +664,9 @@ object IndexBuilder {
     val m = IndexManifest.load(spark, indexPath)
     new IndexBuilder(spark, IndexConfig(
       field = m.field, analyzer = analyzer, docsPerRange = m.docsPerRange,
+      // a republish must keep the committed format: downgrading a format-3
+      // (offsets) manifest to 2 would hide the offPayload column from readers
+      withOffsets = m.formatVersion >= IndexManifest.FormatOffsets,
       analyzedFields = m.analyzedFields, keywordFields = m.keywordFields))
   }
 }
@@ -713,6 +737,13 @@ object IndexManifest {
     * layout) must be rebuilt — CheckIndex reports this cleanly.
     */
   val CurrentFormat = 2
+
+  /** Format 3 = format 2 + per-occurrence character offsets on posting rows
+    * (`offPayload`, IndexConfig.withOffsets). Readers that never ask for
+    * offsets treat a format-3 index exactly like format 2 (the column prunes
+    * away); CheckIndex accepts both.
+    */
+  val FormatOffsets = 3
 
   def commit(spark: SparkSession, m: IndexManifest): Unit = {
     val p = new Path(s"${m.indexPath}/commit.json")

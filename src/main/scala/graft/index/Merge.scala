@@ -264,7 +264,12 @@ object TieredMerge {
     val delDf = if (reclaimDeletes && manifest.isDefined)
       Deletes.df(spark, indexPath).map(_.distinct().localCheckpoint()) else None
 
-    val rows = spark.read.parquet(group.map(_.path): _*).as[PostingRow]
+    // indexes written before format 3 lack the offPayload column — degrade
+    // to null (no offsets) instead of an AnalysisException on as[PostingRow]
+    val rawRows = spark.read.parquet(group.map(_.path): _*)
+    val rows = (if (rawRows.columns.contains("offPayload")) rawRows
+      else rawRows.withColumn("offPayload",
+        org.apache.spark.sql.functions.lit(null).cast("binary"))).as[PostingRow]
     val logs = mergeLog(spark, indexPath)
     // the group's doc coverage (original wave dirs) — reclamation folds these
     // into docs/wave=<new>; empty when not reclaiming

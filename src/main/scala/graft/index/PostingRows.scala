@@ -9,13 +9,14 @@ import graft.codec.{PostingEntry, PostingsCodec}
 object PostingRows {
 
   def fromEntries(entries: Array[PostingEntry], wave: Int, field: String,
-      term: String, rangeId: Long, withPositions: Boolean): PostingRow = {
-    val enc = PostingsCodec.encode(entries, withPositions)
+      term: String, rangeId: Long, withPositions: Boolean,
+      withOffsets: Boolean = false): PostingRow = {
+    val enc = PostingsCodec.encode(entries, withPositions, withOffsets)
     PostingRow(wave, field, term, rangeId, enc.firstDocId, enc.lastDocId,
       enc.count, enc.ttf, enc.maxFreq, enc.minDl,
       enc.payload, enc.positions.orNull,
       enc.skip.lastDoc, enc.skip.offset, enc.skip.posOffset,
-      enc.skip.maxFreq, enc.skip.minDl)
+      enc.skip.maxFreq, enc.skip.minDl, enc.offsets.orNull)
   }
 
   /** Decode + concat + sort + re-encode a group of partial rows. */
@@ -23,10 +24,11 @@ object PostingRows {
     if (rows.length == 1 && rows(0).segId == wave) return rows(0)
     val head = rows(0)
     val withPos = head.posPayload != null
+    val withOff = head.offPayload != null
     val entries =
       if (rows.length == 1) decodeEntries(head, withPos)
       else rows.sortBy(_.firstDocId).flatMap(r => decodeEntries(r, withPos)).sortBy(_.docId)
-    fromEntries(entries, wave, head.field, head.term, head.rangeId, withPos)
+    fromEntries(entries, wave, head.field, head.term, head.rangeId, withPos, withOff)
   }
 
   /** [[merge]] that additionally DROPS entries whose docId is in `dels`
@@ -38,12 +40,13 @@ object PostingRows {
     if (dels.isEmpty) return Some(merge(rows, wave))
     val head = rows(0)
     val withPos = head.posPayload != null
+    val withOff = head.offPayload != null
     val entries = rows.sortBy(_.firstDocId)
       .flatMap(r => decodeEntries(r, withPos))
       .filter(e => java.util.Arrays.binarySearch(dels, e.docId) < 0)
     if (entries.isEmpty) None
     else Some(fromEntries(entries.sortBy(_.docId), wave, head.field, head.term,
-      head.rangeId, withPos))
+      head.rangeId, withPos, withOff))
   }
 
   def decodeEntries(r: PostingRow, withPos: Boolean): Array[PostingEntry] = {
@@ -52,9 +55,13 @@ object PostingRows {
       if (withPos && r.posPayload != null)
         PostingsCodec.decodePositions(r.posPayload, dec.freqs)
       else null
+    val offs =
+      if (r.offPayload != null) PostingsCodec.decodeOffsets(r.offPayload, dec.freqs)
+      else null
     Array.tabulate(dec.length) { i =>
       PostingEntry(dec.docIds(i), dec.freqs(i), dec.dls(i), dec.norms(i),
-        if (poss != null) poss(i) else Array.emptyIntArray)
+        if (poss != null) poss(i) else Array.emptyIntArray,
+        if (offs != null) offs(i) else Array.emptyIntArray)
     }
   }
 }

@@ -50,7 +50,12 @@ final case class PostingRow(
     skipOffset: Array[Int],
     skipPosOffset: Array[Int],
     skipMaxFreq: Array[Int],
-    skipMinDl: Array[Int])
+    skipMinDl: Array[Int],
+    /** Offsets stream (format 3, IndexConfig.withOffsets); null otherwise —
+      * a retrieval-time column the scoring path never reads (parquet prunes
+      * it away unless offsets() asks).
+      */
+    offPayload: Array[Byte] = null)
 
 /** Global term-dictionary row (the BlockTree terms dict of the reference,
   * /root/reference/core/codec/blocktree/termsWriter.go, reduced to a Parquet
@@ -100,6 +105,12 @@ final case class IndexConfig(
     segmentsPerWave: Int = 8,
     /** shuffle parallelism for the postings aggregation */
     buildPartitions: Int = 32,
+    /** store per-occurrence character offsets next to positions
+      * (IndexOptions=4 analogue — highlighting/snippets without
+      * re-tokenizing stored content). Indexes built with this stamp
+      * manifest formatVersion 3; readers without offset needs are
+      * unaffected (the column prunes away). */
+    withOffsets: Boolean = false,
     /** when set, take docIds from this input column (must be unique,
       * non-negative longs) instead of assigning rank-based ids */
     explicitDocIdCol: Option[String] = None,

@@ -571,6 +571,45 @@ final class IndexSearcher(
     Explain.forDoc(p.q, p.ge, rows, rangeId, docId, this, p.stats, mode)
   }
 
+  /** Per-occurrence CHARACTER OFFSETS of `term` in field `f` across all
+    * live matching docs, as a distributed DataFrame (docId, startOff,
+    * endOff) — the highlighting/snippet primitive (reference postings
+    * carry offsets behind IndexOptions flags, postingsWriter.go:323-381).
+    * Requires a format-3 index (IndexConfig.withOffsets); decode is one
+    * pass over the term's posting rows with both delete paths applied —
+    * never a stored-content re-tokenize.
+    */
+  def offsets(f: String, term: String): DataFrame = {
+    require(manifest.formatVersion >= graft.index.IndexManifest.FormatOffsets,
+      s"index stores no offsets (format ${manifest.formatVersion}); " +
+        "build with IndexConfig(withOffsets = true)")
+    val base = postingsDF.where(pairPredicate(Seq((f, term))))
+      .select(col("rangeId"), col("payload"), col("offPayload"))
+    val withDels =
+      if (rangedDeletes) base.join(delRangesDF, Seq("rangeId"), "left")
+      else base.withColumn("dels", lit(null).cast("array<bigint>"))
+    val smallDels = deletedSorted
+    withDels.select(col("payload"), col("offPayload"), col("dels"))
+      .as[(Array[Byte], Array[Byte], Array[Long])]
+      .flatMap { case (payload, off, dels) =>
+        val dec = PostingsCodec.decode(payload)
+        val offs =
+          if (off == null) null else PostingsCodec.decodeOffsets(off, dec.freqs)
+        (0 until dec.length).iterator.flatMap { i =>
+          val id = dec.docIds(i)
+          val live =
+            (smallDels.isEmpty || java.util.Arrays.binarySearch(smallDels, id) < 0) &&
+              (dels == null || dels.isEmpty ||
+                java.util.Arrays.binarySearch(dels, id) < 0)
+          if (live && offs != null) {
+            val os = offs(i)
+            (0 until os.length by 2).iterator.map(k => (id, os(k), os(k + 1)))
+          } else Iterator.empty
+        }
+      }
+      .toDF("docId", "startOff", "endOff")
+  }
+
   /** Posting-row METADATA of the query keys (no payloads → Parquet column
     * pruning): feeds WAND bound computation.
     */

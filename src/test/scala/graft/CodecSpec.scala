@@ -104,6 +104,40 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("offsets stream round-trips (format 3): per-occurrence (start, end) pairs") {
+    val rnd = new Random(77)
+    for (n <- Seq(1, 127, 128, 300); _ <- 1 to 5) {
+      val entries = randomEntries(rnd, n, withPos = true).map { e =>
+        // offsets consistent with positions: monotone starts, end > start
+        var off = rnd.nextInt(50)
+        val os = new Array[Int](e.freq * 2)
+        var k = 0
+        while (k < os.length) {
+          val len = 1 + rnd.nextInt(20)
+          os(k) = off; os(k + 1) = off + len
+          off += len + 1 + rnd.nextInt(5)
+          k += 2
+        }
+        e.copy(offsets = os)
+      }
+      val enc = PostingsCodec.encode(entries, withPositions = true, withOffsets = true)
+      val dec = PostingsCodec.decode(enc.payload)
+      val offs = PostingsCodec.decodeOffsets(enc.offsets.get, dec.freqs)
+      entries.indices.foreach(i =>
+        assert(offs(i).toSeq == entries(i).offsets.toSeq, s"entry $i"))
+      // positions stream is unaffected by the offsets stream
+      val poss = PostingsCodec.decodePositions(enc.positions.get, dec.freqs)
+      entries.indices.foreach(i => assert(poss(i).toSeq == entries(i).positions.toSeq))
+    }
+    // freq/offsets length mismatch is rejected at encode time
+    val bad = randomEntries(rnd, 1, withPos = true)
+      .map(e => e.copy(offsets = Array(0, 3))) // freq > 1 but one pair
+      .filter(_.freq > 1)
+    if (bad.nonEmpty)
+      intercept[IllegalArgumentException](
+        PostingsCodec.encode(bad, withPositions = true, withOffsets = true))
+  }
+
   test("decodeRange (skip-entry navigation) equals filtered full decode") {
     val rnd = new Random(99)
     for (n <- Seq(5, 128, 300, 1000)) {
