@@ -218,6 +218,15 @@ object SparkEntry {
                 FROM graft_search('$idx', 'merge sort', 12, 'bm25', 'exact')
                 ORDER BY doc_id""")
     }),
+    "ft_sql_tvf_wand" -> ((s, d) => { // TVF parity with the DSv2 source's
+      // wand option (round-5): block-max pruning through the FROM clause
+      // must return the exact exhaustive top-k
+      graft.functions.GraftSearchTvf.register(s)
+      val idx = FtQueries.indexPath(s, d)
+      s.sql(s"""SELECT docId AS doc_id, round(score, 4) AS score_r
+                FROM graft_search('$idx', 'spark window batch', 10, 'bm25', 'exact', 'true')
+                ORDER BY doc_id""")
+    }),
     "ft_wide_or" -> ((s, d) => // 20-term disjunction: evaluation breadth
       // (term-index routing, accumulator widths) under one oracle
       FtQueries.pageDF(s, d, BooleanQuery(
@@ -360,6 +369,40 @@ object SparkEntry {
         .select(col("doc_id"), col("t.pos").as("pos"), col("t.term").as("term"))
         .where(col("term").isin(SparkEntry.stemVocab.map(_._1): _*))
         .withColumn("stem", graft.functions.Functions.porterStem(col("term")))
+        .orderBy("doc_id", "pos")),
+
+    "ta_english" -> ((s, d) => { // the COMPOSED EnglishAnalyzer chain
+      // (standard tokenize → possessive strip → stop → Porter) end-to-end
+      // (round-5: the composition was sbt-only): corpus vocab words, every
+      // even-position occurrence dressed with a possessive 's — the chain
+      // must strip it and land on the SAME hand-derived stem
+      import s.implicits._
+      val base = docs(s, d).where(col("doc_id") < 30)
+        .select(col("doc_id"),
+          explode(graft.functions.Functions.tokenizeCode(col("text"))).as("t"))
+        .select(col("doc_id"), col("t.pos").as("pos"), col("t.term").as("term"))
+        .where(col("term").isin(SparkEntry.stemVocab.map(_._1): _*))
+        .withColumn("w",
+          when(col("pos") % 2 === 0, concat(col("term"), lit("'s")))
+            .otherwise(col("term")))
+      val aB = s.sparkContext.broadcast(new graft.analysis.EnglishAnalyzer())
+      base.as[(Long, Int, String, String)]
+        .mapPartitions { it =>
+          val a = aB.value
+          it.map { case (id, p, t, w) =>
+            (id, p, t, a(w).tokens.map(_.term).mkString(" "))
+          }
+        }
+        .toDF("doc_id", "pos", "term", "stem")
+        .orderBy("doc_id", "pos")
+    }),
+    "ta_icu_quotes" -> ((s, d) => // ICU UAX#29 single-quote rules pinned
+      // OUTSIDE sbt (round-5): apostrophes stay INSIDE words (MidLetter),
+      // stopword drop still advances positions ('the' at slot 1)
+      docs(s, d).where(col("doc_id") < 10)
+        .select(col("doc_id"), explode(graft.functions.Functions.tokenizeCode(
+          lit("can't the dog's it's o'clock"))).as("t"))
+        .select(col("doc_id"), col("t.pos").as("pos"), col("t.term").as("term"))
         .orderBy("doc_id", "pos")),
 
     // ---- multimodal (binary columns; decode stubbed, plumbing real) ----
@@ -1156,6 +1199,19 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(s, 4) AS score_r FROM rk
          |WHERE rn <= 12 ORDER BY doc_id""".stripMargin,
+    "ft_sql_tvf_wand" -> // same exhaustive ranking: the TVF's wand argument
+      // must not change a single row of the top-10
+      s"""${ftBase(Seq("spark", "window", "batch"))}, sc AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN f_spark > 0 THEN ${termScore("spark")} ELSE 0 END
+         |    + CASE WHEN f_window > 0 THEN ${termScore("window")} ELSE 0 END
+         |    + CASE WHEN f_batch > 0 THEN ${termScore("batch")} ELSE 0 END AS s
+         |  FROM base WHERE f_spark > 0 OR f_window > 0 OR f_batch > 0
+         |), rk AS (
+         |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
+         |)
+         |SELECT doc_id, round(s, 4) AS score_r FROM rk
+         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     "ft_sql_wand" -> // identical ranking to ft_wand_topk: wand pruning via
       // the DSv2 view must not change a single row of the exhaustive top-10
       s"""${ftBase(Seq("spark", "window", "batch"))}, sc AS (
@@ -1509,6 +1565,27 @@ object SparkEntry {
          |)
          |SELECT doc_id, n_tokens, CAST(floor(start_off / 512.0) AS BIGINT) AS bin_id
          |FROM o ORDER BY doc_id""".stripMargin,
+    "ta_english" -> // expected stems from the SAME hand map as ta_stemmed:
+      // the possessive dressing must be invisible in the chain's output
+      s"""WITH raw AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk_all
+         |  FROM documents WHERE doc_id < 30
+         |)
+         |SELECT doc_id, CAST(pos AS INT) AS pos, term,
+         |  CASE term ${stemVocab.map { case (w, st) => s"WHEN '$w' THEN '$st'" }.mkString(" ")} END AS stem
+         |FROM (
+         |  SELECT doc_id, unnest(tk_all) AS term, generate_subscripts(tk_all, 1) - 1 AS pos FROM raw
+         |) WHERE term NOT IN (${TextOpsOracle.stopSql})
+         |  AND term IN (${stemVocab.map(v => s"'${v._1}'").mkString(",")})
+         |ORDER BY doc_id, pos""".stripMargin,
+    "ta_icu_quotes" -> // hand-expected UAX#29 tokens of the apostrophe
+      // fixture: can't(0) [the(1) dropped-but-advances] dog's(2) it's(3)
+      // o'clock(4)
+      s"""SELECT doc_id, CAST(pos AS INT) AS pos, term
+         |FROM documents,
+         |  (VALUES (0, 'can''t'), (2, 'dog''s'), (3, 'it''s'), (4, 'o''clock')) AS v(pos, term)
+         |WHERE doc_id < 10
+         |ORDER BY doc_id, pos""".stripMargin,
     "ta_stemmed" -> // stems come from the hand-derived CASE map (published
       // Porter rules), never from the engine — matching pins the chain
       s"""WITH raw AS (

@@ -28,6 +28,9 @@ class AnalyzerSpec extends AnyFunSuite {
 
   test("apostrophes kept inside words (UAX#29 single-quote rule)") {
     assert(toks("can't won't") == Seq(("can't", 0), ("won't", 1)))
+    // the ta_icu_quotes oracle fixture: 'the' dropped but advances position
+    assert(toks("can't the dog's it's o'clock") ==
+      Seq(("can't", 0), ("dog's", 2), ("it's", 3), ("o'clock", 4)))
   }
 
   test("over-long tokens skipped but still advance position") {
