@@ -70,52 +70,79 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
         s"analyzed/keyword field '$c' is not a column of the input (have: ${corpus.columns.mkString(",")})"))
       val staged = config.explicitDocIdCol match {
         case Some(idCol) =>
-          // caller-supplied ids: segment by docId range (stays contiguous)
+          // caller-supplied ids: segment by docId range (stays contiguous);
+          // range-repartitioned + segId-sorted so every staged file carries
+          // tight segId min/max stats for the wave filter's pushdown
           val maxId = corpus.agg(max(col(idCol).cast("long"))).collect()(0).getLong(0)
           val perSeg = math.max(1L, (maxId + config.numSegments.toLong) / config.numSegments)
           corpus
             .withColumn("docId", col(idCol).cast("long"))
             .withColumn("segId", (col("docId") / perSeg).cast("int"))
-            .repartition(col("segId"))
+            .repartitionByRange(col("segId"), col("docId"))
+            .sortWithinPartitions("segId")
         case None =>
-          // docId = rank in the total order (segId, repo, path, h): a range
-          // repartition + partition-local sort + zipWithIndex. Sort-task size
-          // is corpus/buildPartitions — independent of segment count (the
-          // previous Window.partitionBy(segId) put an entire segment in ONE
-          // sort task: a 100x corpus would put 10^10 rows there). Ranks in a
-          // total key order are partitioning-independent, so docIds stay a
+          // docId = rank in the total order (segId, repo, path, h). Ranks in
+          // a total key order are partitioning-independent, so docIds stay a
           // pure function of the input; h = xxhash64(commit, content) breaks
           // (repo, path) ties deterministically. Extra field columns ride
           // along as payload (never sort keys).
+          //
+          // Round-5 scaling rework (stage-1 measured ~0.61 at 2→8 cores —
+          // memory-bandwidth-bound, so PASSES over the wide content rows are
+          // the cost unit): ONE range exchange whose shuffle files feed two
+          // jobs — (1) a count-only pass over the UNSORTED partitions
+          // (partition sizes don't depend on sort order), (2) an IN-MEMORY
+          // per-partition sort + id assignment from the cumulative offsets.
+          // The previous zipWithIndex ran Spark's external sort in BOTH its
+          // count job and its assignment pass, and the partitionBy(segId)
+          // write added a third (dynamic-partition) sort plus a
+          // segments×tasks small-file explosion. Sort-task size stays
+          // corpus/buildPartitions (the same bounded-partition contract the
+          // invert map stage's in-RAM accumulator already requires).
           val bucketed = corpus
             .withColumn("segId", pmod(xxhash64(col("repo"), col("path")), lit(config.numSegments)).cast("int"))
             .withColumn("h", xxhash64(col("commit"), col("content")))
           val parts = math.max(config.buildPartitions, spark.sparkContext.defaultParallelism)
           val dataCols = Seq("segId", "repo", "path", "commit", "lang", "content") ++ extras
-          val sorted = bucketed
+          val exchanged = bucketed
             .select((dataCols :+ "h").map(col): _*)
             .repartitionByRange(parts, col("segId"), col("repo"), col("path"), col("h"))
-            .sortWithinPartitions("segId", "repo", "path", "h")
-          // zipWithIndex = per-partition counts job + assignment pass over the
-          // SAME shuffle output (reused, not recomputed)
+          val exRdd = exchanged.rdd // ONE lineage: both jobs reuse the shuffle files
+          val counts = exRdd
+            .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+            .collect().sortBy(_._1).map(_._2)
+          val offsets = counts.scanLeft(0L)(_ + _)
+          val offB = spark.sparkContext.broadcast(offsets)
+          val hIdx = dataCols.length // h rides last, dropped after sorting
           val schema = org.apache.spark.sql.types.StructType(
             org.apache.spark.sql.types.StructField("docId",
               org.apache.spark.sql.types.LongType, nullable = false) +:
-              sorted.schema.fields.dropRight(1)) // h dropped
+              exchanged.schema.fields.dropRight(1)) // h dropped
           spark.createDataFrame(
-            sorted.rdd.zipWithIndex().map { case (row, id) =>
-              org.apache.spark.sql.Row.fromSeq(id +: row.toSeq.dropRight(1))
+            exRdd.mapPartitionsWithIndex { (pi, it) =>
+              val arr = it.toArray
+              java.util.Arrays.sort(arr, IndexBuilder.StageKeyOrder(hIdx))
+              var id = offB.value(pi) - 1
+              arr.iterator.map { row =>
+                id += 1
+                org.apache.spark.sql.Row.fromSeq(id +: row.toSeq.dropRight(1))
+              }
             }, schema)
       }
+      // no partitionBy: files come from range-ordered partitions, so their
+      // segId min/max row-group stats are tight and the wave filter prunes
+      // via predicate pushdown — without the dynamic-partition sort or the
+      // segments×tasks file explosion
       staged
         .select(stagedColumns.map(col): _*)
-        .write.mode("overwrite").partitionBy("segId").parquet(stagedPath)
+        .write.mode("overwrite").parquet(stagedPath)
     }
 
     // ---- stage 2: invert + flush, in resumable waves of segments ------
-    val segIds = fs(stagedPath).listStatus(new Path(stagedPath))
-      .filter(_.getPath.getName.startsWith("segId="))
-      .map(_.getPath.getName.stripPrefix("segId=").toInt).sorted
+    // distinct over the parquet segId column (one narrow-column job) — works
+    // for both the current flat layout and older partitionBy(segId=) dirs
+    val segIds = spark.read.parquet(stagedPath).select("segId").distinct()
+      .collect().map(_.getInt(0)).sorted
 
     // waves folded into a merged wave by TieredMerge: their postings live in
     // the merge output — re-inverting them would duplicate postings
@@ -425,7 +452,7 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     // is ~0.2 s of fixed scheduler cost per publish that never parallelizes
     val segMetas = docRoll.filter(!_.isNullAt(0))
       .map(r => SegmentMeta(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        generation = 1, lineage = s"$stagedPath/segId=${r.getInt(0)}"))
+        generation = 1, lineage = s"$stagedPath WHERE segId=${r.getInt(0)}"))
       .sortBy(_.segId)
     val segOut = fs(indexPath).create(new Path(s"$segmentsPath.json"), true)
     segMetas.foreach { sm =>
@@ -636,6 +663,44 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
 object IndexBuilder {
   /** The four stored metadata columns of the CodeFile input shape. */
   val MetaCols = Seq("repo", "path", "commit", "lang")
+
+  /** Row order of the stage-1 key (segId, repo, path, h) matching Spark's
+    * own sort semantics EXACTLY: strings compare in UTF-8 BINARY order (the
+    * published UTF16-in-UTF8-order adjustment for surrogate pairs — Spark's
+    * UTF8String.compare is byte-wise), nulls first. Required because range
+    * partition boundaries come from Spark's ordering while the in-partition
+    * sort is ours: any disagreement at a partition boundary would make
+    * docIds depend on the (sampled) boundaries instead of the input alone.
+    */
+  private final case class StageKeyOrder(hIdx: Int)
+      extends java.util.Comparator[org.apache.spark.sql.Row] with Serializable {
+    private def utf8Cmp(a: String, b: String): Int = {
+      if (a == null || b == null) return java.lang.Boolean.compare(b == null, a == null)
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val ca = a.charAt(i)
+        val cb = b.charAt(i)
+        if (ca != cb) {
+          if (ca >= 0xD800 && cb >= 0xD800) {
+            val fa = if (ca >= 0xE000) ca - 0x800 else ca + 0x2000
+            val fb = if (cb >= 0xE000) cb - 0x800 else cb + 0x2000
+            return fa - fb
+          }
+          return ca - cb
+        }
+        i += 1
+      }
+      a.length - b.length
+    }
+    def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
+      var c = Integer.compare(a.getInt(0), b.getInt(0))
+      if (c == 0) c = utf8Cmp(a.getString(1), b.getString(1))
+      if (c == 0) c = utf8Cmp(a.getString(2), b.getString(2))
+      if (c == 0) c = java.lang.Long.compare(a.getLong(hIdx), b.getLong(hIdx))
+      c
+    }
+  }
 
   /** A builder whose field config MATCHES an existing committed index —
     * the only safe way to republish one you didn't just build (advisor
