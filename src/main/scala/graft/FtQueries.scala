@@ -222,6 +222,10 @@ object FtQueries {
 
   private val searcherCache = scala.collection.concurrent.TrieMap.empty[String, IndexSearcher]
 
+  /** Cached searcher over an explicit index dir (twins). */
+  def searcherFor(spark: SparkSession, indexDir: String): IndexSearcher =
+    searcherCache.getOrElseUpdate(indexDir, new IndexSearcher(spark, indexDir))
+
   def searcher(spark: SparkSession, sfDir: String): IndexSearcher =
     searcherCache.getOrElseUpdate(sfDir, new IndexSearcher(spark, indexPath(spark, sfDir)))
 

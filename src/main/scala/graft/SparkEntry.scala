@@ -87,6 +87,23 @@ object SparkEntry {
       // highlighting primitive; round-5): every occurrence of 'merge' in the
       // space-joined twin vs pure token-length arithmetic in SQL
       FtQueries.offsetsDF(s, d, "merge")),
+    "ft_wildcard" -> ((s, d) => // wildcard expansion `*ue*` (round-5): a
+      // LEADING wildcard (vocabulary scan + anchored-regex filter) expanding
+      // to {query, value} — ≤2 contributing terms per doc keeps the float64
+      // disjunction sum order-independent, same discipline as ft_prefix
+      FtQueries.matches(s, d, FtQueries.parser.parse("*ue*"))),
+    "ft_snippets" -> ((s, d) => { // snippet WINDOW PLANNING over stored
+      // offsets (round-5): per matching doc, the 80-char window anchored at
+      // a span start holding the most 'merge' occurrences — vs the same
+      // argmax computed by SQL self-join arithmetic
+      val idx = FtQueries.offsetsIndexPath(s, d)
+      val sr = FtQueries.searcherFor(s, idx)
+      graft.search.Snippets.bestWindows(sr.offsets("content", "merge"), window = 80)
+        .select(col("docId").as("doc_id"),
+          col("winStart").cast("long").as("win_start"),
+          col("nMatches").cast("long").as("n_matches"))
+        .orderBy("doc_id")
+    }),
     "ft_singleton" -> ((s, d) => // singleton pulsing via search(): the commit
       // keyword field's terms all have df == 1 → the query resolves from the
       // terms dict + stored dls with ZERO postings reads
@@ -752,6 +769,30 @@ object SparkEntry {
          |SELECT doc_id, round(score, 4) AS score_r
          |FROM sc WHERE nm > 0
          |ORDER BY doc_id""".stripMargin,
+    "ft_wildcard" -> // expansion derived IN SQL via LIKE '%ue%' (same
+      // per-term df/score recomputation as ft_prefix)
+      s"""$prelude, tdf AS (
+         |  SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |  FROM (SELECT DISTINCT doc_id, tok AS term
+         |        FROM (SELECT doc_id, unnest(tk) AS tok FROM docs) WHERE tok LIKE '%ue%')
+         |  GROUP BY term
+         |), perdoc AS (
+         |  SELECT d.doc_id, t.term, t.df,
+         |    len(list_filter(d.tk, x -> x = t.term)) AS f, len(d.tk) AS dl
+         |  FROM docs d, tdf t
+         |), sc AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN f > 0 THEN
+         |      (ln(1 + ((SELECT n FROM g) - df + 0.5) / (df + 0.5))
+         |       * ((CAST(f AS DOUBLE) * (1.2 + 1)) /
+         |          (CAST(f AS DOUBLE) + 1.2 * ((1 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / (SELECT avgdl FROM g)))))
+         |      ELSE 0 END) AS score,
+         |    count(*) FILTER (f > 0) AS nm
+         |  FROM perdoc GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 4) AS score_r
+         |FROM sc WHERE nm > 0
+         |ORDER BY doc_id""".stripMargin,
     "ft_prefix_singleton" -> // commit LIKE '42%': every matched term df=1,
       // freq=1, dl=1, avgdl(commit)=1 → identical idf-only scores; top-20 =
       // smallest 20 matching doc_ids (tie-break docId asc)
@@ -778,6 +819,29 @@ object SparkEntry {
          |)
          |SELECT doc_id, start_off, start_off + tok_len AS end_off
          |FROM occ ORDER BY doc_id, start_off""".stripMargin,
+    "ft_snippets" -> // best window = argmax over span-start anchors of
+      // #starts in [a, a+80), tie → smallest anchor (Snippets.bestWindow's
+      // defined spec) — recomputed via self-join arithmetic
+      s"""WITH raw AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tka
+         |  FROM documents
+         |), occ AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(list_sum(list_transform(list_slice(tka, 1, i - 1), t -> len(t))), 0) + (i - 1) AS BIGINT) AS start_off
+         |  FROM (SELECT doc_id, tka, unnest(range(1, len(tka) + 1)) AS i FROM raw)
+         |  WHERE tka[i] = 'merge'
+         |), cand AS (
+         |  SELECT a.doc_id, a.start_off AS anchor, CAST(count(*) AS BIGINT) AS n
+         |  FROM occ a JOIN occ b ON b.doc_id = a.doc_id
+         |    AND b.start_off >= a.start_off AND b.start_off < a.start_off + 80
+         |  GROUP BY a.doc_id, a.start_off
+         |), best AS (
+         |  SELECT doc_id, anchor, n,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, anchor) AS rn
+         |  FROM cand
+         |)
+         |SELECT doc_id, anchor AS win_start, n AS n_matches
+         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "ft_singleton" -> // commit:'42' → df=1, freq=1, dl=1, avgdl(commit)=1
       s"""$prelude, cf AS (
          |  SELECT CAST(count(*) AS DOUBLE) AS df FROM documents WHERE CAST(doc_id AS VARCHAR) = '42'

@@ -46,6 +46,20 @@ final case class PhraseQuery(terms: Seq[String], boost: Float = 1.0f,
 final case class PrefixQuery(prefix: String, boost: Float = 1.0f,
     field: Option[String] = None) extends Query
 
+/** Wildcard term query `field:a*b?c` (`*` = any run, `?` = one char).
+  * Absent in the reference (the classic QP lexes the tokens but the
+  * handlers panic, queryParserBase.go:220-226) — additive, evaluated like
+  * [[PrefixQuery]] by analysis-time dictionary expansion: the literal
+  * prefix before the first wildcard pushes down as a range scan
+  * (StringStartsWith), the rest filters DISTRIBUTED as an anchored regex,
+  * and the ≤1024 surviving terms become a sorted SHOULD disjunction with
+  * per-term statistics. A LEADING wildcard loses the pushdown and scans the
+  * vocabulary — vocabulary-sized, never corpus-sized, but prefer an
+  * anchored pattern at scale.
+  */
+final case class WildcardQuery(pattern: String, boost: Float = 1.0f,
+    field: Option[String] = None) extends Query
+
 sealed trait Occur
 object Occur {
   case object MUST extends Occur
@@ -71,7 +85,7 @@ object Query {
       case TermQuery(t, _, f) => buf += ((f.getOrElse(defaultField), t))
       case PhraseQuery(ts, _, f, _) => ts.foreach(t => buf += ((f.getOrElse(defaultField), t)))
       case BooleanQuery(cs, _, _) => cs.foreach(c => walk(c.query))
-      case p: PrefixQuery => throw new IllegalStateException(
+      case p @ (_: PrefixQuery | _: WildcardQuery) => throw new IllegalStateException(
         s"unexpanded $p reached leafKeys — multi-term queries must go through " +
           "IndexSearcher.expandPrefixes first (search/scoredDocs/explain/Wand do)")
     }
@@ -114,6 +128,7 @@ object Query {
     case TermQuery(t, b0, f) => TermQuery(t, b0 * b, f)
     case PhraseQuery(ts, b0, f, sl) => PhraseQuery(ts, b0 * b, f, sl)
     case PrefixQuery(pre, b0, f) => PrefixQuery(pre, b0 * b, f)
+    case WildcardQuery(pat, b0, f) => WildcardQuery(pat, b0 * b, f)
     case BooleanQuery(cs, m, b0) => BooleanQuery(cs, m, b0 * b)
   }
 }

@@ -167,9 +167,12 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
       if (ci > 0 && ci < w.length - 1) {
         val f = w.substring(0, ci)
         val text = w.substring(ci + 1)
-        if (text.length > 1 && text.endsWith("*") && !text.dropRight(1).contains('*') &&
+        if (text.length > 1 && text.endsWith("*") && !text.dropRight(1).exists(isWild) &&
             fieldKnown(f))
           (Some(prefix(text.dropRight(1), Some(f).filter(_ != defaultField),
+            raw = keywordFields.contains(f))), rest)
+        else if (text.exists(isWild) && text.exists(!isWild(_)) && fieldKnown(f))
+          (Some(wildcard(text, Some(f).filter(_ != defaultField),
             raw = keywordFields.contains(f))), rest)
         else if (f == defaultField) (analyzed(text, None), rest)
         else if (analyzedFields.contains(f)) (analyzed(text, Some(f)), rest)
@@ -187,8 +190,10 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
                 "searching it as default-field text (strictFields=false)")
           (analyzed(w, None), rest) // whole word as text
         } else unknownField(f)
-      } else if (w.length > 1 && w.endsWith("*") && !w.dropRight(1).contains('*'))
+      } else if (w.length > 1 && w.endsWith("*") && !w.dropRight(1).exists(isWild))
         (Some(prefix(w.dropRight(1), None, raw = false)), rest)
+      else if (w.exists(isWild) && w.exists(!isWild(_)))
+        (Some(wildcard(w, None, raw = false)), rest)
       else (analyzed(w, None), rest)
     case other => (None, if (other.isEmpty) Nil else other.tail)
   }
@@ -206,6 +211,17 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
         s"prefix '$text*' must analyze to exactly one token (got: $other)")
     }
   }
+
+  private def isWild(c: Char): Boolean = c == '*' || c == '?'
+
+  /** `a*b?c` → WildcardQuery. The pattern cannot pass through the analyzer
+    * (it would strip the wildcards), so analyzed fields lowercase it — the
+    * right normalization for both shipped tokenizer families; keyword
+    * fields take it raw.
+    */
+  private def wildcard(text: String, field: Option[String], raw: Boolean): Query =
+    WildcardQuery(
+      if (raw) text else text.toLowerCase(java.util.Locale.ROOT), 1.0f, field)
 
   private def fieldKnown(f: String): Boolean =
     f == defaultField || keywordFields.contains(f) || analyzedFields.contains(f)

@@ -399,7 +399,7 @@ final class IndexSearcher(
       case BooleanQuery(clauses, _, boost) =>
         clauses.filter(_.occur != Occur.MUST_NOT)
           .map(c => v(c.query, boost * topBoost)).sum
-      case p: PrefixQuery => throw new IllegalStateException(
+      case p @ (_: PrefixQuery | _: WildcardQuery) => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
     val qn = sim.queryNorm(math.max(v(Query.rewrite(q0), 1.0f), Float.MinPositiveValue))
@@ -423,7 +423,7 @@ final class IndexSearcher(
       case BooleanQuery(clauses, _, boost) =>
         clauses.filter(_.occur != Occur.MUST_NOT)
           .map(c => vD(c.query, boost.toDouble * topBoost)).sum
-      case p: PrefixQuery => throw new IllegalStateException(
+      case p @ (_: PrefixQuery | _: WildcardQuery) => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
     val qnD = sim.exactQueryNorm(math.max(vD(Query.rewrite(q0), 1.0), Double.MinPositiveValue))
@@ -458,7 +458,7 @@ final class IndexSearcher(
           clauses.filter(_.occur == Occur.MUST_NOT).map(c => node(c.query, 1.0f)).toArray,
           msm,
           Array.tabulate(maxOverlap + 1)(i => sim.coord(i, math.max(maxOverlap, 1))))
-      case p: PrefixQuery => throw new IllegalStateException(
+      case p @ (_: PrefixQuery | _: WildcardQuery) => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
     node(Query.rewrite(q0), 1.0f)
@@ -498,10 +498,42 @@ final class IndexSearcher(
     terms
   }
 
-  /** Rewrite multi-term leaves (PrefixQuery) into bounded SHOULD
-    * disjunctions of dictionary terms in sorted order, each scoring with its
-    * own statistics (Lucene SCORING_BOOLEAN_QUERY_REWRITE). An expansion
-    * with no matching terms becomes an empty BooleanQuery (matches
+  /** Matching dictionary terms for a wildcard pattern (`*` any run, `?` one
+    * char): the literal prefix before the first wildcard pushes down
+    * (StringStartsWith), the full pattern filters DISTRIBUTED as an anchored
+    * regex BEFORE the 1025-row limit (filtering after the limit could drop
+    * matching terms hiding behind non-matching prefix-mates). A leading
+    * wildcard degrades to a vocabulary scan — dictionary-sized, never
+    * corpus-sized.
+    */
+  private def wildcardTerms(f: String, pattern: String): Seq[String] = {
+    require(pattern.exists(c => c != '*' && c != '?'),
+      s"wildcard pattern '$pattern' has no literal characters")
+    val cached = prefixCache.get((f, "wc " + pattern))
+    if (cached.isDefined) return cached.get
+    val pre = pattern.takeWhile(c => c != '*' && c != '?')
+    // anchored regex from the pattern, literals quoted
+    val rx = pattern.map {
+      case '*' => ".*"
+      case '?' => "."
+      case c => java.util.regex.Pattern.quote(c.toString)
+    }.mkString("^", "", "$")
+    var base = termsDF.where(col("field") === f)
+    if (pre.nonEmpty) base = base.where(col("term").startsWith(pre))
+    val terms = base.where(col("term").rlike(rx))
+      .select("term").orderBy("term").limit(1025)
+      .as[String].collect().toSeq
+    require(terms.size <= 1024,
+      s"wildcard '$f:$pattern' expands to more than 1024 terms (reference " +
+        "maxClauseCount is the rewrite budget) — narrow the pattern")
+    prefixCache.put((f, "wc " + pattern), terms)
+    terms
+  }
+
+  /** Rewrite multi-term leaves (PrefixQuery, WildcardQuery) into bounded
+    * SHOULD disjunctions of dictionary terms in sorted order, each scoring
+    * with its own statistics (Lucene SCORING_BOOLEAN_QUERY_REWRITE). An
+    * expansion with no matching terms becomes an empty BooleanQuery (matches
     * nothing — same contract as a TermQuery on an absent term). Every query
     * entry point (search/scoredDocs/explain, Wand.searchTopK) expands before
     * compiling.
@@ -510,6 +542,10 @@ final class IndexSearcher(
     case PrefixQuery(prefix, boost, f) =>
       val fn = f.getOrElse(field)
       BooleanQuery(prefixTerms(fn, prefix).map(t =>
+        BooleanClause(Occur.SHOULD, TermQuery(t, boost, f))))
+    case WildcardQuery(pattern, boost, f) =>
+      val fn = f.getOrElse(field)
+      BooleanQuery(wildcardTerms(fn, pattern).map(t =>
         BooleanClause(Occur.SHOULD, TermQuery(t, boost, f))))
     case BooleanQuery(cs, msm, boost) =>
       BooleanQuery(cs.map(c => c.copy(query = expandPrefixes(c.query))), msm, boost)
@@ -608,6 +644,50 @@ final class IndexSearcher(
         }
       }
       .toDF("docId", "startOff", "endOff")
+  }
+
+  /** Merged, overlap-coalesced matched spans of the query's `f`-field term
+    * leaves for the given (bounded, typically top-k) docIds — the highlight
+    * input for a hit page (pair with [[Snippets.render]] over the caller's
+    * copy of the text). Prefix/wildcard leaves expand first; phrase members
+    * contribute their individual term spans (Lucene-highlighter behavior).
+    * docIds are assumed LIVE (they come from a search); ≤ a page of ids, so
+    * the read is a rangeId-pruned point fetch.
+    */
+  def matchedSpans(q0: Query, docIds: Seq[Long], f: String = field)
+      : Map[Long, Seq[(Int, Int)]] = {
+    require(manifest.formatVersion >= graft.index.IndexManifest.FormatOffsets,
+      s"index stores no offsets (format ${manifest.formatVersion}); " +
+        "build with IndexConfig(withOffsets = true)")
+    val q = Query.rewrite(expandPrefixes(q0))
+    val keys = Query.leafKeys(q, field).filter(_._1 == f)
+    if (keys.isEmpty || docIds.isEmpty) return Map.empty
+    val idSet = docIds.toSet
+    val ranges = docIds.map(_ / manifest.docsPerRange).distinct
+    val rows = postingsDF.where(pairPredicate(keys))
+      .where(col("rangeId").isin(ranges: _*))
+      .select(col("payload"), col("offPayload"))
+      .as[(Array[Byte], Array[Byte])].collect()
+    val acc = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[(Int, Int)]]
+    rows.foreach { case (payload, off) =>
+      if (off != null) {
+        val dec = PostingsCodec.decode(payload)
+        val offs = PostingsCodec.decodeOffsets(off, dec.freqs)
+        var i = 0
+        while (i < dec.length) {
+          if (idSet.contains(dec.docIds(i))) {
+            val buf = acc.getOrElseUpdate(dec.docIds(i),
+              scala.collection.mutable.ArrayBuffer.empty)
+            val os = offs(i)
+            var k = 0
+            while (k < os.length) { buf += ((os(k), os(k + 1))); k += 2 }
+          }
+          i += 1
+        }
+      }
+    }
+    acc.map { case (id, spans) => id -> Snippets.coalesce(spans.toSeq) }.toMap
   }
 
   /** Posting-row METADATA of the query keys (no payloads → Parquet column

@@ -114,6 +114,41 @@ class PrefixSpec extends AnyFunSuite with SparkTestBase {
     assert(r.totalHits == 0 && r.scoreDocs.isEmpty)
   }
 
+  test("wildcard == explicit disjunction; regex filters BEFORE the limit") {
+    // '*rser' and 'p?rser' and 'pa*er' all expand to exactly {parser}; a
+    // broader 'b*r' hits buffer; cross-check vs explicit term queries
+    val cases = Seq(
+      "*rser" -> Seq("parser"),
+      "p?rser" -> Seq("parser"),
+      "b*r" -> Seq("buffer"),
+      "*er" -> spark.read.parquet(
+        graft.index.IndexManifest.load(spark, indexPath).termsLocation)
+        .where(col("field") === "content" && col("term").endsWith("er"))
+        .select("term").as[String].collect().sorted.toSeq)
+    for ((pat, expanded) <- cases) {
+      assert(expanded.nonEmpty, s"fixture assumption broken for $pat")
+      val explicit = BooleanQuery(expanded.map(t =>
+        BooleanClause(Occur.SHOULD, TermQuery(t))))
+      for (mode <- Seq[ScoreMode](ScoreMode.Ref32, ScoreMode.ExactDouble)) {
+        val a = searcher.search(WildcardQuery(pat), 12, mode)
+        val b = searcher.search(explicit, 12, mode)
+        assert(a.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+          b.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"$pat mode=$mode")
+        assert(a.totalHits == b.totalHits, pat)
+      }
+    }
+    // parser routing incl. '?' and fielded/keyword forms
+    val p = new QueryParser(new StandardCodeAnalyzer(), keywordFields = Set("lang"))
+    assert(p.parse("p?rser") == WildcardQuery("p?rser"))
+    assert(p.parse("*ER") == WildcardQuery("*er")) // lowercased for analyzed fields
+    assert(p.parse("lang:s*a") == WildcardQuery("s*a", 1.0f, Some("lang")))
+    assert(p.parse("sco*") == PrefixQuery("sco")) // trailing-star stays the cheap path
+    // all-wildcard pattern rejected
+    intercept[IllegalArgumentException](searcher.search(WildcardQuery("*"), 5))
+    // no match: empty, no crash
+    assert(searcher.search(WildcardQuery("zz*qq"), 5).totalHits == 0)
+  }
+
   test("expansion beyond the 1024-clause budget is rejected; 1024 exactly works") {
     // one doc whose content is 1025 distinct 'zz<i>' words → 'zz*' expands
     // past the reference maxClauseCount and must error with a clear message
