@@ -104,6 +104,15 @@ object SparkEntry {
           col("nMatches").cast("long").as("n_matches"))
         .orderBy("doc_id")
     }),
+    "ft_fuzzy" -> ((s, d) => // fuzzy expansion `vale~2` (round-5): classic
+      // Levenshtein ≤ 2 over the dictionary → {table, value} — ≤2
+      // contributing terms per doc (order-independent float64 sum), and the
+      // SQL twin recomputes the expansion with DuckDB's own levenshtein
+      FtQueries.matches(s, d, FtQueries.parser.parse("vale~2"))),
+    "ft_range" -> ((s, d) => // term range over the commit KEYWORD field
+      // (round-5): lexicographic [100 TO 104] — singleton terms, each doc
+      // matched by exactly its own commit term
+      FtQueries.matches(s, d, FtQueries.parser.parse("commit:[100 TO 104]"))),
     "ft_singleton" -> ((s, d) => // singleton pulsing via search(): the commit
       // keyword field's terms all have df == 1 → the query resolves from the
       // terms dict + stored dls with ZERO postings reads
@@ -792,6 +801,41 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(score, 4) AS score_r
          |FROM sc WHERE nm > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_fuzzy" -> // expansion via DuckDB levenshtein (the engine's distance
+      // is classic Levenshtein precisely so both sides agree)
+      s"""$prelude, tdf AS (
+         |  SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |  FROM (SELECT DISTINCT doc_id, tok AS term
+         |        FROM (SELECT doc_id, unnest(tk) AS tok FROM docs) WHERE levenshtein(tok, 'vale') <= 2)
+         |  GROUP BY term
+         |), perdoc AS (
+         |  SELECT d.doc_id, t.term, t.df,
+         |    len(list_filter(d.tk, x -> x = t.term)) AS f, len(d.tk) AS dl
+         |  FROM docs d, tdf t
+         |), sc AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN f > 0 THEN
+         |      (ln(1 + ((SELECT n FROM g) - df + 0.5) / (df + 0.5))
+         |       * ((CAST(f AS DOUBLE) * (1.2 + 1)) /
+         |          (CAST(f AS DOUBLE) + 1.2 * ((1 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / (SELECT avgdl FROM g)))))
+         |      ELSE 0 END) AS score,
+         |    count(*) FILTER (f > 0) AS nm
+         |  FROM perdoc GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 4) AS score_r
+         |FROM sc WHERE nm > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_range" -> // commit BETWEEN '100' AND '104' lexicographically (SQL
+      // string comparison == the dictionary's term order); every match is a
+      // df=1 singleton at freq=1, dl=1, avgdl(commit)=1 → idf-only score
+      s"""$prelude
+         |SELECT doc_id, round(
+         |  (ln(1 + ((SELECT n FROM g) - 1.0 + 0.5) / (1.0 + 0.5))
+         |   * ((1.0 * (1.2 + 1)) / (1.0 + 1.2 * ((1 - 0.75) + (0.75 * 1.0) /
+         |      ((SELECT CAST(count(*) AS DOUBLE) FROM documents) / (SELECT n FROM g)))))), 4) AS score_r
+         |FROM documents
+         |WHERE CAST(doc_id AS VARCHAR) BETWEEN '100' AND '104'
          |ORDER BY doc_id""".stripMargin,
     "ft_prefix_singleton" -> // commit LIKE '42%': every matched term df=1,
       // freq=1, dl=1, avgdl(commit)=1 → identical idf-only scores; top-20 =

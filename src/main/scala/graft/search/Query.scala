@@ -32,6 +32,13 @@ final case class TermQuery(term: String, boost: Float = 1.0f,
 final case class PhraseQuery(terms: Seq[String], boost: Float = 1.0f,
     field: Option[String] = None, slop: Int = 0) extends Query
 
+/** Marker for dictionary-expanded leaves (prefix/wildcard/fuzzy/range):
+  * rewritten by IndexSearcher.expandPrefixes into bounded SHOULD
+  * disjunctions BEFORE compilation; reaching leafKeys/compile unexpanded is
+  * a bug and throws.
+  */
+sealed trait MultiTermQuery extends Query
+
 /** Prefix term query `field:pre*`. The reference LEXES the star but its
   * handlers panic (/root/reference/queryparser/classic/queryParserBase.go:
   * 181-199,220-226), so this is additive, like WAND. Evaluation is by
@@ -44,7 +51,7 @@ final case class PhraseQuery(terms: Seq[String], boost: Float = 1.0f,
   * unexpanded.
   */
 final case class PrefixQuery(prefix: String, boost: Float = 1.0f,
-    field: Option[String] = None) extends Query
+    field: Option[String] = None) extends MultiTermQuery
 
 /** Wildcard term query `field:a*b?c` (`*` = any run, `?` = one char).
   * Absent in the reference (the classic QP lexes the tokens but the
@@ -58,7 +65,31 @@ final case class PrefixQuery(prefix: String, boost: Float = 1.0f,
   * anchored pattern at scale.
   */
 final case class WildcardQuery(pattern: String, boost: Float = 1.0f,
-    field: Option[String] = None) extends Query
+    field: Option[String] = None) extends MultiTermQuery
+
+/** Fuzzy term query `term~N` (N = max Levenshtein edits, 0..2; bare `~`
+  * means 2 — classic syntax; the reference has no fuzzy machinery at all).
+  * Engine-defined distance = CLASSIC Levenshtein (insert/delete/substitute,
+  * no transpositions) so Spark's `levenshtein` evaluates the expansion
+  * distributed over the dictionary and DuckDB's `levenshtein` reproduces it
+  * in the oracle. Expansion terms score with their OWN statistics
+  * (SCORING_BOOLEAN_QUERY_REWRITE), same as prefix/wildcard; a
+  * length-window prefilter (|len(term) − len(q)| ≤ N) prunes the scan
+  * before the distance evaluation.
+  */
+final case class FuzzyQuery(term: String, maxEdits: Int = 2,
+    boost: Float = 1.0f, field: Option[String] = None) extends MultiTermQuery
+
+/** Term range query `field:[a TO b]` (inclusive) / `{a TO b}` (exclusive),
+  * absent in the reference. Bounds compare as raw term strings
+  * (lexicographic — the dictionary's sort order); `None` leaves a side
+  * open. Both bounds push down to the parquet dictionary scan
+  * (GreaterThan/LessThan on the term column); the 1024-clause cap is the
+  * rewrite budget like every other multi-term query.
+  */
+final case class TermRangeQuery(lower: Option[String], upper: Option[String],
+    includeLower: Boolean = true, includeUpper: Boolean = true,
+    boost: Float = 1.0f, field: Option[String] = None) extends MultiTermQuery
 
 sealed trait Occur
 object Occur {
@@ -85,7 +116,7 @@ object Query {
       case TermQuery(t, _, f) => buf += ((f.getOrElse(defaultField), t))
       case PhraseQuery(ts, _, f, _) => ts.foreach(t => buf += ((f.getOrElse(defaultField), t)))
       case BooleanQuery(cs, _, _) => cs.foreach(c => walk(c.query))
-      case p @ (_: PrefixQuery | _: WildcardQuery) => throw new IllegalStateException(
+      case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p reached leafKeys — multi-term queries must go through " +
           "IndexSearcher.expandPrefixes first (search/scoredDocs/explain/Wand do)")
     }
@@ -129,6 +160,8 @@ object Query {
     case PhraseQuery(ts, b0, f, sl) => PhraseQuery(ts, b0 * b, f, sl)
     case PrefixQuery(pre, b0, f) => PrefixQuery(pre, b0 * b, f)
     case WildcardQuery(pat, b0, f) => WildcardQuery(pat, b0 * b, f)
+    case FuzzyQuery(t, e, b0, f) => FuzzyQuery(t, e, b0 * b, f)
+    case TermRangeQuery(lo, hi, il, iu, b0, f) => TermRangeQuery(lo, hi, il, iu, b0 * b, f)
     case BooleanQuery(cs, m, b0) => BooleanQuery(cs, m, b0 * b)
   }
 }

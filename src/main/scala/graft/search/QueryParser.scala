@@ -132,6 +132,19 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
     * term (optionally `field:term`).
     */
   private def parseClause(toks: List[Tok]): (Option[Query], List[Tok]) = toks match {
+    // term range `[a TO b]` / `{a TO b}` (optionally `field:[a TO b]`): the
+    // lexer yields three words; `*` opens a side. Reference: absent.
+    case Word(w) :: Word("TO") :: Word(z) :: rest
+        if rangeOpen(w).isDefined && z.length > 1 && (z.last == ']' || z.last == '}') =>
+      val (fOpt, loTxt, incLo) = rangeOpen(w).get
+      fOpt.foreach(f => if (!fieldKnown(f)) unknownField(f))
+      val raw = fOpt.exists(keywordFields.contains)
+      def bound(t: String): Option[String] =
+        if (t == "*") None
+        else Some(if (raw) t else t.toLowerCase(java.util.Locale.ROOT))
+      (Some(TermRangeQuery(bound(loTxt), bound(z.dropRight(1)),
+        includeLower = incLo, includeUpper = z.last == ']',
+        field = fOpt.filter(_ != defaultField))), rest)
     case LParen :: rest =>
       val (q, rest2) = parseBoolean(rest)
       val rest3 = rest2 match {
@@ -174,6 +187,11 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
         else if (text.exists(isWild) && text.exists(!isWild(_)) && fieldKnown(f))
           (Some(wildcard(text, Some(f).filter(_ != defaultField),
             raw = keywordFields.contains(f))), rest)
+        else if (fuzzySuffix(text).isDefined && fieldKnown(f)) {
+          val (b, n) = fuzzySuffix(text).get
+          (Some(fuzzy(b, n, Some(f).filter(_ != defaultField),
+            raw = keywordFields.contains(f))), rest)
+        }
         else if (f == defaultField) (analyzed(text, None), rest)
         else if (analyzedFields.contains(f)) (analyzed(text, Some(f)), rest)
         else if (keywordFields.contains(f)) (Some(TermQuery(text, 1.0f, Some(f))), rest)
@@ -194,7 +212,10 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
         (Some(prefix(w.dropRight(1), None, raw = false)), rest)
       else if (w.exists(isWild) && w.exists(!isWild(_)))
         (Some(wildcard(w, None, raw = false)), rest)
-      else (analyzed(w, None), rest)
+      else if (fuzzySuffix(w).isDefined) {
+        val (b, n) = fuzzySuffix(w).get
+        (Some(fuzzy(b, n, None, raw = false)), rest)
+      } else (analyzed(w, None), rest)
     case other => (None, if (other.isEmpty) Nil else other.tail)
   }
 
@@ -213,6 +234,42 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
   }
 
   private def isWild(c: Char): Boolean = c == '*' || c == '?'
+
+  /** `word~` (maxEdits 2) or `word~N` — the classic fuzzy suffix (the slop
+    * suffix is separate: it only follows a QUOTED phrase).
+    */
+  private def fuzzySuffix(text: String): Option[(String, Int)] = {
+    val i = text.lastIndexOf('~')
+    if (i <= 0) return None
+    val base = text.substring(0, i)
+    val suf = text.substring(i + 1)
+    if (base.exists(isWild) || base.contains('~')) None
+    else if (suf.isEmpty) Some((base, 2))
+    else if (suf.length == 1 && suf.charAt(0).isDigit) Some((base, suf.toInt))
+    else None
+  }
+
+  private def fuzzy(text: String, maxEdits: Int, field: Option[String],
+      raw: Boolean): Query = {
+    if (raw) return FuzzyQuery(text, maxEdits, 1.0f, field)
+    analyzer(text).tokens.map(_.term).toSeq match {
+      case Seq(t) => FuzzyQuery(t, maxEdits, 1.0f, field)
+      case other => throw new IllegalArgumentException(
+        s"fuzzy '$text~$maxEdits' must analyze to exactly one token (got: $other)")
+    }
+  }
+
+  /** `[lo` / `{lo` / `f:[lo` / `f:{lo` → (field, lowerText, inclusive). */
+  private def rangeOpen(w: String): Option[(Option[String], String, Boolean)] = {
+    def open(c: Char) = c == '[' || c == '{'
+    if (w.length > 1 && open(w.head)) Some((None, w.tail, w.head == '['))
+    else {
+      val ci = w.indexOf(':')
+      if (ci > 0 && ci < w.length - 2 && open(w.charAt(ci + 1)))
+        Some((Some(w.substring(0, ci)), w.substring(ci + 2), w.charAt(ci + 1) == '['))
+      else None
+    }
+  }
 
   /** `a*b?c` → WildcardQuery. The pattern cannot pass through the analyzer
     * (it would strip the wildcards), so analyzed fields lowercase it — the

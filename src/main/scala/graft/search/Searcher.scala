@@ -399,7 +399,7 @@ final class IndexSearcher(
       case BooleanQuery(clauses, _, boost) =>
         clauses.filter(_.occur != Occur.MUST_NOT)
           .map(c => v(c.query, boost * topBoost)).sum
-      case p @ (_: PrefixQuery | _: WildcardQuery) => throw new IllegalStateException(
+      case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
     val qn = sim.queryNorm(math.max(v(Query.rewrite(q0), 1.0f), Float.MinPositiveValue))
@@ -423,7 +423,7 @@ final class IndexSearcher(
       case BooleanQuery(clauses, _, boost) =>
         clauses.filter(_.occur != Occur.MUST_NOT)
           .map(c => vD(c.query, boost.toDouble * topBoost)).sum
-      case p @ (_: PrefixQuery | _: WildcardQuery) => throw new IllegalStateException(
+      case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
     val qnD = sim.exactQueryNorm(math.max(vD(Query.rewrite(q0), 1.0), Double.MinPositiveValue))
@@ -458,7 +458,7 @@ final class IndexSearcher(
           clauses.filter(_.occur == Occur.MUST_NOT).map(c => node(c.query, 1.0f)).toArray,
           msm,
           Array.tabulate(maxOverlap + 1)(i => sim.coord(i, math.max(maxOverlap, 1))))
-      case p @ (_: PrefixQuery | _: WildcardQuery) => throw new IllegalStateException(
+      case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
     node(Query.rewrite(q0), 1.0f)
@@ -547,9 +547,64 @@ final class IndexSearcher(
       val fn = f.getOrElse(field)
       BooleanQuery(wildcardTerms(fn, pattern).map(t =>
         BooleanClause(Occur.SHOULD, TermQuery(t, boost, f))))
+    case FuzzyQuery(t, maxEdits, boost, f) =>
+      val fn = f.getOrElse(field)
+      BooleanQuery(fuzzyTerms(fn, t, maxEdits).map(t2 =>
+        BooleanClause(Occur.SHOULD, TermQuery(t2, boost, f))))
+    case TermRangeQuery(lo, hi, il, iu, boost, f) =>
+      val fn = f.getOrElse(field)
+      BooleanQuery(rangeTerms(fn, lo, hi, il, iu).map(t2 =>
+        BooleanClause(Occur.SHOULD, TermQuery(t2, boost, f))))
     case BooleanQuery(cs, msm, boost) =>
       BooleanQuery(cs.map(c => c.copy(query = expandPrefixes(c.query))), msm, boost)
     case other => other
+  }
+
+  /** Matching dictionary terms within `maxEdits` CLASSIC Levenshtein edits:
+    * a length-window prefilter (|len − len(q)| ≤ maxEdits) bounds the
+    * distance evaluation, which runs DISTRIBUTED via the codegen'd
+    * `levenshtein` expression — the whole expansion is a vocabulary-sized
+    * scan, never corpus-sized.
+    */
+  private def fuzzyTerms(f: String, q: String, maxEdits: Int): Seq[String] = {
+    require(maxEdits >= 0 && maxEdits <= 2,
+      s"fuzzy maxEdits must be 0..2 (Lucene's classic bound), got $maxEdits")
+    val key = (f, s"fz$maxEdits $q")
+    val cached = prefixCache.get(key)
+    if (cached.isDefined) return cached.get
+    val terms = termsDF
+      .where(col("field") === f &&
+        length(col("term")).between(q.length - maxEdits, q.length + maxEdits) &&
+        levenshtein(col("term"), lit(q)) <= maxEdits)
+      .select("term").orderBy("term").limit(1025)
+      .as[String].collect().toSeq
+    require(terms.size <= 1024,
+      s"fuzzy '$f:$q~$maxEdits' expands to more than 1024 terms — raise " +
+        "specificity (reference maxClauseCount is the rewrite budget)")
+    prefixCache.put(key, terms)
+    terms
+  }
+
+  /** Dictionary terms within a lexicographic [lower, upper] range (either
+    * side open): both bounds push down to the parquet scan.
+    */
+  private def rangeTerms(f: String, lo: Option[String], hi: Option[String],
+      incLo: Boolean, incHi: Boolean): Seq[String] = {
+    require(lo.nonEmpty || hi.nonEmpty, "term range needs at least one bound")
+    val key = (f, s"rg ${lo.getOrElse("")} ${hi.getOrElse("")} $incLo$incHi")
+    val cached = prefixCache.get(key)
+    if (cached.isDefined) return cached.get
+    var base = termsDF.where(col("field") === f)
+    lo.foreach(l => base = base.where(if (incLo) col("term") >= l else col("term") > l))
+    hi.foreach(h => base = base.where(if (incHi) col("term") <= h else col("term") < h))
+    val terms = base.select("term").orderBy("term").limit(1025)
+      .as[String].collect().toSeq
+    require(terms.size <= 1024,
+      s"range '$f:[${lo.getOrElse("*")} TO ${hi.getOrElse("*")}]' expands to " +
+        "more than 1024 terms — narrow the bounds (reference maxClauseCount " +
+        "is the rewrite budget)")
+    prefixCache.put(key, terms)
+    terms
   }
 
   private def prepare(q0: Query, mode: ScoreMode): Prepared = {

@@ -204,7 +204,7 @@ object Wand {
       case BooleanQuery(clauses, _, boost) =>
         clauses.filter(_.occur != Occur.MUST_NOT)
           .map(c => vF(c.query, boost * topBoost)).sum
-      case p @ (_: PrefixQuery | _: WildcardQuery) => throw new IllegalStateException(
+      case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
     def vD(q0: Query, topBoost: Double): Double = q0 match {
@@ -219,7 +219,7 @@ object Wand {
       case BooleanQuery(clauses, _, boost) =>
         clauses.filter(_.occur != Occur.MUST_NOT)
           .map(c => vD(c.query, boost.toDouble * topBoost)).sum
-      case p @ (_: PrefixQuery | _: WildcardQuery) => throw new IllegalStateException(
+      case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
     val qn = sim.queryNorm(math.max(vF(q, 1.0f), Float.MinPositiveValue))
@@ -268,7 +268,7 @@ object Wand {
         else if (should.size < msm) BNever
         else if (must.isEmpty && should.isEmpty) BNever
         else BBool(must.toArray, should.toArray, msm)
-      case p @ (_: PrefixQuery | _: WildcardQuery) => throw new IllegalStateException(
+      case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
     val root = build(q, 1.0f)

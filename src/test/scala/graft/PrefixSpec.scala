@@ -149,6 +149,67 @@ class PrefixSpec extends AnyFunSuite with SparkTestBase {
     assert(searcher.search(WildcardQuery("zz*qq"), 5).totalHits == 0)
   }
 
+  test("fuzzy == explicit disjunction of terms within Levenshtein distance") {
+    // brute-force the truth over the dictionary with a local Levenshtein
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = spark.read.parquet(
+      graft.index.IndexManifest.load(spark, indexPath).termsLocation)
+      .where(col("field") === "content").select("term").as[String].collect()
+    for ((q, n) <- Seq(("parser", 1), ("bufer", 1), ("scorer", 2))) {
+      val expanded = vocab.filter(t => lev(t, q) <= n).sorted.toSeq
+      assert(expanded.nonEmpty, s"fixture assumption broken for $q~$n")
+      val explicit = BooleanQuery(expanded.map(t =>
+        BooleanClause(Occur.SHOULD, TermQuery(t))))
+      val a = searcher.search(FuzzyQuery(q, n), 12, ScoreMode.ExactDouble)
+      val b = searcher.search(explicit, 12, ScoreMode.ExactDouble)
+      assert(a.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        b.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"$q~$n")
+      assert(a.totalHits == b.totalHits)
+    }
+    val p = new QueryParser(new StandardCodeAnalyzer())
+    assert(p.parse("parser~1") == FuzzyQuery("parser", 1))
+    assert(p.parse("parser~") == FuzzyQuery("parser", 2))
+    assert(p.parse("PARSER~1") == FuzzyQuery("parser", 1)) // analyzed
+    intercept[IllegalArgumentException](searcher.search(FuzzyQuery("parser", 3), 5))
+  }
+
+  test("term range == explicit disjunction; exclusive bounds; keyword ranges") {
+    val vocab = spark.read.parquet(
+      graft.index.IndexManifest.load(spark, indexPath).termsLocation)
+      .where(col("field") === "content").select("term").as[String].collect().sorted
+    val expanded = vocab.filter(t => t >= "parser" && t < "shard").toSeq
+    assert(expanded.size > 1)
+    val explicit = BooleanQuery(expanded.map(t =>
+      BooleanClause(Occur.SHOULD, TermQuery(t))))
+    val rq = TermRangeQuery(Some("parser"), Some("shard"), includeUpper = false)
+    val a = searcher.search(rq, 12, ScoreMode.ExactDouble)
+    val b = searcher.search(explicit, 12, ScoreMode.ExactDouble)
+    assert(a.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+      b.scoreDocs.map(d => (d.docId, d.score)).toSeq)
+    // keyword range over lang; open upper bound via *
+    val p = new QueryParser(new StandardCodeAnalyzer(), keywordFields = Set("lang"))
+    assert(p.parse("lang:[go TO java]") ==
+      TermRangeQuery(Some("go"), Some("java"), field = Some("lang")))
+    assert(p.parse("lang:{go TO java}") ==
+      TermRangeQuery(Some("go"), Some("java"), includeLower = false,
+        includeUpper = false, field = Some("lang")))
+    assert(p.parse("[parser TO *]") == TermRangeQuery(Some("parser"), None))
+    val langHits = searcher.search(
+      TermRangeQuery(Some("go"), Some("java"), field = Some("lang")), 5, ScoreMode.Ref32)
+    val goJava = searcher.search(BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("go", 1.0f, Some("lang"))),
+      BooleanClause(Occur.SHOULD, TermQuery("java", 1.0f, Some("lang"))))), 5, ScoreMode.Ref32)
+    assert(langHits.totalHits == goJava.totalHits)
+    intercept[IllegalArgumentException](
+      searcher.search(TermRangeQuery(None, None), 5))
+  }
+
   test("expansion beyond the 1024-clause budget is rejected; 1024 exactly works") {
     // one doc whose content is 1025 distinct 'zz<i>' words → 'zz*' expands
     // past the reference maxClauseCount and must error with a clear message
