@@ -16,6 +16,7 @@ import graft.search.{IndexSearcher, QueryParser, ScoreMode}
   * sbt "runMain graft.Cli check <indexDir>"                   # CheckIndex validation
   * sbt "runMain graft.Cli merge <indexDir>"                   # tiered merge (reclaim-aware) + republish
   * sbt "runMain graft.Cli expunge <indexDir> [minFrac]"       # rewrite delete-heavy waves + republish
+  * sbt "runMain graft.Cli facets <indexDir> <col> <query...>" # value counts over all matches
   * }}}
   */
 object Cli {
@@ -88,10 +89,17 @@ object Cli {
       val delsAfter = graft.index.Deletes.count(spark, indexDir)
       println(s"EXPUNGED ${rewritten.size} waves (deleted fraction >= $frac); " +
         s"deletes $delsBefore -> $delsAfter")
+    case "facets" :: indexDir :: facetCol :: rest if rest.nonEmpty =>
+      val searcher = new IndexSearcher(spark, indexDir)
+      val q = new QueryParser(new StandardCodeAnalyzer(), strictFields = false)
+        .parse(rest.mkString(" "))
+      println(s"QUERY: $q")
+      searcher.facetCounts(q, facetCol, topN = 20).collect()
+        .foreach(r => println(f"  ${r.get(0)}%-24s ${r.getLong(1)}%8d"))
     case other =>
       System.err.println("usage: build <corpusParquet> <indexDir> | search <indexDir> <k> <query...> | " +
         s"delete <indexDir> <field> <term> | check <indexDir> | merge <indexDir> | " +
-        s"expunge <indexDir> [minFrac] (got: $other)")
+        s"expunge <indexDir> [minFrac] | facets <indexDir> <col> <query...> (got: $other)")
       sys.exit(2)
   }
 }

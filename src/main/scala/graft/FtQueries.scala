@@ -328,6 +328,30 @@ object FtQueries {
       .orderBy("doc_id")
   }
 
+  /** Cursor pagination: page 1 = top `afterK`, then searchAfter from its
+    * last hit — the strictly-after predicate, not an offset window (heap
+    * stays k-bounded at any depth). Driver-verifiable because exact-double
+    * scores reproduce bit-for-bit in the oracle's rank window.
+    */
+  def searchAfterDF(spark: SparkSession, sfDir: String, q: Query, afterK: Int,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val s = searcher(spark, sfDir)
+    val cursor = s.search(q, afterK, ScoreMode.ExactDouble).scoreDocs.last
+    s.searchAfter(q, cursor, k, ScoreMode.ExactDouble)
+      .scoreDocs.map(d => (d.docId, d.score)).toSeq
+      .toDF("doc_id", "score")
+      .select(col("doc_id"), round(col("score"), 4).as("score_r"))
+      .orderBy("doc_id")
+  }
+
+  /** Facet counts over all matches of `q` for a stored metadata column. */
+  def facetsDF(spark: SparkSession, sfDir: String, q: Query,
+      facetCol: String): DataFrame =
+    searcher(spark, sfDir).facetCounts(q, facetCol, topN = 20)
+      .select(col(facetCol), col("matchCount").cast("long").as("n_docs"))
+      .orderBy(col("n_docs").desc, col(facetCol))
+
   /** Top-k hits joined with their STORED fields (reference
     * reader.Document(hit.Doc), /root/reference/core/document/document.go:
     * 75-133) — driver-verifies the stored-fields writer + docId point-read

@@ -104,6 +104,18 @@ object SparkEntry {
           col("nMatches").cast("long").as("n_matches"))
         .orderBy("doc_id")
     }),
+    "ft_regexp" -> ((s, d) => // regexp expansion `/s[ct][a-z]+/` (round-5):
+      // anchored full-term match over the dictionary → {scan, stream} — ≤2
+      // contributing terms per doc (order-independent float64 sum); the
+      // pattern stays in the Java∩RE2 common subset so DuckDB's
+      // regexp_full_match reproduces the expansion
+      FtQueries.matches(s, d, FtQueries.parser.parse("/s[ct][a-z]+/"))),
+    "ft_boosted" -> ((s, d) => // caret boost `vector^2 merge` (round-5):
+      // the ^2 boost is a POWER OF TWO so (idf*boost)*tfNorm ==
+      // boost*(idf*tfNorm) bit-for-bit in float64 (exponent-only scaling)
+      // and the SQL twin can multiply outside; 2 terms per doc max keeps
+      // the disjunction sum order-independent
+      FtQueries.matches(s, d, FtQueries.parser.parse("vector^2 merge"))),
     "ft_fuzzy" -> ((s, d) => // fuzzy expansion `vale~2` (round-5): classic
       // Levenshtein ≤ 2 over the dictionary → {table, value} — ≤2
       // contributing terms per doc (order-independent float64 sum), and the
@@ -212,6 +224,20 @@ object SparkEntry {
         BooleanClause(Occur.SHOULD, TermQuery("merge")),
         BooleanClause(Occur.SHOULD, TermQuery("spark")),
         BooleanClause(Occur.SHOULD, TermQuery("window")))), offset = 10, howMany = 10)),
+    "ft_search_after" -> ((s, d) => // cursor pagination (round-5): page 1 =
+      // top-10, then searchAfter(last hit) for the next 5 — the
+      // strictly-after predicate path, k-bounded heap at any depth (vs
+      // ft_paged's offset window); oracle = rank rows [11, 15]
+      FtQueries.searchAfterDF(s, d, BooleanQuery(Seq(
+        BooleanClause(Occur.SHOULD, TermQuery("merge")),
+        BooleanClause(Occur.SHOULD, TermQuery("spark")),
+        BooleanClause(Occur.SHOULD, TermQuery("window")))), afterK = 10, k = 5)),
+    "ft_facets" -> ((s, d) => // facet counts (round-5, Lucene facet-module
+      // analogue): lang value counts over ALL docs matching `merge vector`,
+      // distributed match-set join + map-side partial count
+      FtQueries.facetsDF(s, d, BooleanQuery(Seq(
+        BooleanClause(Occur.SHOULD, TermQuery("merge")),
+        BooleanClause(Occur.SHOULD, TermQuery("vector")))), "lang")),
     "ft_stored" -> ((s, d) => // stored-fields point read of the top-8 hits:
       // repo/lang columns + the sha256 content digest vs the source table
       FtQueries.storedTopDF(s, d, TermQuery("sort"), 8)),
@@ -802,6 +828,56 @@ object SparkEntry {
          |SELECT doc_id, round(score, 4) AS score_r
          |FROM sc WHERE nm > 0
          |ORDER BY doc_id""".stripMargin,
+    "ft_regexp" -> // expansion recomputed via DuckDB regexp_full_match
+      // (pattern in the Java∩RE2 common subset; same per-term df/score
+      // recomputation as ft_wildcard)
+      s"""$prelude, tdf AS (
+         |  SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |  FROM (SELECT DISTINCT doc_id, tok AS term
+         |        FROM (SELECT doc_id, unnest(tk) AS tok FROM docs) WHERE regexp_full_match(tok, 's[ct][a-z]+'))
+         |  GROUP BY term
+         |), perdoc AS (
+         |  SELECT d.doc_id, t.term, t.df,
+         |    len(list_filter(d.tk, x -> x = t.term)) AS f, len(d.tk) AS dl
+         |  FROM docs d, tdf t
+         |), sc AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN f > 0 THEN
+         |      (ln(1 + ((SELECT n FROM g) - df + 0.5) / (df + 0.5))
+         |       * ((CAST(f AS DOUBLE) * (1.2 + 1)) /
+         |          (CAST(f AS DOUBLE) + 1.2 * ((1 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / (SELECT avgdl FROM g)))))
+         |      ELSE 0 END) AS score,
+         |    count(*) FILTER (f > 0) AS nm
+         |  FROM perdoc GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 4) AS score_r
+         |FROM sc WHERE nm > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_boosted" -> // boost multiplies OUTSIDE in SQL: legal bit-for-bit
+      // because 2.0 is a power of two (see the queries-side note)
+      s"""$prelude, tdf AS (
+         |  SELECT term, CAST(count(*) AS DOUBLE) AS df,
+         |    CASE term WHEN 'vector' THEN CAST(2.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS bst
+         |  FROM (SELECT DISTINCT doc_id, tok AS term
+         |        FROM (SELECT doc_id, unnest(tk) AS tok FROM docs) WHERE tok IN ('vector', 'merge'))
+         |  GROUP BY term
+         |), perdoc AS (
+         |  SELECT d.doc_id, t.term, t.df, t.bst,
+         |    len(list_filter(d.tk, x -> x = t.term)) AS f, len(d.tk) AS dl
+         |  FROM docs d, tdf t
+         |), sc AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN f > 0 THEN
+         |      bst * (ln(1 + ((SELECT n FROM g) - df + 0.5) / (df + 0.5))
+         |       * ((CAST(f AS DOUBLE) * (1.2 + 1)) /
+         |          (CAST(f AS DOUBLE) + 1.2 * ((1 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / (SELECT avgdl FROM g)))))
+         |      ELSE 0 END) AS score,
+         |    count(*) FILTER (f > 0) AS nm
+         |  FROM perdoc GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 4) AS score_r
+         |FROM sc WHERE nm > 0
+         |ORDER BY doc_id""".stripMargin,
     "ft_fuzzy" -> // expansion via DuckDB levenshtein (the engine's distance
       // is classic Levenshtein precisely so both sides agree)
       s"""$prelude, tdf AS (
@@ -1239,6 +1315,32 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(s, 4) AS score_r FROM rk
          |WHERE rn > 10 AND rn <= 20 ORDER BY doc_id""".stripMargin,
+    "ft_search_after" -> // cursor rows [11, 15]: searchAfter(last of top-10)
+      // == the offset window ONLY because exact-double scores reproduce
+      // bit-for-bit (the strictly-after predicate compares raw float64)
+      s"""${ftBase(Seq("merge", "spark", "window"))}, sc AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN f_merge > 0 THEN ${termScore("merge")} ELSE 0 END
+         |    + CASE WHEN f_spark > 0 THEN ${termScore("spark")} ELSE 0 END
+         |    + CASE WHEN f_window > 0 THEN ${termScore("window")} ELSE 0 END AS s
+         |  FROM base WHERE f_merge > 0 OR f_spark > 0 OR f_window > 0
+         |), rk AS (
+         |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
+         |)
+         |SELECT doc_id, round(s, 4) AS score_r FROM rk
+         |WHERE rn > 10 AND rn <= 15 ORDER BY doc_id""".stripMargin,
+    "ft_facets" -> // lang counts over all docs containing merge or vector,
+      // (count DESC, lang) order — counts are exact integers, no float
+      // concerns; the engine counts over the live docs table (no deletes on
+      // the main ft index)
+      s"""$prelude
+         |SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents d
+         |JOIN docs t ON d.doc_id = t.doc_id
+         |WHERE len(list_filter(t.tk, x -> x = 'merge')) > 0
+         |   OR len(list_filter(t.tk, x -> x = 'vector')) > 0
+         |GROUP BY d.lang
+         |ORDER BY n_docs DESC, lang""".stripMargin,
     "ft_stored" ->
       s"""${ftBase(Seq("sort"))}, sc AS (
          |  SELECT doc_id, tk, ${termScore("sort")} AS s FROM base WHERE f_sort > 0

@@ -91,6 +91,19 @@ final case class TermRangeQuery(lower: Option[String], upper: Option[String],
     includeLower: Boolean = true, includeUpper: Boolean = true,
     boost: Float = 1.0f, field: Option[String] = None) extends MultiTermQuery
 
+/** Regexp term query `/pattern/` — anchored full-term match over the
+  * dictionary. The reference lexes REGEXPTERM but panics in the handler
+  * (/root/reference/queryparser/classic/queryParserBase.go:192-193), so the
+  * SEMANTICS are engine-defined: Java regex via Spark's codegen'd `rlike`
+  * (`^(?:pattern)$` anchoring), evaluated distributed over the
+  * vocabulary-sized terms table with the pattern's leading literal run
+  * pushed down as a StringStartsWith prefix. The pattern is matched against
+  * index terms AS STORED (analyzed fields hold lowercase terms — write
+  * lowercase patterns; lowering a regex would corrupt classes like [A-Z]).
+  */
+final case class RegexpQuery(pattern: String, boost: Float = 1.0f,
+    field: Option[String] = None) extends MultiTermQuery
+
 sealed trait Occur
 object Occur {
   case object MUST extends Occur
@@ -162,8 +175,14 @@ object Query {
     case WildcardQuery(pat, b0, f) => WildcardQuery(pat, b0 * b, f)
     case FuzzyQuery(t, e, b0, f) => FuzzyQuery(t, e, b0 * b, f)
     case TermRangeQuery(lo, hi, il, iu, b0, f) => TermRangeQuery(lo, hi, il, iu, b0 * b, f)
+    case RegexpQuery(pat, b0, f) => RegexpQuery(pat, b0 * b, f)
     case BooleanQuery(cs, m, b0) => BooleanQuery(cs, m, b0 * b)
   }
+
+  /** Multiply a query's boost (parser `^N` syntax; reference CARAT token —
+    * lexed but `handleBoost` panics, queryParserBase.go:220-226).
+    */
+  def boosted(q: Query, b: Float): Query = if (b == 1.0f) q else foldBoost(q, b)
 }
 
 /** Search result envelope (/root/reference/core/search/collect.go:53-57):

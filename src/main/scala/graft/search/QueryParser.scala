@@ -37,6 +37,7 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
   private case object NotTok extends Tok
   private final case class Quoted(s: String) extends Tok
   private final case class Word(s: String) extends Tok
+  private final case class Rx(s: String) extends Tok
 
   private def lex(s: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
@@ -61,6 +62,20 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
             "()+-\"".contains(s.charAt(i - 1))) && s.indexOf('\'', i + 1) >= 0 =>
           val end = s.indexOf('\'', i + 1)
           out += Quoted(s.substring(i + 1, end))
+          i = end + 1
+        // bare regexp `/pat/`, gated like single-quote phrases: must OPEN at
+        // a token boundary and CLOSE at a token end, so an absolute path
+        // typed as free text (`/root/repo`) stays ordinary words. The scan
+        // runs to the closing slash ignoring break chars — patterns may
+        // contain `( ) + -` and spaces.
+        case '/' if (i == 0 || s.charAt(i - 1).isWhitespace ||
+            "()+-\"".contains(s.charAt(i - 1))) && {
+              val e = s.indexOf('/', i + 1)
+              e > i + 1 && (e + 1 == s.length || s.charAt(e + 1).isWhitespace ||
+                "()+-\"^".contains(s.charAt(e + 1)))
+            } =>
+          val end = s.indexOf('/', i + 1)
+          out += Rx(s.substring(i + 1, end))
           i = end + 1
         case _ =>
           val start = i
@@ -96,8 +111,19 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
         case Plus => mod = Some(Plus); toks = toks.tail
         case Minus | NotTok => mod = Some(Minus); toks = toks.tail
         case _ =>
-          val (subOpt, rest) = parseClause(toks)
-          toks = rest
+          val (sub0, rest) = parseClause(toks)
+          // a standalone `^N` word after any clause boosts it (group,
+          // phrase, regex — inline word boosts split inside parseClause)
+          val (subOpt, rest2) = sub0 match {
+            case Some(q) => rest match {
+              case Word(w) :: r if w.length > 1 && w.charAt(0) == '^' &&
+                  isBoostNum(w.drop(1)) =>
+                (Some(Query.boosted(q, w.drop(1).toFloat)), r)
+              case r => (sub0, r)
+            }
+            case None => (sub0, rest)
+          }
+          toks = rest2
           subOpt.foreach { sub =>
             // reference addClause semantics: CONJ_AND promotes the previous
             // non-prohibited clause to MUST (queryParserBase.go addClause)
@@ -134,17 +160,21 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
   private def parseClause(toks: List[Tok]): (Option[Query], List[Tok]) = toks match {
     // term range `[a TO b]` / `{a TO b}` (optionally `field:[a TO b]`): the
     // lexer yields three words; `*` opens a side. Reference: absent.
-    case Word(w) :: Word("TO") :: Word(z) :: rest
-        if rangeOpen(w).isDefined && z.length > 1 && (z.last == ']' || z.last == '}') =>
+    case Word(w) :: Word("TO") :: Word(z0) :: rest
+        if rangeOpen(w).isDefined && {
+          val z = splitBoost(z0)._1
+          z.length > 1 && (z.last == ']' || z.last == '}')
+        } =>
+      val (z, zb) = splitBoost(z0)
       val (fOpt, loTxt, incLo) = rangeOpen(w).get
       fOpt.foreach(f => if (!fieldKnown(f)) unknownField(f))
       val raw = fOpt.exists(keywordFields.contains)
       def bound(t: String): Option[String] =
         if (t == "*") None
         else Some(if (raw) t else t.toLowerCase(java.util.Locale.ROOT))
-      (Some(TermRangeQuery(bound(loTxt), bound(z.dropRight(1)),
+      (Some(Query.boosted(TermRangeQuery(bound(loTxt), bound(z.dropRight(1)),
         includeLower = incLo, includeUpper = z.last == ']',
-        field = fOpt.filter(_ != defaultField))), rest)
+        field = fOpt.filter(_ != defaultField)), zb)), rest)
     case LParen :: rest =>
       val (q, rest2) = parseBoolean(rest)
       val rest3 = rest2 match {
@@ -152,6 +182,8 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
         case r => r
       }
       (Some(q), rest3)
+    case Rx(p) :: rest =>
+      (Some(RegexpQuery(p)), rest)
     // fielded phrase `f:"a b"` — the lexer yields Word("f:") then Quoted.
     // Analyzed fields route the phrase (reference phrase.go:18-60); keyword
     // fields REJECT it (single-position fields can never match a phrase);
@@ -160,27 +192,38 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
     case Word(w) :: Quoted(s) :: rest if w.length > 1 && w.endsWith(":") &&
         (strictFields || fieldKnown(w.dropRight(1))) =>
       val f = w.dropRight(1)
-      val (slop, rest2) = slopSuffix(rest)
-      if (f == defaultField) (phrase(s, None, slop), rest2)
-      else if (analyzedFields.contains(f)) (phrase(s, Some(f), slop), rest2)
+      val (slop, pb, rest2) = slopSuffix(rest)
+      if (f == defaultField) (phrase(s, None, slop).map(Query.boosted(_, pb)), rest2)
+      else if (analyzedFields.contains(f)) (phrase(s, Some(f), slop).map(Query.boosted(_, pb)), rest2)
       else if (keywordFields.contains(f))
         throw new IllegalArgumentException(
           s"keyword field '$f' indexes one unanalyzed token — a phrase can never match; " +
             s"use $f:value without quotes")
       else unknownField(f)
     case Quoted(s) :: rest =>
-      val (slop, rest2) = slopSuffix(rest)
-      (phrase(s, None, slop), rest2)
-    case Word(w) :: rest =>
+      val (slop, pb, rest2) = slopSuffix(rest)
+      (phrase(s, None, slop).map(Query.boosted(_, pb)), rest2)
+    case Word(wRaw) :: rest =>
       // `field:text` routes to a named field (queryBuilder.go:23-130):
       // defaultField and analyzed fields re-analyze; keyword fields take the
       // RAW value as one unanalyzed term (StringField semantics); unknown
-      // fields are REJECTED — never silently searched against the default
+      // fields are REJECTED — never silently searched against the default.
+      // A trailing `^N` boost splits off first (classic CARAT syntax — the
+      // `^` character is reserved, as in the reference's lexer).
+      val (w, wBoost) = splitBoost(wRaw)
       val ci = w.indexOf(':')
+      val (q0, restOut): (Option[Query], List[Tok]) =
       if (ci > 0 && ci < w.length - 1) {
         val f = w.substring(0, ci)
         val text = w.substring(ci + 1)
-        if (text.length > 1 && text.endsWith("*") && !text.dropRight(1).exists(isWild) &&
+        if (text.length > 2 && text.head == '/' && text.last == '/' && fieldKnown(f))
+          // fielded regexp `f:/pat/` — one word, so the pattern cannot
+          // contain whitespace or `( ) + - "` (the bare `/pat/` lexer rule
+          // has no such limit; same shell-adjacent constraint family as
+          // single-quote phrases)
+          (Some(RegexpQuery(text.substring(1, text.length - 1),
+            field = Some(f).filter(_ != defaultField))), rest)
+        else if (text.length > 1 && text.endsWith("*") && !text.dropRight(1).exists(isWild) &&
             fieldKnown(f))
           (Some(prefix(text.dropRight(1), Some(f).filter(_ != defaultField),
             raw = keywordFields.contains(f))), rest)
@@ -216,7 +259,21 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
         val (b, n) = fuzzySuffix(w).get
         (Some(fuzzy(b, n, None, raw = false)), rest)
       } else (analyzed(w, None), rest)
+      (q0.map(Query.boosted(_, wBoost)), restOut)
     case other => (None, if (other.isEmpty) Nil else other.tail)
+  }
+
+  private def isBoostNum(s: String): Boolean =
+    s.nonEmpty && s.matches("""\d+(\.\d+)?""")
+
+  /** Split a trailing `^N` boost off a word (`merge^2`, `f:pre*^1.5`). Only
+    * fires when the suffix after the LAST caret is numeric, so keyword
+    * values containing a non-numeric caret pass through untouched.
+    */
+  private def splitBoost(w: String): (String, Float) = {
+    val i = w.lastIndexOf('^')
+    if (i > 0 && isBoostNum(w.substring(i + 1))) (w.substring(0, i), w.substring(i + 1).toFloat)
+    else (w, 1.0f)
   }
 
   /** `pre*` → PrefixQuery. Analyzed fields lowercase/normalize the prefix
@@ -288,11 +345,16 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
     * — the reference then panics in the handler; evaluation here is this
     * engine's defined sloppy spec, see [[PhraseQuery]]).
     */
-  private def slopSuffix(toks: List[Tok]): (Int, List[Tok]) = toks match {
-    case Word(w) :: r if w.length > 1 && w.charAt(0) == '~' &&
-        w.drop(1).forall(_.isDigit) =>
-      (w.drop(1).toInt, r)
-    case r => (0, r)
+  private def slopSuffix(toks: List[Tok]): (Int, Float, List[Tok]) = toks match {
+    // `~N` or the combined `~N^M` (a bare `"..."^M` boost is instead the
+    // standalone-caret word handled generically in parseBoolean)
+    case Word(w0) :: r if w0.length > 1 && w0.charAt(0) == '~' && {
+        val (base, _) = splitBoost(w0)
+        base.length > 1 && base.drop(1).forall(_.isDigit)
+      } =>
+      val (base, b) = splitBoost(w0)
+      (base.drop(1).toInt, b, r)
+    case r => (0, 1.0f, r)
   }
 
   private def phrase(s: String, field: Option[String], slop: Int = 0): Option[Query] =

@@ -530,6 +530,30 @@ final class IndexSearcher(
     terms
   }
 
+  /** Matching dictionary terms for an anchored regex: the pattern's leading
+    * LITERAL run (chars before the first regex metacharacter) pushes down as
+    * StringStartsWith; the full `^(?:pat)$` match filters distributed via
+    * the codegen'd `rlike` before the 1025-row cap — a vocabulary-sized
+    * scan, never corpus-sized (same shape as [[wildcardTerms]]).
+    */
+  private def regexpTerms(f: String, pattern: String): Seq[String] = {
+    require(pattern.nonEmpty, "empty regexp pattern")
+    java.util.regex.Pattern.compile(pattern) // fail fast on driver with a clear error
+    val cached = prefixCache.get((f, "rx " + pattern))
+    if (cached.isDefined) return cached.get
+    val pre = pattern.takeWhile(c => !"\\^$.|?*+()[]{}".contains(c))
+    var base = termsDF.where(col("field") === f)
+    if (pre.nonEmpty) base = base.where(col("term").startsWith(pre))
+    val terms = base.where(col("term").rlike(s"^(?:$pattern)$$"))
+      .select("term").orderBy("term").limit(1025)
+      .as[String].collect().toSeq
+    require(terms.size <= 1024,
+      s"regexp '$f:/$pattern/' expands to more than 1024 terms (reference " +
+        "maxClauseCount is the rewrite budget) — narrow the pattern")
+    prefixCache.put((f, "rx " + pattern), terms)
+    terms
+  }
+
   /** Rewrite multi-term leaves (PrefixQuery, WildcardQuery) into bounded
     * SHOULD disjunctions of dictionary terms in sorted order, each scoring
     * with its own statistics (Lucene SCORING_BOOLEAN_QUERY_REWRITE). An
@@ -554,6 +578,10 @@ final class IndexSearcher(
     case TermRangeQuery(lo, hi, il, iu, boost, f) =>
       val fn = f.getOrElse(field)
       BooleanQuery(rangeTerms(fn, lo, hi, il, iu).map(t2 =>
+        BooleanClause(Occur.SHOULD, TermQuery(t2, boost, f))))
+    case RegexpQuery(pattern, boost, f) =>
+      val fn = f.getOrElse(field)
+      BooleanQuery(regexpTerms(fn, pattern).map(t2 =>
         BooleanClause(Occur.SHOULD, TermQuery(t2, boost, f))))
     case BooleanQuery(cs, msm, boost) =>
       BooleanQuery(cs.map(c => c.copy(query = expandPrefixes(c.query))), msm, boost)
@@ -648,6 +676,30 @@ final class IndexSearcher(
       .select("docId", "segId", "repo", "path", "commit", "lang", "contentSha",
         "dl", "norm", "fieldDls")
       .as[graft.index.DocRow].collect().toSeq
+  }
+
+  /** Facet counts — the distinct values of a stored metadata column among
+    * ALL docs matching the query, with match counts, topN by (count desc,
+    * value asc). The Lucene facet-module analogue (never ported in the
+    * reference). Fully distributed at every step: the match set stays a
+    * Dataset (the same range-group evaluation as [[scoredDocs]], so deletes
+    * apply), hash-joins the docs table on docId, and the groupBy
+    * partial-aggregates map-side before one value-cardinality-sized
+    * shuffle; `limit(topN)` is a distributed TakeOrdered. Counting needs no
+    * scores, so matching runs in Ref32 mode.
+    */
+  def facetCounts(q: Query, facetCol: String, topN: Int = 20): DataFrame = {
+    val internal = Set("docId", "segId", "dl", "norm", "fieldDls", "wave", "contentSha")
+    require(docsDF.columns.contains(facetCol) && !internal.contains(facetCol),
+      s"facet column '$facetCol' is not a stored metadata column " +
+        s"(available: ${docsDF.columns.filterNot(internal).mkString(", ")})")
+    scoredDocs(q, ScoreMode.Ref32) // prepare() expands multi-term leaves
+      .select(col("docId"))
+      .join(docsDF.select(col("docId"), col(facetCol)), "docId")
+      .groupBy(col(facetCol))
+      .agg(count(lit(1)).as("matchCount"))
+      .orderBy(col("matchCount").desc, col(facetCol))
+      .limit(topN)
   }
 
   /** Structured score breakdown for one document (reference Explain,
@@ -888,14 +940,33 @@ final class IndexSearcher(
       full.totalHitsIsLowerBound)
   }
 
+  /** Cursor pagination (Lucene's searchAfter; absent in the reference —
+    * collect.go:254-272 only has the offset-window TopDocsRange): the next
+    * `k` results STRICTLY after the `after` cursor in (score desc, docId
+    * asc) order. `totalHits` still counts every match. Unlike
+    * [[searchPage]], whose heap grows to offset+howMany, the heap here
+    * stays k-bounded however deep the cursor — the scale path for paging
+    * through a large result set. The cursor must come from a result in the
+    * SAME ScoreMode (scores compare for equality on the tie-break).
+    */
+  def searchAfter(q: Query, after: ScoredDoc, k: Int,
+      mode: ScoreMode = ScoreMode.Ref32): TopDocs =
+    searchFiltered(q, k, mode, None, Some(after))
+
   /** Evaluate only the given docId ranges (WAND phases). */
   private[search] def evalRanges(q: Query, mode: ScoreMode,
       ranges: RangeSel, k: Int): TopDocs =
     searchFiltered(q, k, mode, Some(ranges))
 
   private def searchFiltered(q: Query, k: Int, mode: ScoreMode,
-      rangeFilter: Option[RangeSel]): TopDocs = {
+      rangeFilter: Option[RangeSel], after: Option[ScoredDoc] = None): TopDocs = {
     val p = prepare(q, mode)
+    // cursor gate (searchAfter): matches at-or-before the cursor still COUNT
+    // but never enter a heap — captured by value in executor closures
+    val afterOk: ScoredDoc => Boolean = after match {
+      case None => _ => true
+      case Some(a) => sd => sd.score < a.score || (sd.score == a.score && sd.docId > a.docId)
+    }
 
     // singleton pulsing (reference postingsWriter.go:412-417,571-575): when
     // EVERY present query term has docFreq == 1, its docId is already inlined
@@ -925,7 +996,7 @@ final class IndexSearcher(
       var total = 0L
       rows.groupBy(_._3).foreach { case (rangeId, rs) =>
         p.ge.eval(rangeId, rs.iterator).foreach { sd =>
-          total += 1; heap.insert(sd.docId, sd.score)
+          total += 1; if (afterOk(sd)) heap.insert(sd.docId, sd.score)
         }
       }
       return TopDocs(total, heap.toSortedArray)
@@ -963,7 +1034,7 @@ final class IndexSearcher(
           val h = new BoundedHitQueue(k)
           var c = 0L
           p.ge.eval(rangeId, rs.iterator).foreach { sd =>
-            c += 1; h.insert(sd.docId, sd.score)
+            c += 1; if (afterOk(sd)) h.insert(sd.docId, sd.score)
           }
           (c, h.toSortedArray)
         }}), scala.concurrent.duration.Duration.Inf)
@@ -991,7 +1062,7 @@ final class IndexSearcher(
       // at 10^5 partitions × k=1000 a flat collect would ship 10^8 rows
       val (total, heap) = scored.rdd.treeAggregate((0L, new BoundedHitQueue(k)))(
         seqOp = (acc: (Long, BoundedHitQueue), sd: ScoredDoc) => {
-          acc._2.insert(sd.docId, sd.score); (acc._1 + 1, acc._2)
+          if (afterOk(sd)) acc._2.insert(sd.docId, sd.score); (acc._1 + 1, acc._2)
         },
         combOp = (a: (Long, BoundedHitQueue), b: (Long, BoundedHitQueue)) =>
           (a._1 + b._1, a._2.merge(b._2)),

@@ -210,6 +210,109 @@ class PrefixSpec extends AnyFunSuite with SparkTestBase {
       searcher.search(TermRangeQuery(None, None), 5))
   }
 
+  test("regexp == explicit disjunction; parser forms; bad pattern rejected") {
+    val vocab = spark.read.parquet(
+      graft.index.IndexManifest.load(spark, indexPath).termsLocation)
+      .where(col("field") === "content").select("term").as[String].collect()
+    val rx = "s(corer|hard)"
+    val expanded = vocab.filter(_.matches(rx)).sorted.toSeq
+    assert(expanded.size >= 2, s"fixture assumption broken: $expanded")
+    val explicit = BooleanQuery(expanded.map(t =>
+      BooleanClause(Occur.SHOULD, TermQuery(t))))
+    val a = searcher.search(RegexpQuery(rx), 12, ScoreMode.ExactDouble)
+    val b = searcher.search(explicit, 12, ScoreMode.ExactDouble)
+    assert(a.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+      b.scoreDocs.map(d => (d.docId, d.score)).toSeq)
+    assert(a.totalHits == b.totalHits)
+    val p = new QueryParser(new StandardCodeAnalyzer(), keywordFields = Set("lang"))
+    // bare form lexes across parens/pipes; fielded form is one word
+    assert(p.parse("/s(corer|hard)/") == RegexpQuery("s(corer|hard)"))
+    assert(p.parse("lang:/go|java/") == RegexpQuery("go|java", field = Some("lang")))
+    // an absolute path typed as free text must NOT become a regex (closing
+    // slash is mid-token)
+    assert(p.parse("/root/repo").isInstanceOf[BooleanQuery])
+    intercept[java.util.regex.PatternSyntaxException](
+      searcher.search(RegexpQuery("s(corer"), 5))
+  }
+
+  test("caret boost parses on every clause shape and scales scores exactly") {
+    val p = new QueryParser(new StandardCodeAnalyzer(), keywordFields = Set("lang"))
+    assert(p.parse("scorer^2") == TermQuery("scorer", 2.0f))
+    assert(p.parse("SCORER^2.5") == TermQuery("scorer", 2.5f)) // analyzed
+    assert(p.parse("lang:go^4") == TermQuery("go", 4.0f, Some("lang")))
+    assert(p.parse("pre*^2") == PrefixQuery("pre", 2.0f))
+    assert(p.parse("a?b^2") == WildcardQuery("a?b", 2.0f))
+    assert(p.parse("scorer~1^2") == FuzzyQuery("scorer", 1, 2.0f))
+    assert(p.parse("/sc.*/^2") == RegexpQuery("sc.*", 2.0f))
+    assert(p.parse("[merge TO token]^2") ==
+      TermRangeQuery(Some("merge"), Some("token"), boost = 2.0f))
+    assert(p.parse("\"index scorer\"^2") == PhraseQuery(Seq("index", "scorer"), 2.0f))
+    assert(p.parse("\"index scorer\"~1^2") ==
+      PhraseQuery(Seq("index", "scorer"), 2.0f, None, 1))
+    assert(p.parse("(merge scorer)^2") == BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("merge")),
+      BooleanClause(Occur.SHOULD, TermQuery("scorer"))), 0, 2.0f))
+    // a caret that isn't a boost stays query text
+    assert(p.parse("xx^yy") == BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("xx")),
+      BooleanClause(Occur.SHOULD, TermQuery("yy"))))) // analyzer splits on ^
+    // scoring: under BM25 (queryNorm=1) a ^2 boost EXACTLY doubles the
+    // exact-double score (power-of-two multiply is lossless)
+    val plain = searcher.search(TermQuery("scorer"), 8, ScoreMode.ExactDouble)
+    val boosted = searcher.search(p.parse("scorer^2"), 8, ScoreMode.ExactDouble)
+    assert(plain.scoreDocs.map(_.docId).toSeq == boosted.scoreDocs.map(_.docId).toSeq)
+    plain.scoreDocs.zip(boosted.scoreDocs).foreach { case (a, b) =>
+      assert(b.score == a.score * 2.0, s"doc ${a.docId}")
+    }
+    // boosts flow through WAND top-k identically (bounds are mode-matched)
+    val viaWand = Wand.searchTopK(searcher, p.parse("scorer^2 merge"), 8,
+      ScoreMode.ExactDouble)
+    val exhaustive = searcher.search(p.parse("scorer^2 merge"), 8, ScoreMode.ExactDouble)
+    assert(viaWand.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+      exhaustive.scoreDocs.map(d => (d.docId, d.score)).toSeq)
+  }
+
+  test("searchAfter: cursor pages concatenate to the full top-k, both modes") {
+    val q = BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("scorer")),
+      BooleanClause(Occur.SHOULD, TermQuery("merge")),
+      BooleanClause(Occur.SHOULD, TermQuery("index"))))
+    for (mode <- Seq[ScoreMode](ScoreMode.Ref32, ScoreMode.ExactDouble)) {
+      val full = searcher.search(q, 15, mode)
+      assert(full.scoreDocs.length == 15)
+      val p1 = searcher.search(q, 5, mode)
+      val p2 = searcher.searchAfter(q, p1.scoreDocs.last, 5, mode)
+      val p3 = searcher.searchAfter(q, p2.scoreDocs.last, 5, mode)
+      val paged = (p1.scoreDocs ++ p2.scoreDocs ++ p3.scoreDocs)
+        .map(d => (d.docId, d.score)).toSeq
+      assert(paged == full.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"mode=$mode")
+      // totalHits counts every match regardless of the cursor
+      assert(p2.totalHits == full.totalHits && p3.totalHits == full.totalHits)
+      // a cursor below every match yields an empty page
+      val beyond = searcher.searchAfter(q, ScoredDoc(Long.MaxValue, -1.0), 5, mode)
+      assert(beyond.scoreDocs.isEmpty && beyond.totalHits == full.totalHits)
+    }
+  }
+
+  test("facetCounts == brute-force counts over matching docs; bad column rejected") {
+    import spark.implicits._
+    val q = TermQuery("scorer")
+    val got = searcher.facetCounts(q, "lang", topN = 10)
+      .as[(String, Long)].collect().toSeq
+    // truth: language of every matching doc, counted — derived from
+    // scoredDocs (already verified against explicit evaluation elsewhere)
+    // joined to the corpus by docId identity (explicit docIds not used here:
+    // recover lang via the stored docs read API)
+    val matchIds = searcher.scoredDocs(q, ScoreMode.Ref32).collect().map(_.docId).toSeq
+    val truth = searcher.docs(matchIds).groupBy(_.lang)
+      .map { case (l, ds) => (l, ds.size.toLong) }.toSeq
+      .sortBy { case (l, c) => (-c, l) }
+    assert(got == truth)
+    assert(got.map(_._2).sum == matchIds.size)
+    intercept[IllegalArgumentException](searcher.facetCounts(q, "norm"))
+    intercept[IllegalArgumentException](searcher.facetCounts(q, "nope"))
+  }
+
   test("expansion beyond the 1024-clause budget is rejected; 1024 exactly works") {
     // one doc whose content is 1025 distinct 'zz<i>' words → 'zz*' expands
     // past the reference maxClauseCount and must error with a clear message
