@@ -248,6 +248,17 @@ object FtQueries {
       .select(col("doc_id"), round(col("score"), 4).as("score_r"))
       .orderBy("doc_id")
 
+  /** MoreLikeThis matches: the MLT disjunction built from a seed snippet,
+    * then every matching doc scored. The seed's candidate set must lie
+    * inside the corpus vocabulary with maxQueryTerms ≥ candidates so the
+    * SELECTED set (and the term-sorted clause order) is stable across scale
+    * factors — the oracle's ordered + chain is static SQL.
+    */
+  def mltDF(spark: SparkSession, sfDir: String, text: String): DataFrame = {
+    val s = searcher(spark, sfDir)
+    matches(spark, sfDir, s.moreLikeThisQuery(analyzer, text))
+  }
+
   /** Matching docs with round(score, 4), ordered by docId. */
   def matches(spark: SparkSession, sfDir: String, q: Query): DataFrame =
     searcher(spark, sfDir).scoredDocs(q, ScoreMode.ExactDouble)

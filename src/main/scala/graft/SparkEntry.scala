@@ -104,6 +104,13 @@ object SparkEntry {
           col("nMatches").cast("long").as("n_matches"))
         .orderBy("doc_id")
     }),
+    "ft_mlt" -> ((s, d) => // MoreLikeThis (round-5, Lucene MLT-module
+      // analogue): seed "vector merge merge dup data" → candidates {data,
+      // dup, merge, vector} all selected (maxQueryTerms >= candidates, so
+      // the set is df-independent = stable across sf) → term-SORTED SHOULD
+      // disjunction; oracle sums the 4 CASE contributions in the same
+      // sorted order (float64 left-to-right == engine leaf order)
+      FtQueries.mltDF(s, d, "vector merge merge dup data")),
     "ft_regexp" -> ((s, d) => // regexp expansion `/s[ct][a-z]+/` (round-5):
       // anchored full-term match over the dictionary → {scan, stream} — ≤2
       // contributing terms per doc (order-independent float64 sum); the
@@ -827,6 +834,18 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(score, 4) AS score_r
          |FROM sc WHERE nm > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_mlt" -> // MLT disjunction over {data, dup, merge, vector}: the
+      // CASE chain sums in the engine's term-sorted clause order
+      s"""${ftBase(Seq("data", "dup", "merge", "vector"))}, sc AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN f_data > 0 THEN ${termScore("data")} ELSE 0 END
+         |    + CASE WHEN f_dup > 0 THEN ${termScore("dup")} ELSE 0 END
+         |    + CASE WHEN f_merge > 0 THEN ${termScore("merge")} ELSE 0 END
+         |    + CASE WHEN f_vector > 0 THEN ${termScore("vector")} ELSE 0 END AS s
+         |  FROM base WHERE f_data > 0 OR f_dup > 0 OR f_merge > 0 OR f_vector > 0
+         |)
+         |SELECT doc_id, round(s, 4) AS score_r FROM sc
          |ORDER BY doc_id""".stripMargin,
     "ft_regexp" -> // expansion recomputed via DuckDB regexp_full_match
       // (pattern in the Java∩RE2 common subset; same per-term df/score

@@ -313,6 +313,32 @@ class PrefixSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](searcher.facetCounts(q, "nope"))
   }
 
+  test("moreLikeThis: selection filters + tie-break; query == hand disjunction") {
+    val an = new StandardCodeAnalyzer()
+    // absent-from-dictionary terms drop out; surviving clauses are term-sorted
+    val q = searcher.moreLikeThisQuery(an, "scorer scorer merge zzzznotaword")
+    assert(q == BooleanQuery(List(
+      BooleanClause(Occur.SHOULD, TermQuery("merge")),
+      BooleanClause(Occur.SHOULD, TermQuery("scorer")))))
+    // minTermFreq prunes by tf within the seed
+    assert(searcher.moreLikeThisQuery(an, "scorer scorer merge", minTermFreq = 2) ==
+      BooleanQuery(List(BooleanClause(Occur.SHOULD, TermQuery("scorer")))))
+    // maxQueryTerms keeps the most interesting term: equal tf → the rarer
+    // term (higher idf) wins; scorer appears in fewer docs than merge in
+    // this fixture iff dictionary df says so — assert against df directly
+    val dfs = searcher.termStats(Seq(("content", "scorer"), ("content", "merge")))
+      .map { case ((_, t), s) => (t, s.docFreq) }
+    val rarer = Seq("scorer", "merge").minBy(t => (dfs(t), t))
+    assert(searcher.moreLikeThisQuery(an, "scorer merge", maxQueryTerms = 1) ==
+      BooleanQuery(List(BooleanClause(Occur.SHOULD, TermQuery(rarer)))))
+    // the MLT query searches like its hand-built twin, incl. through WAND
+    val full = searcher.search(q, 10, ScoreMode.ExactDouble)
+    val wand = Wand.searchTopK(searcher, q, 10, ScoreMode.ExactDouble)
+    assert(full.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+      wand.scoreDocs.map(d => (d.docId, d.score)).toSeq)
+    assert(full.totalHits > 0)
+  }
+
   test("expansion beyond the 1024-clause budget is rejected; 1024 exactly works") {
     // one doc whose content is 1025 distinct 'zz<i>' words → 'zz*' expands
     // past the reference maxClauseCount and must error with a clear message
