@@ -17,6 +17,8 @@ import graft.search.{IndexSearcher, QueryParser, ScoreMode}
   * sbt "runMain graft.Cli merge <indexDir>"                   # tiered merge (reclaim-aware) + republish
   * sbt "runMain graft.Cli expunge <indexDir> [minFrac]"       # rewrite delete-heavy waves + republish
   * sbt "runMain graft.Cli facets <indexDir> <col> <query...>" # value counts over all matches
+  * sbt "runMain graft.Cli suggest <indexDir> <term> [maxEdits]" # did-you-mean spelling suggestions
+  * sbt "runMain graft.Cli sort <indexDir> <col> <k> <query...>" # matches ordered by a stored column
   * }}}
   */
 object Cli {
@@ -96,10 +98,25 @@ object Cli {
       println(s"QUERY: $q")
       searcher.facetCounts(q, facetCol, topN = 20).collect()
         .foreach(r => println(f"  ${r.get(0)}%-24s ${r.getLong(1)}%8d"))
+    case "suggest" :: indexDir :: term :: rest if rest.size <= 1 =>
+      val maxEdits = rest.headOption.map(_.toInt).getOrElse(2)
+      val searcher = new IndexSearcher(spark, indexDir)
+      val rows = searcher.suggestTerms(term, maxEdits, topN = 8).collect()
+      if (rows.isEmpty) println(s"no suggestions within $maxEdits edits of '$term'")
+      else rows.foreach(r =>
+        println(f"  ${r.getString(0)}%-24s dist=${r.getInt(2)} df=${r.getLong(1)}%d"))
+    case "sort" :: indexDir :: sortCol :: k :: rest if rest.nonEmpty =>
+      val searcher = new IndexSearcher(spark, indexDir)
+      val q = new QueryParser(new StandardCodeAnalyzer(), strictFields = false)
+        .parse(rest.mkString(" "))
+      println(s"QUERY: $q")
+      searcher.searchSortBy(q, sortCol, k.toInt).collect()
+        .foreach(r => println(f"  doc=${r.getLong(0)}%6d $sortCol=${r.get(1)}"))
     case other =>
       System.err.println("usage: build <corpusParquet> <indexDir> | search <indexDir> <k> <query...> | " +
         s"delete <indexDir> <field> <term> | check <indexDir> | merge <indexDir> | " +
-        s"expunge <indexDir> [minFrac] | facets <indexDir> <col> <query...> (got: $other)")
+        s"expunge <indexDir> [minFrac] | facets <indexDir> <col> <query...> | " +
+        s"suggest <indexDir> <term> [maxEdits] | sort <indexDir> <col> <k> <query...> (got: $other)")
       sys.exit(2)
   }
 }

@@ -259,6 +259,41 @@ object FtQueries {
     matches(spark, sfDir, s.moreLikeThisQuery(analyzer, text))
   }
 
+  /** Sort-by-field top-k (Lucene Sort/TopFieldCollector analogue — never
+    * ported): matching docs ordered by a stored metadata column, docId
+    * tie-break; the k-set re-orders by doc_id for the hash compare (the
+    * SELECTED set + carried sort values are what's verified).
+    */
+  def sortedDF(spark: SparkSession, sfDir: String, q: Query, sortCol: String,
+      k: Int, ascending: Boolean): DataFrame =
+    searcher(spark, sfDir).searchSortBy(q, sortCol, k, ascending)
+      .select(col("docId").as("doc_id"), col(sortCol))
+      .orderBy("doc_id")
+
+  /** Grouped search (Lucene grouping-module analogue — never ported): top
+    * groups by best hit, top docs within each, exact-double scores rounded
+    * at the display edge only (ranking compares raw float64 — the
+    * raw-score rank-window rule).
+    */
+  def groupedDF(spark: SparkSession, sfDir: String, q: Query, groupCol: String,
+      topGroups: Int, docsPerGroup: Int): DataFrame =
+    searcher(spark, sfDir)
+      .groupedSearch(q, groupCol, topGroups, docsPerGroup, ScoreMode.ExactDouble)
+      .select(col(groupCol), round(col("groupTop"), 4).as("group_top_r"),
+        col("rank").cast("long").as("rnk"), col("docId").as("doc_id"),
+        round(col("score"), 4).as("score_r"))
+      .orderBy(groupCol, "rnk")
+
+  /** Spell suggestions (Lucene suggest/spellchecker analogue — never
+    * ported) for a misspelled input, re-ordered by term for the compare.
+    */
+  def suggestDF(spark: SparkSession, sfDir: String, input: String,
+      maxEdits: Int, topN: Int): DataFrame =
+    searcher(spark, sfDir).suggestTerms(input, maxEdits, topN)
+      .select(col("term"), col("dist").cast("long").as("dist"),
+        col("docFreq").cast("long").as("df"))
+      .orderBy("term")
+
   /** Matching docs with round(score, 4), ordered by docId. */
   def matches(spark: SparkSession, sfDir: String, q: Query): DataFrame =
     searcher(spark, sfDir).scoredDocs(q, ScoreMode.ExactDouble)

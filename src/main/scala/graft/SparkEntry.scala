@@ -245,6 +245,25 @@ object SparkEntry {
       FtQueries.facetsDF(s, d, BooleanQuery(Seq(
         BooleanClause(Occur.SHOULD, TermQuery("merge")),
         BooleanClause(Occur.SHOULD, TermQuery("vector")))), "lang")),
+    "ft_sorted" -> ((s, d) => // sort-by-field top-k (round-5, Lucene
+      // Sort/TopFieldCollector analogue): docs matching `merge` ordered by
+      // repo DESC with docId tie-break, k=15 — TakeOrderedAndProject over
+      // the match-set join, never a global sort
+      FtQueries.sortedDF(s, d, TermQuery("merge"), "repo", 15, ascending = false)),
+    "ft_grouped" -> ((s, d) => // result grouping (round-5, Lucene
+      // grouping-module analogue): top-3 lang groups by best `merge spark`
+      // hit, top-4 docs per group — windowed per-group rank + broadcast
+      // group leaderboard, raw-float64 rank comparisons
+      FtQueries.groupedDF(s, d, BooleanQuery(Seq(
+        BooleanClause(Occur.SHOULD, TermQuery("merge")),
+        BooleanClause(Occur.SHOULD, TermQuery("spark")))), "lang",
+        topGroups = 3, docsPerGroup = 4)),
+    "ft_suggest" -> ((s, d) => // spell suggestions (round-5, Lucene
+      // suggest/spellchecker analogue): dictionary terms within 2 classic
+      // edits of the misspelling 'sart', ranked (dist, df desc, term) — the
+      // df tie-break decides within dist 1; vocabulary-sized scan, postings
+      // untouched
+      FtQueries.suggestDF(s, d, "sart", maxEdits = 2, topN = 5)),
     "ft_stored" -> ((s, d) => // stored-fields point read of the top-8 hits:
       // repo/lang columns + the sha256 content digest vs the source table
       FtQueries.storedTopDF(s, d, TermQuery("sort"), 8)),
@@ -1360,6 +1379,56 @@ object SparkEntry {
          |   OR len(list_filter(t.tk, x -> x = 'vector')) > 0
          |GROUP BY d.lang
          |ORDER BY n_docs DESC, lang""".stripMargin,
+    "ft_sorted" -> // sort-by-field: the top-15 `merge` matches by
+      // (repo DESC, doc_id) — string order is binary on both sides (ASCII
+      // repo values); the selected set + sort values re-order by doc_id
+      s"""$prelude, m AS (
+         |  SELECT doc_id FROM docs WHERE ${freqCol("merge")} > 0
+         |), s AS (
+         |  SELECT m.doc_id AS doc_id, d.source AS repo
+         |  FROM m JOIN documents d ON d.doc_id = m.doc_id
+         |  ORDER BY repo DESC, doc_id LIMIT 15
+         |)
+         |SELECT doc_id, repo FROM s ORDER BY doc_id""".stripMargin,
+    "ft_grouped" -> // result grouping: window rank within lang ordered by
+      // the raw float64 score (reproduces bit-for-bit — rank-window rule),
+      // group leaderboard by (max score DESC, lang), round at display only
+      s"""${ftBase(Seq("merge", "spark"))}, sc AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN f_merge > 0 THEN ${termScore("merge")} ELSE 0 END
+         |    + CASE WHEN f_spark > 0 THEN ${termScore("spark")} ELSE 0 END AS s
+         |  FROM base WHERE f_merge > 0 OR f_spark > 0
+         |), j AS (
+         |  SELECT sc.doc_id AS doc_id, sc.s AS s, d.lang AS lang
+         |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         |), rk AS (
+         |  SELECT doc_id, s, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY s DESC, doc_id) AS rnk,
+         |    max(s) OVER (PARTITION BY lang) AS gtop
+         |  FROM j
+         |), lead AS (
+         |  SELECT lang, gtop FROM (SELECT DISTINCT lang, gtop FROM rk)
+         |  ORDER BY gtop DESC, lang LIMIT 3
+         |)
+         |SELECT rk.lang AS lang, round(lead.gtop, 4) AS group_top_r,
+         |  CAST(rnk AS BIGINT) AS rnk, rk.doc_id AS doc_id, round(s, 4) AS score_r
+         |FROM rk JOIN lead ON rk.lang = lead.lang
+         |WHERE rnk <= 4
+         |ORDER BY lang, rnk""".stripMargin,
+    "ft_suggest" -> // spell suggest: vocabulary df recomputed from the
+      // corpus, DuckDB's classic levenshtein == Spark's; integers only
+      s"""$prelude, vocab AS (
+         |  SELECT tok AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM docs)
+         |  GROUP BY tok
+         |), cand AS (
+         |  SELECT term, df, CAST(levenshtein(term, 'sart') AS BIGINT) AS dist
+         |  FROM vocab
+         |  WHERE term <> 'sart' AND levenshtein(term, 'sart') <= 2
+         |), top AS (
+         |  SELECT * FROM cand ORDER BY dist, df DESC, term LIMIT 5
+         |)
+         |SELECT term, dist, df FROM top ORDER BY term""".stripMargin,
     "ft_stored" ->
       s"""${ftBase(Seq("sort"))}, sc AS (
          |  SELECT doc_id, tk, ${termScore("sort")} AS s FROM base WHERE f_sort > 0

@@ -739,6 +739,95 @@ final class IndexSearcher(
       .limit(topN)
   }
 
+  /** Sort-by-field top-k — the Lucene Sort/TopFieldCollector analogue
+    * (never ported in the reference: no SortField exists under
+    * core/search/). Matching runs Ref32 (relevance scores are unused when
+    * sorting by a field, like Lucene's non-scoring TopFieldCollector); the
+    * match set stays a distributed Dataset (deletes apply), hash-joins the
+    * docs table for the sort column, and `orderBy(...).limit(k)` plans as
+    * Spark's TakeOrderedAndProject — per-partition k-bounded heaps merged
+    * on the driver, never a global sort. Deterministic tie-break: equal
+    * sort values order by docId asc, whatever the sort direction (Lucene's
+    * implicit final docId comparator).
+    */
+  def searchSortBy(q: Query, sortCol: String, k: Int,
+      ascending: Boolean = true): DataFrame = {
+    val internal = Set("docId", "segId", "dl", "norm", "fieldDls", "wave", "contentSha")
+    require(docsDF.columns.contains(sortCol) && !internal.contains(sortCol),
+      s"sort column '$sortCol' is not a stored metadata column " +
+        s"(available: ${docsDF.columns.filterNot(internal).mkString(", ")})")
+    require(k > 0, s"k must be positive, got $k")
+    val ord = if (ascending) col(sortCol).asc else col(sortCol).desc
+    scoredDocs(q, ScoreMode.Ref32) // prepare() expands multi-term leaves
+      .select(col("docId"))
+      .join(docsDF.select(col("docId"), col(sortCol)), "docId")
+      .orderBy(ord, col("docId").asc)
+      .limit(k)
+      .select(col("docId"), col(sortCol))
+  }
+
+  /** Result grouping — the Lucene grouping-module analogue (never ported):
+    * the top `topGroups` groups of a stored metadata column ranked by their
+    * BEST hit (max score desc, group value asc — Lucene's
+    * groupSort=relevance), each carrying its top `docsPerGroup` hits
+    * (score desc, docId asc). Fully distributed: the scored match set
+    * hash-joins the docs table on docId; within-group ranks are ONE window
+    * (hash-partitioned by the group column — no global sort); the group
+    * leaderboard reuses the same shuffle key as a map-side-partial max and
+    * is topGroups-sized, so it BROADCASTS back onto the ranked rows. Two
+    * key-aligned shuffles total, both bounded by match-set size. Group
+    * ranking compares UNROUNDED scores — legal because exact-double scores
+    * reproduce bit-for-bit (CLAUDE.md raw-score rank-window rule); Ref32
+    * works too when no SQL twin is needed.
+    */
+  def groupedSearch(q: Query, groupCol: String, topGroups: Int,
+      docsPerGroup: Int, mode: ScoreMode = ScoreMode.Ref32): DataFrame = {
+    val internal = Set("docId", "segId", "dl", "norm", "fieldDls", "wave", "contentSha")
+    require(docsDF.columns.contains(groupCol) && !internal.contains(groupCol),
+      s"group column '$groupCol' is not a stored metadata column " +
+        s"(available: ${docsDF.columns.filterNot(internal).mkString(", ")})")
+    require(topGroups > 0 && docsPerGroup > 0,
+      s"topGroups/docsPerGroup must be positive, got $topGroups/$docsPerGroup")
+    val hits = scoredDocs(q, mode).toDF("docId", "score")
+      .join(docsDF.select(col("docId"), col(groupCol)), "docId")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("score").desc, col("docId").asc)
+    val leaders = hits.groupBy(col(groupCol))
+      .agg(max(col("score")).as("groupTop"))
+      .orderBy(col("groupTop").desc, col(groupCol)).limit(topGroups)
+    hits.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= docsPerGroup)
+      .join(broadcast(leaders), Seq(groupCol))
+      .select(col(groupCol), col("groupTop"), col("rank"), col("docId"), col("score"))
+  }
+
+  /** Spelling suggestions — the Lucene suggest/spellchecker analogue (never
+    * ported): dictionary terms within `maxEdits` CLASSIC Levenshtein edits
+    * of `input` (the FuzzyQuery distance, so DuckDB's `levenshtein`
+    * reproduces it), ranked (distance asc, docFreq desc, term asc), topN.
+    * The exact input term is excluded (a suggestion you typed is not a
+    * suggestion). Distributed over the vocabulary-sized terms table with
+    * the same length-window prefilter as [[fuzzyTerms]]; `limit(topN)` is a
+    * distributed TakeOrdered — postings are never touched. docFreq is the
+    * INDEXED df (point-in-time, like Lucene's spellchecker — query-time
+    * deletes don't re-rank suggestions).
+    */
+  def suggestTerms(input: String, maxEdits: Int = 2, topN: Int = 5,
+      f: String = field): DataFrame = {
+    require(maxEdits >= 1 && maxEdits <= 2,
+      s"suggest maxEdits must be 1..2 (Lucene's classic bound), got $maxEdits")
+    require(topN > 0, s"topN must be positive, got $topN")
+    termsDF
+      .where(col("field") === f &&
+        length(col("term")).between(input.length - maxEdits, input.length + maxEdits) &&
+        col("term") =!= input)
+      .select(col("term"), col("docFreq"),
+        levenshtein(col("term"), lit(input)).as("dist"))
+      .where(col("dist") <= maxEdits)
+      .orderBy(col("dist").asc, col("docFreq").desc, col("term").asc)
+      .limit(topN)
+  }
+
   /** Structured score breakdown for one document (reference Explain,
     * /root/reference/core/search/explanation.go, term.go:163-193): the
     * root value reproduces search()'s score for that doc exactly —

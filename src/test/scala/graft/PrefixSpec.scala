@@ -339,6 +339,72 @@ class PrefixSpec extends AnyFunSuite with SparkTestBase {
     assert(full.totalHits > 0)
   }
 
+  test("searchSortBy == brute-force (field, docId) order, both directions; column gate") {
+    val q = TermQuery("merge")
+    val ids = searcher.scoredDocs(q, ScoreMode.Ref32).collect().map(_.docId).toSeq
+    val meta = searcher.docs(ids).map(d => (d.docId, d.lang))
+    assert(meta.map(_._2).distinct.size > 1) // the sort actually discriminates
+    val gotAsc = searcher.searchSortBy(q, "lang", 12).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(gotAsc == meta.sortBy { case (id, l) => (l, id) }.take(12))
+    val gotDesc = searcher.searchSortBy(q, "lang", 12, ascending = false).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // desc on the field, docId ASC tie-break regardless of direction
+    val expDesc = meta.sortBy { case (id, l) => (l, id) }(
+      Ordering.Tuple2(Ordering.String.reverse, Ordering.Long)).take(12)
+    assert(gotDesc == expDesc)
+    intercept[IllegalArgumentException](searcher.searchSortBy(q, "norm", 5))
+  }
+
+  test("groupedSearch == brute-force grouping (leader rank, member rank, scores)") {
+    val q = BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("merge")),
+      BooleanClause(Occur.SHOULD, TermQuery("scorer"))))
+    val got = searcher.groupedSearch(q, "lang", topGroups = 2, docsPerGroup = 3,
+        ScoreMode.ExactDouble).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(r => (r._1, r._3)).toSeq
+    val hits = searcher.scoredDocs(q, ScoreMode.ExactDouble).collect()
+      .map(d => (d.docId, d.score)).toSeq
+    val langOf = searcher.docs(hits.map(_._1)).map(d => d.docId -> d.lang).toMap
+    val byLang = hits.groupBy(h => langOf(h._1))
+    val leaders = byLang.view.mapValues(_.map(_._2).max).toSeq
+      .sortBy { case (l, top) => (-top, l) }.take(2)
+    val expect = leaders.flatMap { case (l, top) =>
+      byLang(l).sortBy { case (id, s) => (-s, id) }.take(3).zipWithIndex.map {
+        case ((id, s), i) => (l, top, i + 1, id, s)
+      }
+    }.sortBy(r => (r._1, r._3))
+    assert(got == expect)
+    intercept[IllegalArgumentException](
+      searcher.groupedSearch(q, "lang", topGroups = 0, docsPerGroup = 3))
+  }
+
+  test("suggestTerms ranks (dist asc, df desc, term asc) and excludes the input") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = spark.read.parquet(searcher.manifest.termsLocation)
+      .where(col("field") === "content")
+      .select("term", "docFreq").as[(String, Long)].collect().toSeq
+    val expect = vocab
+      .flatMap { case (t, df) =>
+        val dd = lev(t, "scorr")
+        if (t != "scorr" && dd <= 2) Some((t, df, dd)) else None
+      }
+      .sortBy { case (t, df, dd) => (dd, -df, t) }.take(4)
+    assert(expect.exists(_._1 == "scorer")) // the intended correction is in range
+    val got = searcher.suggestTerms("scorr", maxEdits = 2, topN = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expect)
+    intercept[IllegalArgumentException](searcher.suggestTerms("x", maxEdits = 3))
+  }
+
   test("expansion beyond the 1024-clause budget is rejected; 1024 exactly works") {
     // one doc whose content is 1025 distinct 'zz<i>' words → 'zz*' expands
     // past the reference maxClauseCount and must error with a clear message
