@@ -264,6 +264,17 @@ object SparkEntry {
       // df tie-break decides within dist 1; vocabulary-sized scan, postings
       // untouched
       FtQueries.suggestDF(s, d, "sart", maxEdits = 2, topN = 5)),
+    "ft_filtered" -> ((s, d) => // Occur.FILTER / FilteredQuery (round-5; the
+      // reference STUBS it — search.go:113-118 panics on a non-nil filter):
+      // `vector` restricts the match set but contributes no score/coord/
+      // queryNorm; merge|spark alone produce the score
+      FtQueries.matches(s, d, FilteredQuery(BooleanQuery(Seq(
+        BooleanClause(Occur.SHOULD, TermQuery("merge")),
+        BooleanClause(Occur.SHOULD, TermQuery("spark")))), TermQuery("vector")))),
+    "ft_match_all" -> ((s, d) => // MatchAllDocsQuery (`*:*`, absent in the
+      // reference): every LIVE doc at constant boost score over a delete
+      // view — the pruned docs-table scan path, not the postings path
+      FtQueries.matchesWithDeletes(s, d, MatchAllQuery(2.5f), 7)),
     "ft_stored" -> ((s, d) => // stored-fields point read of the top-8 hits:
       // repo/lang columns + the sha256 content digest vs the source table
       FtQueries.storedTopDF(s, d, TermQuery("sort"), 8)),
@@ -1429,6 +1440,20 @@ object SparkEntry {
          |  SELECT * FROM cand ORDER BY dist, df DESC, term LIMIT 5
          |)
          |SELECT term, dist, df FROM top ORDER BY term""".stripMargin,
+    "ft_filtered" -> // FILTER clause: vector gates the match set but adds no
+      // score — the SELECT sums only the merge|spark disjunction (2-term
+      // float64 sum in the engine's must-then-should clause order)
+      s"""${ftBase(Seq("merge", "spark", "vector"))}
+         |SELECT doc_id, round(
+         |  CASE WHEN f_merge > 0 THEN ${termScore("merge")} ELSE 0 END
+         |  + CASE WHEN f_spark > 0 THEN ${termScore("spark")} ELSE 0 END, 4) AS score_r
+         |FROM base WHERE f_vector > 0 AND (f_merge > 0 OR f_spark > 0)
+         |ORDER BY doc_id""".stripMargin,
+    "ft_match_all" -> // match-all over a delete view: every live doc at the
+      // constant boost score — no postings, no tokenization, pure liveness
+      s"""SELECT doc_id, CAST(2.5 AS DOUBLE) AS score_r
+         |FROM documents WHERE doc_id % 7 <> 0
+         |ORDER BY doc_id""".stripMargin,
     "ft_stored" ->
       s"""${ftBase(Seq("sort"))}, sc AS (
          |  SELECT doc_id, tk, ${termScore("sort")} AS s FROM base WHERE f_sort > 0

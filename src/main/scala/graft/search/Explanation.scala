@@ -121,30 +121,39 @@ private[search] object Explain {
       Explanation(0.0, s"no match: phrase(\"${ts.mkString(" ")}\") has unindexed terms",
         Nil, isMatch = false)
 
-    case (BooleanQuery(clauses, msm, _), b @ CBool(must, should, mustNot, _, coords)) =>
+    case (BooleanQuery(clauses, msm, _), b @ CBool(must, should, filters, mustNot, _, coords)) =>
       val v = evalAt(b, acc, slot, mode)
       val mustQs = clauses.filter(_.occur == Occur.MUST).map(_.query)
       val shouldQs = clauses.filter(_.occur == Occur.SHOULD).map(_.query)
+      val filterQs = clauses.filter(_.occur == Occur.FILTER).map(_.query)
       val notQs = clauses.filter(_.occur == Occur.MUST_NOT).map(_.query)
       val mustEx = mustQs.zip(must).map { case (cq, cn) =>
         node(cq, cn, acc, slot, docId, searcher, stats, mode) }
       val shouldEx = shouldQs.zip(should).map { case (cq, cn) =>
         node(cq, cn, acc, slot, docId, searcher, stats, mode) }
+      // filters never score: shown as 0-value children (presence only)
+      val filterEx = filterQs.zip(filters).map { case (cq, cn) =>
+        val m = !evalAt(cn, acc, slot, mode).isNaN
+        Explanation(0.0, s"filter($cq): ${if (m) "matches (contributes no score)"
+          else "does not match"}", Nil, isMatch = m)
+      }
       val notHits = notQs.zip(mustNot).filter { case (_, cn) =>
         !evalAt(cn, acc, slot, mode).isNaN }
       if (v.isNaN) {
         val why =
           if (notHits.nonEmpty) s"excluded by MUST_NOT (${notHits.size} prohibited clause(s) match)"
+          else if (filterEx.exists(!_.isMatch)) "a FILTER clause does not match"
           else if (mustEx.exists(!_.isMatch)) "a MUST clause does not match"
           else if (shouldEx.count(_.isMatch) < msm)
             s"only ${shouldEx.count(_.isMatch)} of minShouldMatch=$msm SHOULD clauses match"
           else "no scoring clause matches"
         Explanation(0.0, s"no match: boolean ($why)",
-          mustEx ++ shouldEx, isMatch = false)
+          mustEx ++ shouldEx ++ filterEx, isMatch = false)
       } else {
         val matched = shouldEx.count(_.isMatch)
         val coordVal = coords(must.length + matched)
-        val kids = mustEx ++ shouldEx
+        // filter children carry value 0 — the fold-add composition is intact
+        val kids = mustEx ++ shouldEx ++ filterEx
         // composition: value == fold-add of MATCHING details in listed order
         // (must then should — the exact summation order of Eval in each
         // mode's arithmetic), then × coord when it is not 1

@@ -104,11 +104,39 @@ final case class TermRangeQuery(lower: Option[String], upper: Option[String],
 final case class RegexpQuery(pattern: String, boost: Float = 1.0f,
     field: Option[String] = None) extends MultiTermQuery
 
+/** Matches every live (non-deleted) document with constant score = boost —
+  * Lucene's MatchAllDocsQuery (absent in the reference; `*:*` in the classic
+  * syntax). Supported at the TOP LEVEL of a query (alone, or as the scored
+  * side of [[FilteredQuery]]): the range-group evaluator only sees docs
+  * touched by query postings, so an all-docs leaf evaluates against the
+  * docs table instead — a different physical plan, special-cased at every
+  * search entry point. Nesting it inside a BooleanQuery throws at compile
+  * with a clear message (use FilteredQuery for the match-all+restrict
+  * shape).
+  */
+final case class MatchAllQuery(boost: Float = 1.0f) extends Query
+
+/** Lucene 4.x FilteredQuery / modern Occur.FILTER sugar (the reference
+  * STUBS it — /root/reference/core/search/search.go:113-118 panics when a
+  * filter is non-nil, filter.go is an empty shell): score comes from
+  * `query` only; `filter` restricts the match set without contributing
+  * score, coord, or queryNorm. Desugared by [[Query.rewrite]] into a
+  * BooleanQuery with a FILTER clause (`FilteredQuery(MatchAllQuery, f)`
+  * becomes the pure-FILTER boolean, which scores 0 — Lucene's FILTER-only
+  * semantics).
+  */
+final case class FilteredQuery(query: Query, filter: Query) extends Query
+
 sealed trait Occur
 object Occur {
   case object MUST extends Occur
   case object SHOULD extends Occur
   case object MUST_NOT extends Occur
+  /** Must match, contributes nothing: no score, no coord overlap, no
+    * queryNorm (Lucene BooleanClause.Occur.FILTER; the reference's stubbed
+    * FilteredQuery is the 4.x spelling of the same idea).
+    */
+  case object FILTER extends Occur
 }
 
 final case class BooleanClause(occur: Occur, query: Query)
@@ -129,6 +157,8 @@ object Query {
       case TermQuery(t, _, f) => buf += ((f.getOrElse(defaultField), t))
       case PhraseQuery(ts, _, f, _) => ts.foreach(t => buf += ((f.getOrElse(defaultField), t)))
       case BooleanQuery(cs, _, _) => cs.foreach(c => walk(c.query))
+      case MatchAllQuery(_) => () // no terms — matches via the docs table
+      case FilteredQuery(q1, f1) => walk(q1); walk(f1)
       case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p reached leafKeys — multi-term queries must go through " +
           "IndexSearcher.expandPrefixes first (search/scoredDocs/explain/Wand do)")
@@ -141,6 +171,8 @@ object Query {
   def phraseTerms(q: Query, defaultField: String): Set[(String, String)] = q match {
     case PhraseQuery(ts, _, f, _) => ts.map(t => (f.getOrElse(defaultField), t)).toSet
     case BooleanQuery(cs, _, _) => cs.flatMap(c => phraseTerms(c.query, defaultField)).toSet
+    case FilteredQuery(q1, f1) =>
+      phraseTerms(q1, defaultField) ++ phraseTerms(f1, defaultField)
     case _ => Set.empty
   }
 
@@ -152,6 +184,16 @@ object Query {
   def rewrite(q: Query): Query = q match {
     case PhraseQuery(Seq(t), boost, f, _) => TermQuery(t, boost, f)
     case t: TermQuery => t
+    case FilteredQuery(q1, f1) =>
+      // desugar to a FILTER clause; FilteredQuery(MatchAll, f) becomes the
+      // pure-FILTER boolean (score 0 — Lucene FILTER-only semantics)
+      rewrite(q1) match {
+        case MatchAllQuery(b) =>
+          BooleanQuery(Seq(BooleanClause(Occur.FILTER, rewrite(f1))), 0, b)
+        case rq => rewrite(BooleanQuery(Seq(
+          BooleanClause(Occur.MUST, rq),
+          BooleanClause(Occur.FILTER, rewrite(f1)))))
+      }
     case bq @ BooleanQuery(cs, msm, boost) =>
       val rewritten = cs.map(c => c.copy(query = rewrite(c.query)))
       val nShould = rewritten.count(_.occur == Occur.SHOULD)
@@ -161,7 +203,10 @@ object Query {
             if (c.occur == Occur.SHOULD) c.copy(occur = Occur.MUST) else c), 0, boost)
         else BooleanQuery(rewritten, msm, boost)
       promoted match {
-        case BooleanQuery(Seq(BooleanClause(o, inner)), 0, b) if o != Occur.MUST_NOT =>
+        // a lone FILTER clause must NOT fold to its bare query — that would
+        // turn a non-scoring restriction into a scoring leaf
+        case BooleanQuery(Seq(BooleanClause(o, inner)), 0, b)
+            if o != Occur.MUST_NOT && o != Occur.FILTER =>
           foldBoost(inner, b)
         case other => if (other == bq) bq else rewrite(other)
       }
@@ -177,6 +222,8 @@ object Query {
     case TermRangeQuery(lo, hi, il, iu, b0, f) => TermRangeQuery(lo, hi, il, iu, b0 * b, f)
     case RegexpQuery(pat, b0, f) => RegexpQuery(pat, b0 * b, f)
     case BooleanQuery(cs, m, b0) => BooleanQuery(cs, m, b0 * b)
+    case MatchAllQuery(b0) => MatchAllQuery(b0 * b)
+    case FilteredQuery(q1, f1) => FilteredQuery(foldBoost(q1, b), f1)
   }
 
   /** Multiply a query's boost (parser `^N` syntax; reference CARAT token —

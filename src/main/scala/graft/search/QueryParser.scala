@@ -158,6 +158,11 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
     * term (optionally `field:term`).
     */
   private def parseClause(toks: List[Tok]): (Option[Query], List[Tok]) = toks match {
+    // `*:*` — MatchAllDocsQuery (Lucene classic syntax; absent in the
+    // reference). Optionally boosted: `*:*^2`. FILTER clauses have no
+    // classic syntax — they are API-level (FilteredQuery / Occur.FILTER).
+    case Word(wRaw) :: rest if splitBoost(wRaw)._1 == "*:*" =>
+      (Some(Query.boosted(MatchAllQuery(), splitBoost(wRaw)._2)), rest)
     // term range `[a TO b]` / `{a TO b}` (optionally `field:[a TO b]`): the
     // lexer yields three words; `*` opens a side. Reference: absent.
     case Word(w) :: Word("TO") :: Word(z0) :: rest

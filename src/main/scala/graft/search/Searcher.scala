@@ -19,10 +19,13 @@ private[search] final case class CLeafTerm(
 private[search] final case class CLeafPhrase(
     idxs: Array[Int], fi: Int, ref: Similarity.Scorer, exact: Similarity.ExactScorer,
     slop: Int) extends CNode
-/** coords(i) = similarity.coord(i, maxOverlap) — 1.0 for BM25-family. */
+/** coords(i) = similarity.coord(i, maxOverlap) — 1.0 for BM25-family.
+  * `filters` are Occur.FILTER clauses: must match, contribute no score and
+  * no coord overlap (maxOverlap counts scoring clauses only).
+  */
 private[search] final case class CBool(
-    must: Array[CNode], should: Array[CNode], mustNot: Array[CNode], msm: Int,
-    coords: Array[Float]) extends CNode
+    must: Array[CNode], should: Array[CNode], filters: Array[CNode],
+    mustNot: Array[CNode], msm: Int, coords: Array[Float]) extends CNode
 
 /** Range selection for filtered evaluation (WAND phases, explain).
   *
@@ -69,11 +72,16 @@ private[search] object Eval {
     case CLeafPhrase(idxs, fi, _, exact, slop) =>
       val pf = phraseFreq(idxs, acc, slot, slop)
       if (pf > 0) exact.score(pf.toDouble, acc.dls(fi)(slot).toDouble) else Double.NaN
-    case CBool(must, should, mustNot, msm, coords) =>
+    case CBool(must, should, filters, mustNot, msm, coords) =>
       var score = 0.0
       var i = 0
       while (i < mustNot.length) {
         if (!evalD(mustNot(i), acc, slot).isNaN) return Double.NaN
+        i += 1
+      }
+      i = 0
+      while (i < filters.length) { // must match, contributes nothing
+        if (evalD(filters(i), acc, slot).isNaN) return Double.NaN
         i += 1
       }
       i = 0
@@ -91,7 +99,9 @@ private[search] object Eval {
         i += 1
       }
       if (matched < msm) return Double.NaN
-      if (must.isEmpty && matched == 0) return Double.NaN
+      // with a FILTER present, SHOULD clauses are truly optional (Lucene:
+      // any required clause — MUST or FILTER — makes SHOULD score-only)
+      if (must.isEmpty && filters.isEmpty && matched == 0) return Double.NaN
       // coord is 1.0f for every model but TF-IDF, where the float32 factor
       // (widened) is what the SQL oracle reproduces (×1.0 is bit-exact)
       score * coords(must.length + matched).toDouble
@@ -108,11 +118,16 @@ private[search] object Eval {
     case CLeafPhrase(idxs, fi, ref, _, slop) =>
       val pf = phraseFreq(idxs, acc, slot, slop)
       if (pf > 0) ref.score(pf.toFloat, acc.norms(fi)(slot)) else Float.NaN
-    case CBool(must, should, mustNot, msm, coords) =>
+    case CBool(must, should, filters, mustNot, msm, coords) =>
       var score = 0.0f
       var i = 0
       while (i < mustNot.length) {
         if (!evalF(mustNot(i), acc, slot).isNaN) return Float.NaN
+        i += 1
+      }
+      i = 0
+      while (i < filters.length) { // must match, contributes nothing
+        if (evalF(filters(i), acc, slot).isNaN) return Float.NaN
         i += 1
       }
       i = 0
@@ -130,7 +145,7 @@ private[search] object Eval {
         i += 1
       }
       if (matched < msm) return Float.NaN
-      if (must.isEmpty && matched == 0) return Float.NaN
+      if (must.isEmpty && filters.isEmpty && matched == 0) return Float.NaN
       score * coords(must.length + matched)
   }
 
@@ -258,13 +273,10 @@ final class IndexSearcher(
     */
   @volatile private var delRangesInit = false
   private lazy val delRangesDF: DataFrame = {
-    val parts =
-      graft.index.Deletes.df(spark, indexPath).toSeq ++
-        extraDeletesDF.map(d => d.select(col(d.columns.head).cast("long").as("docId"))).toSeq ++
-        (if (extraDeletes.isEmpty) Nil
-         else Seq(extraDeletes.toSeq.toDF("docId")))
     delRangesInit = true
-    graft.index.Deletes.byRange(parts.reduce(_ union _), manifest.docsPerRange)
+    graft.index.Deletes.byRange(
+      deletesUnion.getOrElse(sys.error("ranged delete view with no delete sources")),
+      manifest.docsPerRange)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -397,8 +409,12 @@ final class IndexSearcher(
             collectionStats(fn), boost * topBoost)
         else 0f
       case BooleanQuery(clauses, _, boost) =>
-        clauses.filter(_.occur != Occur.MUST_NOT)
+        // FILTER clauses are non-scoring: no queryNorm contribution (Lucene)
+        clauses.filter(c => c.occur != Occur.MUST_NOT && c.occur != Occur.FILTER)
           .map(c => v(c.query, boost * topBoost)).sum
+      case q: MatchAllQuery => throw new IllegalArgumentException(
+        s"$q inside a BooleanQuery is not supported — use it top-level or " +
+          "as FilteredQuery(MatchAllQuery(), filter)")
       case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
@@ -421,8 +437,11 @@ final class IndexSearcher(
             collectionStats(fn), boost.toDouble * topBoost)
         else 0.0
       case BooleanQuery(clauses, _, boost) =>
-        clauses.filter(_.occur != Occur.MUST_NOT)
+        clauses.filter(c => c.occur != Occur.MUST_NOT && c.occur != Occur.FILTER)
           .map(c => vD(c.query, boost.toDouble * topBoost)).sum
+      case q: MatchAllQuery => throw new IllegalArgumentException(
+        s"$q inside a BooleanQuery is not supported — use it top-level or " +
+          "as FilteredQuery(MatchAllQuery(), filter)")
       case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
@@ -452,12 +471,18 @@ final class IndexSearcher(
         val b = boost * topBoost
         val must = clauses.filter(_.occur == Occur.MUST).map(c => node(c.query, b)).toArray
         val should = clauses.filter(_.occur == Occur.SHOULD).map(c => node(c.query, b)).toArray
-        val maxOverlap = must.length + should.length
+        val maxOverlap = must.length + should.length // scoring clauses only
         CBool(
           must, should,
+          // filter scorers are compiled but their scores discarded (boost
+          // immaterial) — only the presence test runs
+          clauses.filter(_.occur == Occur.FILTER).map(c => node(c.query, 1.0f)).toArray,
           clauses.filter(_.occur == Occur.MUST_NOT).map(c => node(c.query, 1.0f)).toArray,
           msm,
           Array.tabulate(maxOverlap + 1)(i => sim.coord(i, math.max(maxOverlap, 1))))
+      case q: MatchAllQuery => throw new IllegalArgumentException(
+        s"$q inside a BooleanQuery is not supported — use it top-level or " +
+          "as FilteredQuery(MatchAllQuery(), filter)")
       case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
@@ -585,6 +610,7 @@ final class IndexSearcher(
         BooleanClause(Occur.SHOULD, TermQuery(t2, boost, f))))
     case BooleanQuery(cs, msm, boost) =>
       BooleanQuery(cs.map(c => c.copy(query = expandPrefixes(c.query))), msm, boost)
+    case FilteredQuery(q1, f1) => FilteredQuery(expandPrefixes(q1), expandPrefixes(f1))
     case other => other
   }
 
@@ -834,6 +860,19 @@ final class IndexSearcher(
     * asserted by ExplainSpec on the reference query set.
     */
   def explain(q0: Query, docId: Long, mode: ScoreMode = ScoreMode.Ref32): Explanation = {
+    Query.rewrite(expandPrefixes(q0)) match {
+      case MatchAllQuery(b) =>
+        val exists = docs(Seq(docId)).nonEmpty
+        val deleted =
+          if (!rangedDeletes) java.util.Arrays.binarySearch(deletedSorted, docId) >= 0
+          else deletesUnion.exists(_.where(col("docId") === docId).limit(1).count() > 0)
+        return if (exists && !deleted)
+          Explanation(b.toDouble, s"match_all (boost=$b)")
+        else
+          Explanation(0.0, s"no match: match_all (${if (exists) "deleted" else "no such doc"})",
+            Nil, isMatch = false)
+      case _ => ()
+    }
     val p = prepare(q0, mode)
     val rangeId = docId / manifest.docsPerRange
     val rows = rowsFor(p, Some(RangeSel.Ids(Seq(rangeId)))).collect()
@@ -1023,10 +1062,46 @@ final class IndexSearcher(
     hits.flatten ++ fetched
   }
 
+  /** MatchAllQuery evaluation: every live docId at constant score = boost.
+    * The range-group machinery only sees docs touched by query postings, so
+    * an all-docs leaf scans the DOCS table instead — column-pruned to docId
+    * — with deletes applied the same two ways as the postings path:
+    * broadcast binary-search below deleteBroadcastMax, a left-anti join
+    * against the (never collected) delete set beyond it.
+    */
+  /** Union of every delete source as a one-column `docId` DataFrame (ranged
+    * path; never collected).
+    */
+  private def deletesUnion: Option[DataFrame] = {
+    val parts = graft.index.Deletes.df(spark, indexPath).toSeq ++
+      extraDeletesDF.map(d => d.select(col(d.columns.head).cast("long").as("docId"))).toSeq ++
+      (if (extraDeletes.isEmpty) Nil else Seq(extraDeletes.toSeq.toDF("docId")))
+    parts.reduceOption(_ union _).map(_.select(col("docId").cast("long").as("docId")))
+  }
+
+  private def matchAllScored(boost: Float): Dataset[ScoredDoc] = {
+    val score = boost.toDouble
+    val ids = docsDF.select(col("docId")).as[Long]
+    val live =
+      if (!rangedDeletes) {
+        val delB = spark.sparkContext.broadcast(deletedSorted)
+        if (deletedSorted.isEmpty) ids
+        else ids.filter((id: Long) => java.util.Arrays.binarySearch(delB.value, id) < 0)
+      } else deletesUnion match {
+        case Some(dels) => ids.toDF("docId").join(dels, Seq("docId"), "left_anti").as[Long]
+        case None => ids
+      }
+    live.map(id => ScoredDoc(id, score))
+  }
+
   /** All matching docs with scores — the full scored result set as a Dataset
     * (top-k and TotalHits both derive from it in one pass).
     */
   def scoredDocs(q0: Query, mode: ScoreMode): Dataset[ScoredDoc] = {
+    Query.rewrite(expandPrefixes(q0)) match {
+      case MatchAllQuery(b) => return matchAllScored(b)
+      case _ => ()
+    }
     val p = prepare(q0, mode)
     val geB = spark.sparkContext.broadcast(p.ge)
     val ds = rowsFor(p)
@@ -1086,13 +1161,41 @@ final class IndexSearcher(
 
   private def searchFiltered(q: Query, k: Int, mode: ScoreMode,
       rangeFilter: Option[RangeSel], after: Option[ScoredDoc] = None): TopDocs = {
-    val p = prepare(q, mode)
     // cursor gate (searchAfter): matches at-or-before the cursor still COUNT
     // but never enter a heap — captured by value in executor closures
     val afterOk: ScoredDoc => Boolean = after match {
       case None => _ => true
       case Some(a) => sd => sd.score < a.score || (sd.score == a.score && sd.docId > a.docId)
     }
+
+    Query.rewrite(expandPrefixes(q)) match {
+      case MatchAllQuery(b) =>
+        // all-docs path: one treeAggregate over the live-docs scan (same
+        // count+heap shape as the distributed tail below)
+        val ds = rangeFilter match {
+          case None => matchAllScored(b)
+          case Some(RangeSel.Ids(ids)) =>
+            val set = ids.toSet
+            val dpr = manifest.docsPerRange
+            matchAllScored(b).filter((sd: ScoredDoc) => set.contains(sd.docId / dpr))
+          case Some(RangeSel.Df(df)) =>
+            val dpr = manifest.docsPerRange
+            matchAllScored(b).toDF("docId", "score")
+              .withColumn("rangeId", expr(s"docId div ${dpr}L"))
+              .join(broadcast(df), Seq("rangeId"), "left_semi")
+              .select(col("docId"), col("score")).as[ScoredDoc]
+        }
+        val (total, heap) = ds.rdd.treeAggregate((0L, new BoundedHitQueue(k)))(
+          seqOp = (acc: (Long, BoundedHitQueue), sd: ScoredDoc) => {
+            if (afterOk(sd)) acc._2.insert(sd.docId, sd.score); (acc._1 + 1, acc._2)
+          },
+          combOp = (a: (Long, BoundedHitQueue), b2: (Long, BoundedHitQueue)) =>
+            (a._1 + b2._1, a._2.merge(b2._2)),
+          depth = 2)
+        return TopDocs(total, heap.toSortedArray)
+      case _ => ()
+    }
+    val p = prepare(q, mode)
 
     // singleton pulsing (reference postingsWriter.go:412-417,571-575): when
     // EVERY present query term has docFreq == 1, its docId is already inlined

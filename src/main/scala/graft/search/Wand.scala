@@ -111,7 +111,11 @@ object Wand {
   private sealed trait BNode extends Serializable
   private final case class BTerm(fkey: String, scorer: BScorer) extends BNode
   private final case class BPhrase(fkeys: Array[String], scorer: BScorer, slop: Int) extends BNode
-  private final case class BBool(must: Array[BNode], should: Array[BNode], msm: Int) extends BNode
+  /** `filters` are Occur.FILTER children: gate eligibility like MUST,
+    * contribute exactly 0 to the bound (they never score).
+    */
+  private final case class BBool(must: Array[BNode], should: Array[BNode],
+      filters: Array[BNode], msm: Int) extends BNode
   private case object BNever extends BNode
 
   /** Per-range (bound, canMatch) over the tree given the range's per-key
@@ -144,7 +148,7 @@ object Wand {
           val minDl = fks.iterator.map(fk => byKey(fk).iterator.map(_._2).min).max
           (sc.bound(maxF, minDl), true)
         } else (0.0, false)
-      case BBool(must, should, msm) =>
+      case BBool(must, should, filters, msm) =>
         var bound = 0.0
         var ok = true
         var i = 0
@@ -152,6 +156,12 @@ object Wand {
           val (b, e) = evalNode(must(i), byKey)
           if (!e) ok = false
           bound += b
+          i += 1
+        }
+        i = 0
+        while (i < filters.length) { // gate like MUST, bound contribution 0
+          val (_, e) = evalNode(filters(i), byKey)
+          if (!e) ok = false
           i += 1
         }
         var sat = 0
@@ -162,7 +172,7 @@ object Wand {
           i += 1
         }
         if (sat < msm) ok = false
-        if (must.isEmpty && sat == 0) ok = false
+        if (must.isEmpty && filters.isEmpty && sat == 0) ok = false
         (bound, ok)
       case BNever => (0.0, false)
     }
@@ -202,7 +212,8 @@ object Wand {
           sim.valueForNormalization(phraseCompositeStats(p), cs(fld(f)), boost * topBoost)
         else 0f
       case BooleanQuery(clauses, _, boost) =>
-        clauses.filter(_.occur != Occur.MUST_NOT)
+        // FILTER clauses never score: no queryNorm contribution
+        clauses.filter(c => c.occur != Occur.MUST_NOT && c.occur != Occur.FILTER)
           .map(c => vF(c.query, boost * topBoost)).sum
       case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
@@ -217,7 +228,7 @@ object Wand {
           sim.exactValueForNormalization(phraseCompositeStats(p), cs(fld(f)), boost.toDouble * topBoost)
         else 0.0
       case BooleanQuery(clauses, _, boost) =>
-        clauses.filter(_.occur != Occur.MUST_NOT)
+        clauses.filter(c => c.occur != Occur.MUST_NOT && c.occur != Occur.FILTER)
           .map(c => vD(c.query, boost.toDouble * topBoost)).sum
       case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
@@ -264,10 +275,11 @@ object Wand {
         val must = clauses.filter(_.occur == Occur.MUST).map(c => build(c.query, b))
         val should = clauses.filter(_.occur == Occur.SHOULD).map(c => build(c.query, b))
           .filter(_ != BNever) // an unmatchable SHOULD clause never counts toward msm
-        if (must.contains(BNever)) BNever
+        val filters = clauses.filter(_.occur == Occur.FILTER).map(c => build(c.query, b))
+        if (must.contains(BNever) || filters.contains(BNever)) BNever
         else if (should.size < msm) BNever
-        else if (must.isEmpty && should.isEmpty) BNever
-        else BBool(must.toArray, should.toArray, msm)
+        else if (must.isEmpty && should.isEmpty && filters.isEmpty) BNever
+        else BBool(must.toArray, should.toArray, filters.toArray, msm)
       case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
@@ -278,7 +290,8 @@ object Wand {
     def treeKeys(n: BNode): Seq[String] = n match {
       case BTerm(fk, _) => Seq(fk)
       case BPhrase(fks, _, _) => fks.toSeq
-      case BBool(m, s0, _) => (m ++ s0).flatMap(treeKeys).toSeq
+      // filter keys are needed for ELIGIBILITY even though they never score
+      case BBool(m, s0, f0, _) => (m ++ s0 ++ f0).flatMap(treeKeys).toSeq
       case BNever => Nil
     }
     val scoringKeys = treeKeys(root).distinct.map { enc =>
