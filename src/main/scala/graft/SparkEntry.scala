@@ -275,6 +275,16 @@ object SparkEntry {
       // reference): every LIVE doc at constant boost score over a delete
       // view — the pruned docs-table scan path, not the postings path
       FtQueries.matchesWithDeletes(s, d, MatchAllQuery(2.5f), 7)),
+    "ft_dismax" -> ((s, d) => // DisjunctionMaxQuery (round-5; reference has
+      // only the SUM disjunction): best-field max + tie×(sum−max), tie=0.5
+      FtQueries.matches(s, d, DisMaxQuery(Seq(
+        TermQuery("merge"), TermQuery("sort")), 0.5f))),
+    "ft_constant" -> ((s, d) => // ConstantScoreQuery (round-5, absent in the
+      // reference): inner disjunction gates, the constant is emitted
+      // verbatim — no tf/idf/norm/queryNorm
+      FtQueries.matches(s, d, ConstantScoreQuery(BooleanQuery(Seq(
+        BooleanClause(Occur.SHOULD, TermQuery("merge")),
+        BooleanClause(Occur.SHOULD, TermQuery("vector")))), 3.25f))),
     "ft_stored" -> ((s, d) => // stored-fields point read of the top-8 hits:
       // repo/lang columns + the sha256 content digest vs the source table
       FtQueries.storedTopDF(s, d, TermQuery("sort"), 8)),
@@ -1453,6 +1463,25 @@ object SparkEntry {
       // constant boost score — no postings, no tokenization, pure liveness
       s"""SELECT doc_id, CAST(2.5 AS DOUBLE) AS score_r
          |FROM documents WHERE doc_id % 7 <> 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_dismax" -> // dismax tie=0.5: the engine computes mx + tie*(sm − mx)
+      // with sm summed in clause order (merge then sort) — shape mirrored;
+      // CASE→0 is safe because BM25 term scores are strictly positive
+      s"""${ftBase(Seq("merge", "sort"))}, dm AS (
+         |  SELECT doc_id,
+         |    greatest(CASE WHEN f_merge > 0 THEN ${termScore("merge")} ELSE 0 END,
+         |             CASE WHEN f_sort > 0 THEN ${termScore("sort")} ELSE 0 END) AS mx,
+         |    (CASE WHEN f_merge > 0 THEN ${termScore("merge")} ELSE 0 END
+         |     + CASE WHEN f_sort > 0 THEN ${termScore("sort")} ELSE 0 END) AS sm
+         |  FROM base WHERE f_merge > 0 OR f_sort > 0
+         |)
+         |SELECT doc_id, round(mx + 0.5 * (sm - mx), 4) AS score_r
+         |FROM dm ORDER BY doc_id""".stripMargin,
+    "ft_constant" -> // constant-score wrapper: the disjunction gates, 3.25
+      // (exactly representable) is the score for every match
+      s"""${ftBase(Seq("merge", "vector"))}
+         |SELECT doc_id, CAST(3.25 AS DOUBLE) AS score_r
+         |FROM base WHERE f_merge > 0 OR f_vector > 0
          |ORDER BY doc_id""".stripMargin,
     "ft_stored" ->
       s"""${ftBase(Seq("sort"))}, sc AS (

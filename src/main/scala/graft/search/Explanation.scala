@@ -176,6 +176,27 @@ private[search] object Explain {
         }
       }
 
+    case (DisMaxQuery(cs, tie, _), d @ CDisMax(children, _)) =>
+      val v = evalAt(d, acc, slot, mode)
+      val kids = cs.zip(children).map { case (cq, cn) =>
+        node(cq, cn, acc, slot, docId, searcher, stats, mode) }
+      if (v.isNaN)
+        Explanation(0.0, "no match: dismax (no clause matches)", kids, isMatch = false)
+      else
+        // composition: max over matching kids + tie × (sum − max), in mode
+        // arithmetic — the kids' values ARE the per-clause scores
+        Explanation(v, s"max plus $tie times others of:", kids)
+
+    case (ConstantScoreQuery(cq, s), c @ CConst(child, _)) =>
+      val v = evalAt(c, acc, slot, mode)
+      val m = !v.isNaN
+      // the child is shown presence-only (its score is discarded)
+      val kid = Explanation(0.0,
+        s"match($cq): ${if (m) "matches (score discarded)" else "does not match"}",
+        Nil, isMatch = m)
+      if (m) Explanation(v, s"constant score $s", Seq(kid))
+      else Explanation(0.0, "no match: constant-score wrapper", Seq(kid), isMatch = false)
+
     case _ =>
       val v = evalAt(n, acc, slot, mode)
       Explanation(if (v.isNaN) 0.0 else v, s"query $q", Nil, isMatch = !v.isNaN)

@@ -127,6 +127,29 @@ final case class MatchAllQuery(boost: Float = 1.0f) extends Query
   */
 final case class FilteredQuery(query: Query, filter: Query) extends Query
 
+/** Lucene DisjunctionMaxQuery (absent in the reference — only the SUM
+  * disjunction exists, /root/reference/core/search/disjunctionSumScorer.go):
+  * matches any doc where ≥1 clause matches; score = max over matching
+  * clause scores + tieBreaker × (sum of the OTHER matching clause scores)
+  * = (1−tie)·max + tie·sum. tieBreaker ∈ [0,1]: 0 = pure best-field max,
+  * 1 ≡ the SHOULD sum. No coord factor (Lucene DisMax has none). The
+  * float64 twin computes `mx + tie*(sm − mx)` with `sm` summed in clause
+  * order — keep the SQL oracle's expression shape identical.
+  */
+final case class DisMaxQuery(clauses: Seq[Query], tieBreaker: Float = 0.0f,
+    boost: Float = 1.0f) extends Query
+
+/** Lucene ConstantScoreQuery (absent in the reference): matches exactly
+  * `query`'s match set, scores the CONSTANT `score` — no tf/idf/norm, no
+  * coord overlap, and (engine spec) no queryNorm participation, so the
+  * constant is emitted verbatim under EVERY similarity (BM25's queryNorm is
+  * 1 anyway; under TF-IDF Lucene would normalize the constant — we
+  * deliberately don't, keeping it SQL-reproducible; pinned by spec).
+  * Parser syntax: `clause^=N` (the modern Lucene constant-score operator).
+  * An outer `^B` boost MULTIPLIES the constant (foldBoost).
+  */
+final case class ConstantScoreQuery(query: Query, score: Float = 1.0f) extends Query
+
 sealed trait Occur
 object Occur {
   case object MUST extends Occur
@@ -159,6 +182,8 @@ object Query {
       case BooleanQuery(cs, _, _) => cs.foreach(c => walk(c.query))
       case MatchAllQuery(_) => () // no terms — matches via the docs table
       case FilteredQuery(q1, f1) => walk(q1); walk(f1)
+      case DisMaxQuery(cs, _, _) => cs.foreach(walk)
+      case ConstantScoreQuery(q1, _) => walk(q1)
       case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p reached leafKeys — multi-term queries must go through " +
           "IndexSearcher.expandPrefixes first (search/scoredDocs/explain/Wand do)")
@@ -173,6 +198,8 @@ object Query {
     case BooleanQuery(cs, _, _) => cs.flatMap(c => phraseTerms(c.query, defaultField)).toSet
     case FilteredQuery(q1, f1) =>
       phraseTerms(q1, defaultField) ++ phraseTerms(f1, defaultField)
+    case DisMaxQuery(cs, _, _) => cs.flatMap(phraseTerms(_, defaultField)).toSet
+    case ConstantScoreQuery(q1, _) => phraseTerms(q1, defaultField)
     case _ => Set.empty
   }
 
@@ -194,6 +221,11 @@ object Query {
           BooleanClause(Occur.MUST, rq),
           BooleanClause(Occur.FILTER, rewrite(f1)))))
       }
+    case DisMaxQuery(Seq(one), _, b) =>
+      // 1-clause dismax ≡ the clause (Lucene DisjunctionMaxQuery.rewrite)
+      foldBoost(rewrite(one), b)
+    case DisMaxQuery(cs, tie, b) => DisMaxQuery(cs.map(rewrite), tie, b)
+    case ConstantScoreQuery(q1, s) => ConstantScoreQuery(rewrite(q1), s)
     case bq @ BooleanQuery(cs, msm, boost) =>
       val rewritten = cs.map(c => c.copy(query = rewrite(c.query)))
       val nShould = rewritten.count(_.occur == Occur.SHOULD)
@@ -224,6 +256,9 @@ object Query {
     case BooleanQuery(cs, m, b0) => BooleanQuery(cs, m, b0 * b)
     case MatchAllQuery(b0) => MatchAllQuery(b0 * b)
     case FilteredQuery(q1, f1) => FilteredQuery(foldBoost(q1, b), f1)
+    case DisMaxQuery(cs, tie, b0) => DisMaxQuery(cs, tie, b0 * b)
+    // an outer boost multiplies the constant (Lucene CSQ boost semantics)
+    case ConstantScoreQuery(q1, s) => ConstantScoreQuery(q1, s * b)
   }
 
   /** Multiply a query's boost (parser `^N` syntax; reference CARAT token —

@@ -116,6 +116,10 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
           // phrase, regex — inline word boosts split inside parseClause)
           val (subOpt, rest2) = sub0 match {
             case Some(q) => rest match {
+              // `^=N` first: a constant-score wrapper, not a boost
+              case Word(w) :: r if w.length > 2 && w.startsWith("^=") &&
+                  isBoostNum(w.drop(2)) =>
+                (Some(ConstantScoreQuery(q, w.drop(2).toFloat)), r)
               case Word(w) :: r if w.length > 1 && w.charAt(0) == '^' &&
                   isBoostNum(w.drop(1)) =>
                 (Some(Query.boosted(q, w.drop(1).toFloat)), r)
@@ -213,9 +217,11 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
       // defaultField and analyzed fields re-analyze; keyword fields take the
       // RAW value as one unanalyzed term (StringField semantics); unknown
       // fields are REJECTED — never silently searched against the default.
-      // A trailing `^N` boost splits off first (classic CARAT syntax — the
-      // `^` character is reserved, as in the reference's lexer).
-      val (w, wBoost) = splitBoost(wRaw)
+      // A trailing `^=N` constant-score suffix (modern Lucene operator) or
+      // `^N` boost splits off first (classic CARAT syntax — the `^`
+      // character is reserved, as in the reference's lexer).
+      val (wRaw1, constOpt) = splitConst(wRaw)
+      val (w, wBoost) = splitBoost(wRaw1)
       val ci = w.indexOf(':')
       val (q0, restOut): (Option[Query], List[Tok]) =
       if (ci > 0 && ci < w.length - 1) {
@@ -264,7 +270,10 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
         val (b, n) = fuzzySuffix(w).get
         (Some(fuzzy(b, n, None, raw = false)), rest)
       } else (analyzed(w, None), rest)
-      (q0.map(Query.boosted(_, wBoost)), restOut)
+      (q0.map(q => constOpt match {
+        case Some(cs) => ConstantScoreQuery(q, cs)
+        case None => Query.boosted(q, wBoost)
+      }), restOut)
     case other => (None, if (other.isEmpty) Nil else other.tail)
   }
 
@@ -279,6 +288,18 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
     val i = w.lastIndexOf('^')
     if (i > 0 && isBoostNum(w.substring(i + 1))) (w.substring(0, i), w.substring(i + 1).toFloat)
     else (w, 1.0f)
+  }
+
+  /** Split a trailing `^=N` constant-score suffix off a word (`merge^=2` —
+    * the modern Lucene constant-score operator; standalone `^=N` after a
+    * group/phrase is handled in parseBoolean). splitBoost never fires on
+    * `^=N` (the `=` makes its suffix non-numeric), so the two compose.
+    */
+  private def splitConst(w: String): (String, Option[Float]) = {
+    val i = w.lastIndexOf("^=")
+    if (i > 0 && isBoostNum(w.substring(i + 2)))
+      (w.substring(0, i), Some(w.substring(i + 2).toFloat))
+    else (w, None)
   }
 
   /** `pre*` → PrefixQuery. Analyzed fields lowercase/normalize the prefix

@@ -26,6 +26,15 @@ private[search] final case class CLeafPhrase(
 private[search] final case class CBool(
     must: Array[CNode], should: Array[CNode], filters: Array[CNode],
     mustNot: Array[CNode], msm: Int, coords: Array[Float]) extends CNode
+/** DisjunctionMax: (1−tie)·max + tie·sum over MATCHING children, computed
+  * as `mx + tie*(sm − mx)` with `sm` accumulated in clause order (the
+  * expression shape the SQL oracle mirrors). No coord.
+  */
+private[search] final case class CDisMax(children: Array[CNode], tie: Float) extends CNode
+/** ConstantScore: child gates the match, `score` is emitted verbatim (no
+  * norm/queryNorm/coord — engine spec, see [[ConstantScoreQuery]]).
+  */
+private[search] final case class CConst(child: CNode, score: Float) extends CNode
 
 /** Range selection for filtered evaluation (WAND phases, explain).
   *
@@ -105,6 +114,21 @@ private[search] object Eval {
       // coord is 1.0f for every model but TF-IDF, where the float32 factor
       // (widened) is what the SQL oracle reproduces (×1.0 is bit-exact)
       score * coords(must.length + matched).toDouble
+    case CDisMax(children, tie) =>
+      var mx = Double.NaN
+      var sm = 0.0
+      var i = 0
+      while (i < children.length) {
+        val s = evalD(children(i), acc, slot)
+        if (!s.isNaN) {
+          sm += s
+          if (mx.isNaN || s > mx) mx = s
+        }
+        i += 1
+      }
+      if (mx.isNaN) Double.NaN else mx + tie.toDouble * (sm - mx)
+    case CConst(child, s) =>
+      if (evalD(child, acc, slot).isNaN) Double.NaN else s.toDouble
   }
 
   /** float32 evaluation (reference score parity: float32 sums of float32
@@ -147,6 +171,21 @@ private[search] object Eval {
       if (matched < msm) return Float.NaN
       if (must.isEmpty && filters.isEmpty && matched == 0) return Float.NaN
       score * coords(must.length + matched)
+    case CDisMax(children, tie) =>
+      var mx = Float.NaN
+      var sm = 0.0f
+      var i = 0
+      while (i < children.length) {
+        val s = evalF(children(i), acc, slot)
+        if (!s.isNaN) {
+          sm += s
+          if (mx.isNaN || s > mx) mx = s
+        }
+        i += 1
+      }
+      if (mx.isNaN) Float.NaN else mx + tie * (sm - mx)
+    case CConst(child, s) =>
+      if (evalF(child, acc, slot).isNaN) Float.NaN else s
   }
 
   /** Phrase occurrence count. slop=0: #positions p of term0 such that term
@@ -412,6 +451,10 @@ final class IndexSearcher(
         // FILTER clauses are non-scoring: no queryNorm contribution (Lucene)
         clauses.filter(c => c.occur != Occur.MUST_NOT && c.occur != Occur.FILTER)
           .map(c => v(c.query, boost * topBoost)).sum
+      case DisMaxQuery(cs, _, boost) =>
+        cs.map(c => v(c, boost * topBoost)).sum
+      case ConstantScoreQuery(_, _) => 0f // the constant is never normalized
+      case FilteredQuery(q1, _) => v(q1, topBoost) // filter side never scores
       case q: MatchAllQuery => throw new IllegalArgumentException(
         s"$q inside a BooleanQuery is not supported — use it top-level or " +
           "as FilteredQuery(MatchAllQuery(), filter)")
@@ -439,6 +482,10 @@ final class IndexSearcher(
       case BooleanQuery(clauses, _, boost) =>
         clauses.filter(c => c.occur != Occur.MUST_NOT && c.occur != Occur.FILTER)
           .map(c => vD(c.query, boost.toDouble * topBoost)).sum
+      case DisMaxQuery(cs, _, boost) =>
+        cs.map(c => vD(c, boost.toDouble * topBoost)).sum
+      case ConstantScoreQuery(_, _) => 0.0 // the constant is never normalized
+      case FilteredQuery(q1, _) => vD(q1, topBoost) // filter side never scores
       case q: MatchAllQuery => throw new IllegalArgumentException(
         s"$q inside a BooleanQuery is not supported — use it top-level or " +
           "as FilteredQuery(MatchAllQuery(), filter)")
@@ -480,6 +527,13 @@ final class IndexSearcher(
           clauses.filter(_.occur == Occur.MUST_NOT).map(c => node(c.query, 1.0f)).toArray,
           msm,
           Array.tabulate(maxOverlap + 1)(i => sim.coord(i, math.max(maxOverlap, 1))))
+      case DisMaxQuery(cs, tie, boost) =>
+        CDisMax(cs.map(c => node(c, boost * topBoost)).toArray, tie)
+      case ConstantScoreQuery(q1, s) =>
+        // child gates only — its scorers are compiled but discarded
+        CConst(node(q1, 1.0f), s)
+      case f: FilteredQuery => // rewrite() desugars these before compile
+        node(Query.rewrite(f), topBoost)
       case q: MatchAllQuery => throw new IllegalArgumentException(
         s"$q inside a BooleanQuery is not supported — use it top-level or " +
           "as FilteredQuery(MatchAllQuery(), filter)")
@@ -611,6 +665,8 @@ final class IndexSearcher(
     case BooleanQuery(cs, msm, boost) =>
       BooleanQuery(cs.map(c => c.copy(query = expandPrefixes(c.query))), msm, boost)
     case FilteredQuery(q1, f1) => FilteredQuery(expandPrefixes(q1), expandPrefixes(f1))
+    case DisMaxQuery(cs, tie, boost) => DisMaxQuery(cs.map(expandPrefixes), tie, boost)
+    case ConstantScoreQuery(q1, s) => ConstantScoreQuery(expandPrefixes(q1), s)
     case other => other
   }
 

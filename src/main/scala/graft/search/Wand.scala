@@ -116,6 +116,13 @@ object Wand {
     */
   private final case class BBool(must: Array[BNode], should: Array[BNode],
       filters: Array[BNode], msm: Int) extends BNode
+  /** DisjunctionMax bound: (1−tie)·max + tie·sum over ELIGIBLE children
+    * bounds — an upper bound for tie ∈ [0,1] because the matching set is a
+    * subset of the eligible set and each per-clause score ≤ its bound.
+    */
+  private final case class BDisMax(children: Array[BNode], tie: Float) extends BNode
+  /** ConstantScore bound: exactly the constant; eligibility = child's. */
+  private final case class BConst(child: BNode, score: Float) extends BNode
   private case object BNever extends BNode
 
   /** Per-range (bound, canMatch) over the tree given the range's per-key
@@ -174,6 +181,24 @@ object Wand {
         if (sat < msm) ok = false
         if (must.isEmpty && filters.isEmpty && sat == 0) ok = false
         (bound, ok)
+      case BDisMax(children, tie) =>
+        var mx = 0.0
+        var sm = 0.0
+        var any = false
+        var i = 0
+        while (i < children.length) {
+          val (b, e) = evalNode(children(i), byKey)
+          if (e) {
+            any = true
+            sm += b
+            if (b > mx) mx = b
+          }
+          i += 1
+        }
+        if (any) (mx + tie.toDouble * (sm - mx), true) else (0.0, false)
+      case BConst(child, s) =>
+        val (_, e) = evalNode(child, byKey)
+        (if (e) s.toDouble else 0.0, e)
       case BNever => (0.0, false)
     }
 
@@ -215,6 +240,8 @@ object Wand {
         // FILTER clauses never score: no queryNorm contribution
         clauses.filter(c => c.occur != Occur.MUST_NOT && c.occur != Occur.FILTER)
           .map(c => vF(c.query, boost * topBoost)).sum
+      case DisMaxQuery(cs0, _, boost) => cs0.map(c => vF(c, boost * topBoost)).sum
+      case ConstantScoreQuery(_, _) => 0f // constant never normalized
       case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
@@ -230,6 +257,8 @@ object Wand {
       case BooleanQuery(clauses, _, boost) =>
         clauses.filter(c => c.occur != Occur.MUST_NOT && c.occur != Occur.FILTER)
           .map(c => vD(c.query, boost.toDouble * topBoost)).sum
+      case DisMaxQuery(cs0, _, boost) => cs0.map(c => vD(c, boost.toDouble * topBoost)).sum
+      case ConstantScoreQuery(_, _) => 0.0 // constant never normalized
       case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
@@ -280,6 +309,14 @@ object Wand {
         else if (should.size < msm) BNever
         else if (must.isEmpty && should.isEmpty && filters.isEmpty) BNever
         else BBool(must.toArray, should.toArray, filters.toArray, msm)
+      case DisMaxQuery(cs, tie, boost) =>
+        val children = cs.map(c => build(c, boost * topBoost)).filter(_ != BNever)
+        if (children.isEmpty) BNever else BDisMax(children.toArray, tie)
+      case ConstantScoreQuery(q1, s) =>
+        build(q1, 1.0f) match { // child gates only; boost lives in the constant
+          case BNever => BNever
+          case child => BConst(child, s)
+        }
       case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
@@ -292,6 +329,8 @@ object Wand {
       case BPhrase(fks, _, _) => fks.toSeq
       // filter keys are needed for ELIGIBILITY even though they never score
       case BBool(m, s0, f0, _) => (m ++ s0 ++ f0).flatMap(treeKeys).toSeq
+      case BDisMax(cs0, _) => cs0.flatMap(treeKeys).toSeq
+      case BConst(c0, _) => treeKeys(c0)
       case BNever => Nil
     }
     val scoringKeys = treeKeys(root).distinct.map { enc =>
