@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analysis.StandardCodeAnalyzer
 import graft.index.{IndexBuilder, IndexConfig}
-import graft.search.{IndexSearcher, QueryParser, ScoreMode}
+import graft.search.{IndexSearcher, MultiSearcher, QueryParser, ScoreMode}
 
 /** Command-line surface of the engine.
   *
@@ -19,6 +19,7 @@ import graft.search.{IndexSearcher, QueryParser, ScoreMode}
   * sbt "runMain graft.Cli facets <indexDir> <col> <query...>" # value counts over all matches
   * sbt "runMain graft.Cli suggest <indexDir> <term> [maxEdits]" # did-you-mean spelling suggestions
   * sbt "runMain graft.Cli sort <indexDir> <col> <k> <query...>" # matches ordered by a stored column
+  * sbt "runMain graft.Cli msearch <dir1,dir2,...> <k> <query...>" # sharded search, merged global stats
   * }}}
   */
 object Cli {
@@ -57,6 +58,15 @@ object Cli {
         .parse(rest.mkString(" "))
       println(s"QUERY: $q")
       val top = searcher.search(q, k.toInt, ScoreMode.Ref32)
+      println(s"totalHits=${top.totalHits}")
+      top.scoreDocs.foreach(d => println(f"  doc=${d.docId}%6d score=${d.score}%.4f"))
+    // sharded search: comma-separated index dirs, merged global stats
+    case "msearch" :: indexDirs :: k :: rest if rest.nonEmpty =>
+      val multi = MultiSearcher(spark, indexDirs.split(',').toSeq)
+      val q = new QueryParser(new StandardCodeAnalyzer(), strictFields = false)
+        .parse(rest.mkString(" "))
+      println(s"QUERY: $q  (${indexDirs.split(',').length} shards)")
+      val top = multi.search(q, k.toInt, ScoreMode.Ref32)
       println(s"totalHits=${top.totalHits}")
       top.scoreDocs.foreach(d => println(f"  doc=${d.docId}%6d score=${d.score}%.4f"))
     case "delete" :: indexDir :: field :: term :: Nil =>
@@ -116,7 +126,8 @@ object Cli {
       System.err.println("usage: build <corpusParquet> <indexDir> | search <indexDir> <k> <query...> | " +
         s"delete <indexDir> <field> <term> | check <indexDir> | merge <indexDir> | " +
         s"expunge <indexDir> [minFrac] | facets <indexDir> <col> <query...> | " +
-        s"suggest <indexDir> <term> [maxEdits] | sort <indexDir> <col> <k> <query...> (got: $other)")
+        s"suggest <indexDir> <term> [maxEdits] | sort <indexDir> <col> <k> <query...> | " +
+        s"msearch <dir1,dir2,...> <k> <query...> (got: $other)")
       sys.exit(2)
   }
 }

@@ -294,6 +294,47 @@ object FtQueries {
         col("docFreq").cast("long").as("df"))
       .orderBy("term")
 
+  /** A SHARDED twin: the surface corpus split doc_id % 2 into two
+    * independent indexes, searched through [[MultiSearcher]] with globally
+    * merged statistics. Matching the oracle (monolithic BM25 over the WHOLE
+    * corpus) driver-verifies that cross-shard stat merging reproduces
+    * single-index scoring exactly — the sharded-at-100TB serving shape.
+    */
+  private def shardPaths(spark: SparkSession, sfDir: String): Seq[String] =
+    (0 to 1).map { par =>
+      cache.getOrElseUpdate(s"$sfDir#shard$par", {
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfsh${par}_" +
+          graft.index.Hashing.sha256Hex(sfDir).take(12)
+        new IndexBuilder(spark, surfaceConfig())
+          .build(surfaceCorpus(spark, sfDir).where(col("doc_id") % 2 === par),
+            dir, resume = true)
+        dir
+      })
+    }
+
+  private val multiCache = scala.collection.concurrent.TrieMap.empty[String, MultiSearcher]
+
+  def multiSearcher(spark: SparkSession, sfDir: String): MultiSearcher =
+    multiCache.getOrElseUpdate(sfDir,
+      MultiSearcher(spark, shardPaths(spark, sfDir)))
+
+  /** Full scored match set through the sharded pair (exact-double). */
+  def shardedMatches(spark: SparkSession, sfDir: String, q: Query): DataFrame =
+    multiSearcher(spark, sfDir).scoredDocs(q, ScoreMode.ExactDouble)
+      .toDF("doc_id", "score")
+      .select(col("doc_id"), round(col("score"), 4).as("score_r"))
+      .orderBy("doc_id")
+
+  /** Per-shard WAND merged top-k through the sharded pair. */
+  def shardedWandTopK(spark: SparkSession, sfDir: String, q: Query, k: Int): DataFrame = {
+    import spark.implicits._
+    multiSearcher(spark, sfDir).searchWand(q, k, ScoreMode.ExactDouble)
+      .scoreDocs.map(d => (d.docId, d.score)).toSeq
+      .toDF("doc_id", "score")
+      .select(col("doc_id"), round(col("score"), 4).as("score_r"))
+      .orderBy("doc_id")
+  }
+
   /** Matching docs with round(score, 4), ordered by docId. */
   def matches(spark: SparkSession, sfDir: String, q: Query): DataFrame =
     searcher(spark, sfDir).scoredDocs(q, ScoreMode.ExactDouble)

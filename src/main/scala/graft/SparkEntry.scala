@@ -285,6 +285,19 @@ object SparkEntry {
       FtQueries.matches(s, d, ConstantScoreQuery(BooleanQuery(Seq(
         BooleanClause(Occur.SHOULD, TermQuery("merge")),
         BooleanClause(Occur.SHOULD, TermQuery("vector")))), 3.25f))),
+    "ft_sharded" -> ((s, d) => // sharded search (round-5, beyond-reference):
+      // the corpus split doc_id%2 into TWO indexes, searched through
+      // MultiSearcher with globally MERGED stats — the oracle recomputes
+      // monolithic BM25 over the whole corpus, so a match proves idf/avgdl
+      // merging is exact
+      FtQueries.shardedMatches(s, d, BooleanQuery(Seq(
+        BooleanClause(Occur.MUST, TermQuery("sort")),
+        BooleanClause(Occur.SHOULD, TermQuery("vector")))))),
+    "ft_sharded_wand" -> ((s, d) => // per-shard block-max WAND merged to a
+      // global top-10 — pruned sharded search stays exact on docs/scores
+      FtQueries.shardedWandTopK(s, d, BooleanQuery(Seq(
+        BooleanClause(Occur.SHOULD, TermQuery("merge")),
+        BooleanClause(Occur.SHOULD, TermQuery("window")))), 10)),
     "ft_stored" -> ((s, d) => // stored-fields point read of the top-8 hits:
       // repo/lang columns + the sha256 content digest vs the source table
       FtQueries.storedTopDF(s, d, TermQuery("sort"), 8)),
@@ -1483,6 +1496,25 @@ object SparkEntry {
          |SELECT doc_id, CAST(3.25 AS DOUBLE) AS score_r
          |FROM base WHERE f_merge > 0 OR f_vector > 0
          |ORDER BY doc_id""".stripMargin,
+    "ft_sharded" -> // the oracle is MONOLITHIC BM25 over the whole corpus —
+      // the engine side answers from two doc_id%2 shards with merged stats
+      s"""${ftBase(Seq("sort", "vector"))}
+         |SELECT doc_id, round(${termScore("sort")}
+         |  + CASE WHEN f_vector > 0 THEN ${termScore("vector")} ELSE 0 END, 4) AS score_r
+         |FROM base WHERE f_sort > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_sharded_wand" -> // raw-score rank window over the whole corpus; the
+      // engine answers via per-shard WAND merged to a global top-10
+      s"""${ftBase(Seq("merge", "window"))}, sc AS (
+         |  SELECT doc_id,
+         |    CASE WHEN f_merge > 0 THEN ${termScore("merge")} ELSE 0 END
+         |    + CASE WHEN f_window > 0 THEN ${termScore("window")} ELSE 0 END AS s
+         |  FROM base WHERE f_merge > 0 OR f_window > 0
+         |), rk AS (
+         |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
+         |)
+         |SELECT doc_id, round(s, 4) AS score_r FROM rk
+         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     "ft_stored" ->
       s"""${ftBase(Seq("sort"))}, sc AS (
          |  SELECT doc_id, tk, ${termScore("sort")} AS s FROM base WHERE f_sort > 0

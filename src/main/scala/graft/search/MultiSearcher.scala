@@ -1,0 +1,169 @@
+package graft.search
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Sharded search over several index directories with GLOBALLY CONSISTENT
+  * scoring — the Spark-scale analogue of Lucene's MultiReader/IndexSearcher
+  * over multiple leaves (the reference reads a single directory only;
+  * /root/reference/core/search/search.go:93-111 iterates the leaves of ONE
+  * reader). At 100 TB an index is naturally sharded — by time window, by
+  * tenant, by ingest wave — and queries must score ACROSS shards as if the
+  * corpus were one index: idf from global docFreq, avgdl from global field
+  * totals, tie-breaks on global docIds.
+  *
+  * Mechanism: before a query runs, its (field, term) statistics are fetched
+  * from every shard (driver-side point lookups against each shard's terms
+  * dictionary — metadata-sized, cached per key), summed, and SEEDED into
+  * each shard searcher's stats caches ([[IndexSearcher.overrideStats]]).
+  * Each shard then evaluates the query with its ordinary distributed plan —
+  * postings pruned to the query terms, per-range evaluation, its own delete
+  * view — but scores with the merged statistics, so per-shard results are
+  * bit-identical to what a monolithic index over the union corpus would
+  * produce for the same docs (MultiSearcherSpec pins merge ≡ monolithic for
+  * every query shape, both score modes). Top-k merging is then a pure
+  * driver-side k-way merge by (score desc, docId asc); totalHits sums.
+  *
+  * Scale shape: per-shard work is unchanged (one bounded Spark job per
+  * shard, no cross-shard shuffle, no data movement between shards); the
+  * only cross-shard traffic is the per-term stats rows and the ≤k result
+  * rows per shard. Shards can live in different storage locations.
+  *
+  * CONTRACTS:
+  *  - docId spaces must be disjoint across shards (explicit docId columns,
+  *    or per-shard id bases) — docIds are global identity here.
+  *  - shard searchers are OWNED by this MultiSearcher once passed in: their
+  *    stats caches are overwritten with merged values, so do not use them
+  *    standalone afterwards.
+  *  - multi-term queries (prefix/wildcard/fuzzy/range/regexp) are rejected:
+  *    per-shard dictionary expansion would score expansion terms with
+  *    shard-LOCAL statistics. Expand against a chosen dictionary first and
+  *    pass the resulting disjunction.
+  */
+final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
+    val field: String) {
+  require(shards.nonEmpty, "MultiSearcher needs at least one shard")
+
+  /** Merged stats, computed once per key from freshly-fetched shard-local
+    * values (None = absent in every shard). Keys merge exactly once: after
+    * seeding, shard caches hold MERGED values, so re-fetching them would
+    * double-count — this cache prevents that.
+    */
+  private val mergedTs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Option[TermStats]]
+  private val mergedCs =
+    scala.collection.concurrent.TrieMap.empty[String, CollectionStats]
+
+  /** Rewrite, validate, and make every shard score `q0` with merged global
+    * statistics. Returns the rewritten query to pass to the shards.
+    */
+  private def ensureSeeded(q0: Query): Query = {
+    val q = Query.rewrite(q0)
+    requireNoMultiTerm(q)
+    val keys = Query.leafKeys(q, field)
+    val newKeys = keys.filterNot(mergedTs.contains)
+    if (newKeys.nonEmpty) {
+      // local fetch per shard (cached point lookups), then sum df/ttf
+      val perShard = shards.map(_.termStats(newKeys))
+      newKeys.foreach { k =>
+        val present = perShard.flatMap(_.get(k))
+        mergedTs.put(k, present.reduceOption((a, b) =>
+          TermStats(a.field, a.term, a.docFreq + b.docFreq,
+            a.totalTermFreq + b.totalTermFreq)))
+      }
+      val flds = newKeys.map(_._1).distinct.filterNot(mergedCs.contains)
+      flds.foreach { f =>
+        val css = shards.flatMap(_.collectionStatsOpt(f))
+        require(css.nonEmpty, s"field '$f' is indexed in no shard")
+        mergedCs.put(f, CollectionStats(f,
+          maxDoc = css.map(_.maxDoc).sum,
+          docCount = css.map(_.docCount).sum,
+          sumTotalTermFreq = css.map(_.sumTotalTermFreq).sum,
+          sumDocFreq = css.map(_.sumDocFreq).sum))
+      }
+      val seedTs = newKeys.flatMap(k => mergedTs(k).map(k -> _)).toMap
+      val seedCs = flds.flatMap(f => mergedCs.get(f).map(f -> _)).toMap
+      shards.foreach(_.overrideStats(seedCs, seedTs))
+    }
+    q
+  }
+
+  private def requireNoMultiTerm(q: Query): Unit = q match {
+    case m: MultiTermQuery => throw new IllegalArgumentException(
+      s"$m: multi-term queries are not supported through MultiSearcher — " +
+        "per-shard dictionary expansion would score expansion terms with " +
+        "shard-local statistics; expand against a chosen shard's dictionary " +
+        "first and pass the resulting disjunction")
+    case BooleanQuery(cs, _, _) => cs.foreach(c => requireNoMultiTerm(c.query))
+    case DisMaxQuery(cs, _, _) => cs.foreach(requireNoMultiTerm)
+    case ConstantScoreQuery(q1, _) => requireNoMultiTerm(q1)
+    case FilteredQuery(q1, f1) => requireNoMultiTerm(q1); requireNoMultiTerm(f1)
+    case _ => ()
+  }
+
+  /** k-way merge by the heap's exact ordering: score desc, docId asc. */
+  private def mergeTop(per: Seq[TopDocs], k: Int): TopDocs =
+    TopDocs(
+      per.map(_.totalHits).sum,
+      per.flatMap(_.scoreDocs)
+        .sortBy(d => (-d.score, d.docId))
+        .take(k).toArray,
+      per.exists(_.totalHitsIsLowerBound))
+
+  /** Global top-k + exact global totalHits (each shard runs its ordinary
+    * exhaustive collection plan with merged stats).
+    */
+  def search(q0: Query, k: Int, mode: ScoreMode = ScoreMode.Ref32): TopDocs = {
+    val q = ensureSeeded(q0)
+    mergeTop(shards.map(_.search(q, k, mode)), k)
+  }
+
+  /** Block-max WAND per shard, merged: each shard's pruned top-k is a
+    * superset of its members of the GLOBAL top-k (bounds use the seeded
+    * merged stats), so the merge is exact on docs/scores; totalHits becomes
+    * a lower bound as usual.
+    */
+  def searchWand(q0: Query, k: Int, mode: ScoreMode = ScoreMode.Ref32,
+      phase1Ranges: Int = 64): TopDocs = {
+    val q = ensureSeeded(q0)
+    mergeTop(shards.map(s => Wand.searchTopK(s, q, k, mode, phase1Ranges)), k)
+  }
+
+  /** Union of every shard's full scored match set (one Dataset — downstream
+    * joins/facets/sorts stay distributed).
+    */
+  def scoredDocs(q0: Query, mode: ScoreMode): Dataset[ScoredDoc] = {
+    val q = ensureSeeded(q0)
+    shards.map(_.scoredDocs(q, mode)).reduce(_ union _)
+  }
+
+  /** Explanation from the shard that owns `docId` (disjoint docId spaces);
+    * root value == the merged search score for that doc.
+    */
+  def explain(q0: Query, docId: Long, mode: ScoreMode = ScoreMode.Ref32): Explanation = {
+    val q = ensureSeeded(q0)
+    shards.find(_.doc(docId).nonEmpty) match {
+      case Some(s) => s.explain(q, docId, mode)
+      case None => Explanation(0.0, s"doc $docId: in no shard", Nil, isMatch = false)
+    }
+  }
+
+  def close(): Unit = shards.foreach(_.close())
+}
+
+object MultiSearcher {
+  /** Open shard searchers over `paths` (owned by the returned instance). */
+  def apply(spark: SparkSession, paths: Seq[String], field: String = "content",
+      similarity: Similarity = new Bm25Similarity()): MultiSearcher =
+    new MultiSearcher(paths.map(p =>
+      new IndexSearcher(spark, p, field, similarity)), field)
+
+  /** Wrap caller-constructed shard searchers (e.g. with per-shard delete
+    * views). They are OWNED by the MultiSearcher from here on — their stats
+    * caches get overwritten with merged values.
+    */
+  def of(shards: Seq[IndexSearcher]): MultiSearcher = {
+    require(shards.map(_.field).distinct.size <= 1,
+      "all shards must share the default field")
+    new MultiSearcher(shards, shards.head.field)
+  }
+}

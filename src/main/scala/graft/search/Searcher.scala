@@ -378,6 +378,37 @@ final class IndexSearcher(
 
   def collectionStats: CollectionStats = collectionStats(field)
 
+  /** As [[collectionStats]] but None when this index never indexed `f` —
+    * sharded search ([[MultiSearcher]]) merges stats across shards whose
+    * field sets may differ.
+    */
+  def collectionStatsOpt(f: String): Option[CollectionStats] =
+    csCache.get(f).orElse {
+      fieldStatsDF.where(col("field") === f).collect().headOption.map { r =>
+        val cs = CollectionStats(f,
+          maxDoc = r.getAs[Long]("maxDoc"),
+          docCount = r.getAs[Long]("docCount"),
+          sumTotalTermFreq = r.getAs[Long]("sumTotalTermFreq"),
+          sumDocFreq = r.getAs[Long]("sumDocFreq"))
+        csCache.put(f, cs)
+        cs
+      }
+    }
+
+  /** Replace the statistics this searcher scores with ([[MultiSearcher]]
+    * seeds every shard with GLOBALLY merged stats, so each shard scores
+    * exactly as if its docs lived in one monolithic index). Entries
+    * overwrite both caches; a seeded term with no local postings simply
+    * never matches here (freq 0), which is the monolithic behavior for docs
+    * of this shard. The singleton fast path self-disables for seeded keys
+    * (their singletonDocId is never cached).
+    */
+  private[search] def overrideStats(cs: Map[String, CollectionStats],
+      ts: Map[(String, String), TermStats]): Unit = {
+    cs.foreach { case (f, v) => csCache.put(f, v) }
+    ts.foreach { case (k, v) => statsCache.put(k, Some(v)); singletonIds.remove(k) }
+  }
+
   private val statsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Option[TermStats]]
   /** docId inlined in the terms dict for docFreq==1 terms (singleton pulsing,

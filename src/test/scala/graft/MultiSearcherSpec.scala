@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.StandardCodeAnalyzer
+import graft.index._
+import graft.search._
+
+/** Sharded search ≡ monolithic: a MultiSearcher over two interleaved shards
+  * (doc_id % 2) must produce BIT-IDENTICAL results to one index over the
+  * union corpus — same totalHits, same (docId, score) pairs, both score
+  * modes, every query shape — because scoring uses globally merged
+  * statistics (idf from summed df, avgdl from summed field totals).
+  */
+class MultiSearcherSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val N = 500
+
+  private def df(pred: Long => Boolean) =
+    TestCorpus.corpus(N).zipWithIndex.collect { case (c, i) if pred(i.toLong) =>
+      (i.toLong, c.repo, c.path, c.commit, c.lang, c.content)
+    }.toDF("doc_id", "repo", "path", "commit", "lang", "content")
+
+  private def cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+    docsPerRange = 64, numSegments = 8, segmentsPerWave = 8,
+    explicitDocIdCol = Some("doc_id"))
+
+  private def build(pred: Long => Boolean, tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-multi-$tag").toString
+    new IndexBuilder(spark, cfg).build(df(pred), dir)
+    dir
+  }
+
+  private lazy val monoPath = build(_ => true, "mono")
+  private lazy val shardAPath = build(_ % 2 == 0, "a")
+  private lazy val shardBPath = build(_ % 2 == 1, "b")
+
+  private lazy val mono = new IndexSearcher(spark, monoPath)
+  private lazy val multi = MultiSearcher(spark, Seq(shardAPath, shardBPath))
+
+  private val battery: Seq[Query] = Seq(
+    TermQuery("merge"),
+    BooleanQuery(Seq(
+      BooleanClause(Occur.MUST, TermQuery("merge")),
+      BooleanClause(Occur.MUST, TermQuery("scorer")))),
+    BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("merge")),
+      BooleanClause(Occur.SHOULD, TermQuery("index")),
+      BooleanClause(Occur.SHOULD, TermQuery("buffer"))), 2),
+    BooleanQuery(Seq(
+      BooleanClause(Occur.MUST, TermQuery("merge")),
+      BooleanClause(Occur.MUST_NOT, TermQuery("scorer")),
+      BooleanClause(Occur.SHOULD, TermQuery("vector")))),
+    PhraseQuery(Seq("posting", "list")),
+    DisMaxQuery(Seq(TermQuery("merge"), TermQuery("scorer")), 0.5f),
+    ConstantScoreQuery(TermQuery("merge"), 2.5f),
+    FilteredQuery(TermQuery("merge"), TermQuery("index")))
+
+  test("search ≡ monolithic: totalHits and (docId, score), both modes") {
+    for (q <- battery; mode <- Seq[ScoreMode](ScoreMode.Ref32, ScoreMode.ExactDouble)) {
+      val m = mono.search(q, 12, mode)
+      val s = multi.search(q, 12, mode)
+      assert(s.totalHits == m.totalHits, s"totalHits q=$q mode=$mode")
+      assert(s.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        m.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"q=$q mode=$mode")
+    }
+  }
+
+  test("scoredDocs union ≡ monolithic full match set") {
+    val q = battery(2) // msm disjunction
+    val m = mono.scoredDocs(q, ScoreMode.ExactDouble).collect()
+      .map(d => (d.docId, d.score)).sortBy(_._1).toSeq
+    val s = multi.scoredDocs(q, ScoreMode.ExactDouble).collect()
+      .map(d => (d.docId, d.score)).sortBy(_._1).toSeq
+    assert(s == m)
+  }
+
+  test("per-shard WAND merge ≡ monolithic exhaustive top-k") {
+    for (q <- battery; mode <- Seq[ScoreMode](ScoreMode.Ref32, ScoreMode.ExactDouble)) {
+      val m = mono.search(q, 10, mode)
+      val s = multi.searchWand(q, 10, mode)
+      assert(s.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        m.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"q=$q mode=$mode")
+    }
+  }
+
+  test("explain routes to the owning shard; value == monolithic score") {
+    val q = battery(1)
+    val top = mono.search(q, 5, ScoreMode.Ref32)
+    top.scoreDocs.foreach { d =>
+      assert(multi.explain(q, d.docId).value == d.score, s"doc ${d.docId}")
+    }
+    assert(!multi.explain(q, N + 100L).isMatch)
+  }
+
+  test("match-all merges across shards: live count and docId-asc top-k") {
+    val t = multi.search(MatchAllQuery(1.5f), 6)
+    assert(t.totalHits == N)
+    assert(t.scoreDocs.map(_.docId).toSeq == (0L until 6L))
+    assert(t.scoreDocs.forall(_.score == 1.5))
+  }
+
+  test("TF-IDF similarity: coord/queryNorm computed from merged stats") {
+    val multiT = MultiSearcher(spark, Seq(shardAPath, shardBPath),
+      similarity = new TfIdfSimilarity())
+    val monoT = new IndexSearcher(spark, monoPath, similarity = new TfIdfSimilarity())
+    val q = battery(3)
+    for (mode <- Seq[ScoreMode](ScoreMode.Ref32, ScoreMode.ExactDouble)) {
+      val m = monoT.search(q, 10, mode)
+      val s = multiT.search(q, 10, mode)
+      assert(s.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        m.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"mode=$mode")
+    }
+  }
+
+  test("per-shard deletes apply; multi-term queries are rejected") {
+    val del = Array(1L, 3L, 5L) // all live in shard B (odd ids)
+    val multiD = MultiSearcher.of(Seq(
+      new IndexSearcher(spark, shardAPath),
+      new IndexSearcher(spark, shardBPath).withDeletes(del)))
+    val monoD = mono.withDeletes(del)
+    val q = TermQuery("merge")
+    val m = monoD.search(q, 10, ScoreMode.ExactDouble)
+    val s = multiD.search(q, 10, ScoreMode.ExactDouble)
+    assert(s.totalHits == m.totalHits)
+    assert(s.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+      m.scoreDocs.map(d => (d.docId, d.score)).toSeq)
+    val ex = intercept[IllegalArgumentException](
+      multi.search(PrefixQuery("mer"), 5))
+    assert(ex.getMessage.contains("shard"), ex.getMessage)
+  }
+}
