@@ -20,6 +20,7 @@ import graft.search.{IndexSearcher, MultiSearcher, QueryParser, ScoreMode}
   * sbt "runMain graft.Cli suggest <indexDir> <term> [maxEdits]" # did-you-mean spelling suggestions
   * sbt "runMain graft.Cli sort <indexDir> <col> <k> <query...>" # matches ordered by a stored column
   * sbt "runMain graft.Cli msearch <dir1,dir2,...> <k> <query...>" # sharded search, merged global stats
+  * sbt "runMain graft.Cli hybrid <indexDir> <embParquet> <vecId> <k> <query...>" # RRF lexical+vector fusion
   * }}}
   */
 object Cli {
@@ -38,17 +39,23 @@ object Cli {
   private def run(spark: SparkSession, args: List[String]): Unit = args match {
     case "build" :: corpus :: indexDir :: Nil =>
       val raw = spark.read.parquet(corpus)
-      // accept either the CodeFile shape or the documents.parquet shape
+      // accept either the CodeFile shape or the documents.parquet shape;
+      // the latter's doc_id becomes the ENGINE docId (explicitDocIdCol), so
+      // CLI search hits, deletes, and `hybrid`'s embedding join all speak
+      // the table's ids directly
+      val documentsShape = !raw.columns.contains("content")
       val df =
-        if (raw.columns.contains("content")) raw
+        if (!documentsShape) raw.select("repo", "path", "commit", "lang", "content")
         else raw.select(
+          col("doc_id"),
           col("source").as("repo"),
           col("doc_id").cast("string").as("path"),
           lit("").as("commit"),
           col("lang"),
           col("text").as("content"))
-      val m = new IndexBuilder(spark, IndexConfig(analyzer = new StandardCodeAnalyzer()))
-        .build(df.select("repo", "path", "commit", "lang", "content"), indexDir)
+      val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+        explicitDocIdCol = if (documentsShape) Some("doc_id") else None)
+      val m = new IndexBuilder(spark, cfg).build(df, indexDir)
       println(s"BUILT index at $indexDir: maxDoc=${m.maxDoc} docCount=${m.docCount}")
     case "search" :: indexDir :: k :: rest if rest.nonEmpty =>
       val searcher = new IndexSearcher(spark, indexDir)
@@ -69,6 +76,21 @@ object Cli {
       val top = multi.search(q, k.toInt, ScoreMode.Ref32)
       println(s"totalHits=${top.totalHits}")
       top.scoreDocs.foreach(d => println(f"  doc=${d.docId}%6d score=${d.score}%.4f"))
+    // hybrid lexical+vector: BM25 top-50 RRF-fused (k0=60) with the cosine
+    // top-50 around the embedding of queryVecId
+    case "hybrid" :: indexDir :: embParquet :: queryVecId :: k :: rest if rest.nonEmpty =>
+      val searcher = new IndexSearcher(spark, indexDir)
+      val q = new QueryParser(new StandardCodeAnalyzer(), strictFields = false)
+        .parse(rest.mkString(" "))
+      println(s"QUERY: $q  + vec#$queryVecId")
+      val lexTop = searcher.search(q, 50, ScoreMode.Ref32).scoreDocs.map(_.docId).toSeq
+      val emb = spark.read.parquet(embParquet)
+      val vec = graft.pipeline.Hybrid.vectorRanks(emb, emb.columns(0), "embedding",
+        queryVecId.toLong, 50)
+      graft.pipeline.Hybrid.rrfFuse(spark, lexTop, vec, 60, k.toInt).collect()
+        .foreach(r => println(f"  doc=${r.getLong(0)}%6d rrf=${r.getDouble(1)}%.5f " +
+          s"lrank=${if (r.isNullAt(2)) "-" else r.getLong(2)} " +
+          s"vrank=${if (r.isNullAt(3)) "-" else r.getLong(3)}"))
     case "delete" :: indexDir :: field :: term :: Nil =>
       val before = graft.index.Deletes.count(spark, indexDir)
       graft.index.Deletes.deleteByTerm(spark, indexDir, Seq((field, term)))
@@ -127,7 +149,8 @@ object Cli {
         s"delete <indexDir> <field> <term> | check <indexDir> | merge <indexDir> | " +
         s"expunge <indexDir> [minFrac] | facets <indexDir> <col> <query...> | " +
         s"suggest <indexDir> <term> [maxEdits] | sort <indexDir> <col> <k> <query...> | " +
-        s"msearch <dir1,dir2,...> <k> <query...> (got: $other)")
+        s"msearch <dir1,dir2,...> <k> <query...> | " +
+        s"hybrid <indexDir> <embParquet> <queryVecId> <k> <query...> (got: $other)")
       sys.exit(2)
   }
 }

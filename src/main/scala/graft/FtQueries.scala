@@ -335,6 +335,23 @@ object FtQueries {
       .orderBy("doc_id")
   }
 
+  /** Hybrid lexical+vector top-k (RRF): the searcher's exact-double BM25
+    * top-n fused with the cosine top-n around the embedding of
+    * `queryVecId` (doc_id ≡ vec_id on the driver tables). r4 at the
+    * display edge only — rrf values are small-integer-ratio sums, so
+    * round() is banned (the 0.43125 rule); ranking compares raw float64.
+    */
+  def hybridDF(spark: SparkSession, sfDir: String, q: Query, queryVecId: Long,
+      n: Int, k0: Int, k: Int): DataFrame = {
+    val lexTop = searcher(spark, sfDir).search(q, n, ScoreMode.ExactDouble)
+      .scoreDocs.map(_.docId).toSeq
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vec = graft.pipeline.Hybrid.vectorRanks(emb, "vec_id", "embedding", queryVecId, n)
+    graft.pipeline.Hybrid.rrfFuse(spark, lexTop, vec, k0, k)
+      .select(col("doc_id"), graft.pipeline.TextOps.r4(col("rrf")).as("rrf_r"))
+      .orderBy("doc_id")
+  }
+
   /** Matching docs with round(score, 4), ordered by docId. */
   def matches(spark: SparkSession, sfDir: String, q: Query): DataFrame =
     searcher(spark, sfDir).scoredDocs(q, ScoreMode.ExactDouble)

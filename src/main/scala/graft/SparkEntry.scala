@@ -298,6 +298,14 @@ object SparkEntry {
       FtQueries.shardedWandTopK(s, d, BooleanQuery(Seq(
         BooleanClause(Occur.SHOULD, TermQuery("merge")),
         BooleanClause(Occur.SHOULD, TermQuery("window")))), 10)),
+    "ft_hybrid" -> ((s, d) => // hybrid lexical+vector retrieval (round-5,
+      // beyond-reference): BM25 top-50 for `merge spark` RRF-fused (k0=60)
+      // with the cosine top-50 around embedding 0; ranks are scale-free so
+      // no score calibration — the modern hybrid-serving pattern
+      FtQueries.hybridDF(s, d, BooleanQuery(Seq(
+        BooleanClause(Occur.SHOULD, TermQuery("merge")),
+        BooleanClause(Occur.SHOULD, TermQuery("spark")))),
+        queryVecId = 0L, n = 50, k0 = 60, k = 10)),
     "ft_stored" -> ((s, d) => // stored-fields point read of the top-8 hits:
       // repo/lang columns + the sha256 content digest vs the source table
       FtQueries.storedTopDF(s, d, TermQuery("sort"), 8)),
@@ -1515,6 +1523,37 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(s, 4) AS score_r FROM rk
          |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "ft_hybrid" -> // RRF fusion: BM25 rank window + cosine rank window,
+      // rrf = 1/(60+lrank) + 1/(60+vrank) (lexical term first — float64
+      // order mirrored), raw-rrf top-10, floor-based r4 at the edge
+      s"""${ftBase(Seq("merge", "spark"))}, lexsc AS (
+         |  SELECT doc_id,
+         |    CASE WHEN f_merge > 0 THEN ${termScore("merge")} ELSE 0 END
+         |    + CASE WHEN f_spark > 0 THEN ${termScore("spark")} ELSE 0 END AS s
+         |  FROM base WHERE f_merge > 0 OR f_spark > 0
+         |), lexrk AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS lrank
+         |  FROM lexsc
+         |), lex AS (SELECT doc_id, lrank FROM lexrk WHERE lrank <= 50
+         |), en AS (
+         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), vq AS (SELECT embedding, nrm FROM en WHERE vec_id = 0
+         |), vsc AS (
+         |  SELECT en.vec_id AS doc_id,
+         |    round(${dotSql("vq.embedding", "en.embedding")} / (vq.nrm * en.nrm), 4) AS c
+         |  FROM en, vq
+         |), vrk AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS BIGINT) AS vrank
+         |  FROM vsc
+         |), vtop AS (SELECT doc_id, vrank FROM vrk WHERE vrank <= 50
+         |), fused AS (
+         |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    COALESCE(1.0 / (60.0 + l.lrank), 0) + COALESCE(1.0 / (60.0 + v.vrank), 0) AS rrf
+         |  FROM lex l FULL OUTER JOIN vtop v ON l.doc_id = v.doc_id
+         |), top AS (SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
+         |SELECT doc_id, floor(rrf * 10000.0 + 0.5) / 10000.0 AS rrf_r
+         |FROM top ORDER BY doc_id""".stripMargin,
     "ft_stored" ->
       s"""${ftBase(Seq("sort"))}, sc AS (
          |  SELECT doc_id, tk, ${termScore("sort")} AS s FROM base WHERE f_sort > 0

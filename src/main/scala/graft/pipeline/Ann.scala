@@ -29,7 +29,7 @@ object Ann {
       vb: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
     round(dotD(va, vb) / (na * nb), 4)
 
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String) =
+  private[pipeline] def withNorm(df: DataFrame, idCol: String, vecCol: String) =
     df.select(
       col(idCol),
       col(vecCol).cast("array<double>").as("v"))
