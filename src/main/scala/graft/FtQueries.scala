@@ -300,7 +300,7 @@ object FtQueries {
     * corpus) driver-verifies that cross-shard stat merging reproduces
     * single-index scoring exactly — the sharded-at-100TB serving shape.
     */
-  private def shardPaths(spark: SparkSession, sfDir: String): Seq[String] =
+  def shardPaths(spark: SparkSession, sfDir: String): Seq[String] =
     (0 to 1).map { par =>
       cache.getOrElseUpdate(s"$sfDir#shard$par", {
         val dir = s"${sys.props("java.io.tmpdir")}/graft_ft_v${graft.codec.PostingsCodec.FormatVersion}mfsh${par}_" +

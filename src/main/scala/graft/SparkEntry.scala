@@ -322,6 +322,15 @@ object SparkEntry {
                          mode 'exact', analyzer 'simple')""")
       s.sql("SELECT docId AS doc_id, round(score, 4) AS score_r FROM graft_hits ORDER BY doc_id")
     }),
+    "ft_sql_sharded" -> ((s, d) => { // sharded search through pure SQL:
+      // a comma-separated index list opens a MultiSearcher view (merged
+      // global stats) — results must equal the monolithic rank window
+      val dirs = FtQueries.shardPaths(s, d).mkString(",")
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_hits_sh USING `graft-search`
+                OPTIONS (index '$dirs', query 'sort vector', k '12',
+                         mode 'exact', analyzer 'simple')""")
+      s.sql("SELECT docId AS doc_id, round(score, 4) AS score_r FROM graft_hits_sh ORDER BY doc_id")
+    }),
     "ft_sql_wand" -> ((s, d) => { // WAND pruning through the SQL surface:
       // the wand 'true' option must still return the exact exhaustive top-k
       val idx = FtQueries.indexPath(s, d)
@@ -1582,6 +1591,18 @@ object SparkEntry {
          |    CASE WHEN f_merge > 0 THEN ${termScore("merge")} ELSE 0 END
          |    + CASE WHEN f_sort > 0 THEN ${termScore("sort")} ELSE 0 END AS s
          |  FROM base WHERE f_merge > 0 OR f_sort > 0
+         |), rk AS (
+         |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
+         |)
+         |SELECT doc_id, round(s, 4) AS score_r FROM rk
+         |WHERE rn <= 12 ORDER BY doc_id""".stripMargin,
+    "ft_sql_sharded" -> // MONOLITHIC rank window — the engine side answers
+      // from two doc_id%2 shards behind the comma-list DSv2 view
+      s"""${ftBase(Seq("sort", "vector"))}, sc AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN f_sort > 0 THEN ${termScore("sort")} ELSE 0 END
+         |    + CASE WHEN f_vector > 0 THEN ${termScore("vector")} ELSE 0 END AS s
+         |  FROM base WHERE f_sort > 0 OR f_vector > 0
          |), rk AS (
          |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc
          |)

@@ -26,7 +26,10 @@ import graft.search._
   *
   * or `spark.read.format("graft-search").option(...).load()`.
   *
-  * Options: `index` (required), `query` (required, classic parser syntax),
+  * Options: `index` (required; a COMMA-SEPARATED list opens a sharded
+  * [[graft.search.MultiSearcher]] view — global idf/avgdl merged across the
+  * shard dictionaries, results identical to one index over the union),
+  * `query` (required, classic parser syntax),
   * `k` (default 10), `mode` (`ref32`|`exact`), `field` (default field,
   * default `content`), `keywordFields` / `analyzedFields` (comma-separated,
   * for `field:value` and fielded text/phrase routing),
@@ -132,6 +135,30 @@ object GraftSearchTable {
   /** Test hook: live cached searchers (for cache-release assertions). */
   private[graft] def cachedSearchers: Seq[IndexSearcher] =
     searchers.values.map(_._2).toSeq
+
+  // sharded views: `index 'dirA,dirB,…'` → a MultiSearcher over DEDICATED
+  // shard searchers (never the single-index cache entries — the merged-stat
+  // seeding would corrupt them for standalone views). Freshness token =
+  // every shard's token joined, so a publish/delete/merge on ANY shard
+  // refreshes the whole group; eviction closes all shards.
+  private val multiSearchers =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), (String, MultiSearcher)]
+
+  private[graft] def multiSearcher(indexes: String, field: String,
+      simName: String = "bm25"): MultiSearcher = {
+    val spark = SparkSession.active
+    val dirs = indexes.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val tok = dirs.map(freshness(spark, _)).mkString("§")
+    val k = (indexes, field, simName.toLowerCase)
+    multiSearchers.get(k) match {
+      case Some((t, m)) if t == tok => m
+      case prev =>
+        prev.foreach(_._2.close())
+        val m = MultiSearcher(spark, dirs, field, similarityFor(simName))
+        multiSearchers.put(k, (tok, m))
+        m
+    }
+  }
 }
 
 final class GraftSearchTable(options: CaseInsensitiveStringMap)
@@ -182,11 +209,18 @@ final class GraftScan(options: CaseInsensitiveStringMap, limit: Int)
     val strict = options.getBoolean("strictFields", false)
     val q = new QueryParser(analyzer, field, kw, strictFields = strict,
       analyzedFields = af).parse(queryStr)
-    val searcher = GraftSearchTable.searcher(index, field,
-      options.getOrDefault("similarity", "bm25"))
+    val simName = options.getOrDefault("similarity", "bm25")
+    val wand = options.getBoolean("wand", false)
+    // comma-separated dirs → sharded search with merged global stats
     val top =
-      if (options.getBoolean("wand", false)) Wand.searchTopK(searcher, q, k, mode)
-      else searcher.search(q, k, mode)
+      if (index.contains(',')) {
+        val multi = GraftSearchTable.multiSearcher(index, field, simName)
+        if (wand) multi.searchWand(q, k, mode) else multi.search(q, k, mode)
+      } else {
+        val searcher = GraftSearchTable.searcher(index, field, simName)
+        if (wand) Wand.searchTopK(searcher, q, k, mode)
+        else searcher.search(q, k, mode)
+      }
     Array(GraftResultPartition(top.scoreDocs.map(d => (d.docId, d.score))))
   }
 
