@@ -100,6 +100,24 @@ final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
     case _ => ()
   }
 
+  /** Per-shard searches run CONCURRENTLY from driver threads — each shard's
+    * Spark jobs overlap in the scheduler, so sharded latency tracks the
+    * slowest shard instead of the sum (OpBench: sequential sharded WAND was
+    * exactly 2× mono). Shards are independent searcher instances (no shared
+    * mutable state; seeding happens before, single-threaded).
+    */
+  private lazy val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.min(shards.length, 16),
+    r => { val t = new Thread(r, "graft-multisearch"); t.setDaemon(true); t })
+
+  private def inParallel[A](fs: Seq[() => A]): Seq[A] = {
+    if (fs.lengthCompare(1) == 0) return Seq(fs.head())
+    val futs = fs.map(f => pool.submit(new java.util.concurrent.Callable[A] {
+      override def call(): A = f()
+    }))
+    futs.map(_.get())
+  }
+
   /** k-way merge by the heap's exact ordering: score desc, docId asc. */
   private def mergeTop(per: Seq[TopDocs], k: Int): TopDocs =
     TopDocs(
@@ -114,7 +132,7 @@ final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
     */
   def search(q0: Query, k: Int, mode: ScoreMode = ScoreMode.Ref32): TopDocs = {
     val q = ensureSeeded(q0)
-    mergeTop(shards.map(_.search(q, k, mode)), k)
+    mergeTop(inParallel(shards.map(s => () => s.search(q, k, mode))), k)
   }
 
   /** Block-max WAND per shard, merged: each shard's pruned top-k is a
@@ -125,7 +143,8 @@ final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
   def searchWand(q0: Query, k: Int, mode: ScoreMode = ScoreMode.Ref32,
       phase1Ranges: Int = 64): TopDocs = {
     val q = ensureSeeded(q0)
-    mergeTop(shards.map(s => Wand.searchTopK(s, q, k, mode, phase1Ranges)), k)
+    mergeTop(inParallel(shards.map(s =>
+      () => Wand.searchTopK(s, q, k, mode, phase1Ranges))), k)
   }
 
   /** Union of every shard's full scored match set (one Dataset — downstream
@@ -147,7 +166,7 @@ final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
     }
   }
 
-  def close(): Unit = shards.foreach(_.close())
+  def close(): Unit = { shards.foreach(_.close()); pool.shutdown() }
 }
 
 object MultiSearcher {

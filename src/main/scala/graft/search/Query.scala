@@ -137,7 +137,12 @@ final case class FilteredQuery(query: Query, filter: Query) extends Query
   * order — keep the SQL oracle's expression shape identical.
   */
 final case class DisMaxQuery(clauses: Seq[Query], tieBreaker: Float = 0.0f,
-    boost: Float = 1.0f) extends Query
+    boost: Float = 1.0f) extends Query {
+  // outside [0,1] the WAND bound formula loses monotonicity in the max
+  // term ((1−tie) goes negative) — the same domain Lucene documents
+  require(tieBreaker >= 0.0f && tieBreaker <= 1.0f,
+    s"tieBreaker must be in [0,1], got $tieBreaker")
+}
 
 /** Lucene ConstantScoreQuery (absent in the reference): matches exactly
   * `query`'s match set, scores the CONSTANT `score` — no tf/idf/norm, no
