@@ -298,6 +298,11 @@ object SparkEntry {
       FtQueries.shardedWandTopK(s, d, BooleanQuery(Seq(
         BooleanClause(Occur.SHOULD, TermQuery("merge")),
         BooleanClause(Occur.SHOULD, TermQuery("window")))), 10)),
+    "ft_sharded_prefix" -> ((s, d) => // multi-term expansion ACROSS shards:
+      // `c*` expands against the union of both shard dictionaries, expansion
+      // terms score with cross-shard merged df — the oracle is the same
+      // whole-corpus LIKE 'c%' twin as ft_prefix
+      FtQueries.shardedMatches(s, d, PrefixQuery("c"))),
     "ft_hybrid" -> ((s, d) => // hybrid lexical+vector retrieval (round-5,
       // beyond-reference): BM25 top-50 for `merge spark` RRF-fused (k0=60)
       // with the cosine top-50 around embedding 0; ranks are scale-free so
@@ -859,6 +864,30 @@ object SparkEntry {
     "ft_prefix" -> // expansion derived IN SQL via LIKE 'c%' (df per matched
       // term recomputed from scratch); per-doc sum has ≤2 nonzero terms on
       // this vocabulary → float64-exact regardless of SUM order
+      s"""$prelude, tdf AS (
+         |  SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |  FROM (SELECT DISTINCT doc_id, tok AS term
+         |        FROM (SELECT doc_id, unnest(tk) AS tok FROM docs) WHERE tok LIKE 'c%')
+         |  GROUP BY term
+         |), perdoc AS (
+         |  SELECT d.doc_id, t.term, t.df,
+         |    len(list_filter(d.tk, x -> x = t.term)) AS f, len(d.tk) AS dl
+         |  FROM docs d, tdf t
+         |), sc AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN f > 0 THEN
+         |      (ln(1 + ((SELECT n FROM g) - df + 0.5) / (df + 0.5))
+         |       * ((CAST(f AS DOUBLE) * (1.2 + 1)) /
+         |          (CAST(f AS DOUBLE) + 1.2 * ((1 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / (SELECT avgdl FROM g)))))
+         |      ELSE 0 END) AS score,
+         |    count(*) FILTER (f > 0) AS nm
+         |  FROM perdoc GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 4) AS score_r
+         |FROM sc WHERE nm > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_sharded_prefix" -> // same whole-corpus twin as ft_prefix — the
+      // engine answers from two shards with union expansion + merged stats
       s"""$prelude, tdf AS (
          |  SELECT term, CAST(count(*) AS DOUBLE) AS df
          |  FROM (SELECT DISTINCT doc_id, tok AS term

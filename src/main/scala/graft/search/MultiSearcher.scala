@@ -34,10 +34,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *  - shard searchers are OWNED by this MultiSearcher once passed in: their
   *    stats caches are overwritten with merged values, so do not use them
   *    standalone afterwards.
-  *  - multi-term queries (prefix/wildcard/fuzzy/range/regexp) are rejected:
-  *    per-shard dictionary expansion would score expansion terms with
-  *    shard-LOCAL statistics. Expand against a chosen dictionary first and
-  *    pass the resulting disjunction.
+  *
+  * Multi-term queries (prefix/wildcard/fuzzy/range/regexp) expand at the
+  * MULTI level: each shard's dictionary is scanned for the leaf, the term
+  * lists union (over a partitioned corpus that IS the monolithic dictionary
+  * scan — same terms, same sorted clause order), the 1024-clause rewrite
+  * budget applies to the union, and the resulting disjunction's stats are
+  * merged like any other terms.
   */
 final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
     val field: String) {
@@ -57,8 +60,7 @@ final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
     * statistics. Returns the rewritten query to pass to the shards.
     */
   private def ensureSeeded(q0: Query): Query = {
-    val q = Query.rewrite(q0)
-    requireNoMultiTerm(q)
+    val q = Query.rewrite(expandAcrossShards(q0))
     val keys = Query.leafKeys(q, field)
     val newKeys = keys.filterNot(mergedTs.contains)
     if (newKeys.nonEmpty) {
@@ -87,17 +89,32 @@ final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
     q
   }
 
-  private def requireNoMultiTerm(q: Query): Unit = q match {
-    case m: MultiTermQuery => throw new IllegalArgumentException(
-      s"$m: multi-term queries are not supported through MultiSearcher — " +
-        "per-shard dictionary expansion would score expansion terms with " +
-        "shard-local statistics; expand against a chosen shard's dictionary " +
-        "first and pass the resulting disjunction")
-    case BooleanQuery(cs, _, _) => cs.foreach(c => requireNoMultiTerm(c.query))
-    case DisMaxQuery(cs, _, _) => cs.foreach(requireNoMultiTerm)
-    case ConstantScoreQuery(q1, _) => requireNoMultiTerm(q1)
-    case FilteredQuery(q1, f1) => requireNoMultiTerm(q1); requireNoMultiTerm(f1)
-    case _ => ()
+  /** Multi-term leaves rewrite against the UNION of shard dictionaries —
+    * identical terms and clause order to the monolithic expansion, so the
+    * boolean that reaches the shards (and the stats seeded for it) match
+    * single-index behavior exactly. Boost/field thread through unchanged.
+    */
+  private def expandAcrossShards(q: Query): Query = q match {
+    case m: MultiTermQuery =>
+      val (boost, f) = m match {
+        case PrefixQuery(_, b, f0) => (b, f0)
+        case WildcardQuery(_, b, f0) => (b, f0)
+        case FuzzyQuery(_, _, b, f0) => (b, f0)
+        case TermRangeQuery(_, _, _, _, b, f0) => (b, f0)
+        case RegexpQuery(_, b, f0) => (b, f0)
+      }
+      val union = shards.flatMap(_.expansionTerms(m)).distinct.sorted
+      require(union.size <= 1024,
+        s"$m expands to more than 1024 terms across the shards — raise " +
+          "specificity (reference maxClauseCount is the rewrite budget)")
+      BooleanQuery(union.map(t => BooleanClause(Occur.SHOULD, TermQuery(t, boost, f))))
+    case BooleanQuery(cs, msm, b) =>
+      BooleanQuery(cs.map(c => c.copy(query = expandAcrossShards(c.query))), msm, b)
+    case DisMaxQuery(cs, tie, b) => DisMaxQuery(cs.map(expandAcrossShards), tie, b)
+    case ConstantScoreQuery(q1, s) => ConstantScoreQuery(expandAcrossShards(q1), s)
+    case FilteredQuery(q1, f1) =>
+      FilteredQuery(expandAcrossShards(q1), expandAcrossShards(f1))
+    case other => other
   }
 
   /** Per-shard searches run CONCURRENTLY from driver threads — each shard's

@@ -701,6 +701,20 @@ final class IndexSearcher(
     case other => other
   }
 
+  /** Expanded term list for ONE multi-term leaf against THIS searcher's
+    * dictionary — [[MultiSearcher]] unions these across shards (the union
+    * of per-shard expansions over a partitioned corpus IS the monolithic
+    * expansion: same matching terms, same sorted order).
+    */
+  private[search] def expansionTerms(m: MultiTermQuery): Seq[String] = m match {
+    case PrefixQuery(p, _, f) => prefixTerms(f.getOrElse(field), p)
+    case WildcardQuery(pat, _, f) => wildcardTerms(f.getOrElse(field), pat)
+    case FuzzyQuery(t, e, _, f) => fuzzyTerms(f.getOrElse(field), t, e)
+    case TermRangeQuery(lo, hi, il, iu, _, f) =>
+      rangeTerms(f.getOrElse(field), lo, hi, il, iu)
+    case RegexpQuery(pat, _, f) => regexpTerms(f.getOrElse(field), pat)
+  }
+
   /** Matching dictionary terms within `maxEdits` CLASSIC Levenshtein edits:
     * a length-window prefilter (|len − len(q)| ≤ maxEdits) bounds the
     * distance evaluation, which runs DISTRIBUTED via the codegen'd

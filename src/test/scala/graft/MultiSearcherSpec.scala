@@ -114,7 +114,7 @@ class MultiSearcherSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("per-shard deletes apply; multi-term queries are rejected") {
+  test("per-shard deletes apply") {
     val del = Array(1L, 3L, 5L) // all live in shard B (odd ids)
     val multiD = MultiSearcher.of(Seq(
       new IndexSearcher(spark, shardAPath),
@@ -126,8 +126,26 @@ class MultiSearcherSpec extends AnyFunSuite with SparkTestBase {
     assert(s.totalHits == m.totalHits)
     assert(s.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
       m.scoreDocs.map(d => (d.docId, d.score)).toSeq)
-    val ex = intercept[IllegalArgumentException](
-      multi.search(PrefixQuery("mer"), 5))
-    assert(ex.getMessage.contains("shard"), ex.getMessage)
+  }
+
+  test("multi-term queries expand against the UNION dictionary ≡ monolithic") {
+    val qs: Seq[Query] = Seq(
+      PrefixQuery("mer"), // common stem — terms present in both shards
+      // uniqtoken_N terms are per-doc unique → every expansion term lives
+      // in exactly ONE shard (the cross-shard stats/eligibility stress)
+      PrefixQuery("uniqtoken_1"),
+      FuzzyQuery("merge", 1),
+      WildcardQuery("s*rd"),
+      TermRangeQuery(Some("shard"), Some("token")),
+      BooleanQuery(Seq( // nested beside a scored term
+        BooleanClause(Occur.MUST, TermQuery("index")),
+        BooleanClause(Occur.SHOULD, PrefixQuery("scor")))))
+    for (q <- qs; mode <- Seq[ScoreMode](ScoreMode.Ref32, ScoreMode.ExactDouble)) {
+      val m = mono.search(q, 10, mode)
+      val s = multi.search(q, 10, mode)
+      assert(s.totalHits == m.totalHits, s"totalHits q=$q mode=$mode")
+      assert(s.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+        m.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"q=$q mode=$mode")
+    }
   }
 }
