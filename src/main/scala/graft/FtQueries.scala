@@ -318,6 +318,13 @@ object FtQueries {
     multiCache.getOrElseUpdate(sfDir,
       MultiSearcher(spark, shardPaths(spark, sfDir)))
 
+  /** Facet counts through the sharded pair (cross-shard summed counts). */
+  def shardedFacetsDF(spark: SparkSession, sfDir: String, q: Query,
+      facetCol: String): DataFrame =
+    multiSearcher(spark, sfDir).facetCounts(q, facetCol, topN = 20)
+      .select(col(facetCol), col("matchCount").cast("long").as("n_docs"))
+      .orderBy(col("n_docs").desc, col(facetCol))
+
   /** Full scored match set through the sharded pair (exact-double). */
   def shardedMatches(spark: SparkSession, sfDir: String, q: Query): DataFrame =
     multiSearcher(spark, sfDir).scoredDocs(q, ScoreMode.ExactDouble)

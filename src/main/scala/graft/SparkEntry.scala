@@ -298,6 +298,12 @@ object SparkEntry {
       FtQueries.shardedWandTopK(s, d, BooleanQuery(Seq(
         BooleanClause(Occur.SHOULD, TermQuery("merge")),
         BooleanClause(Occur.SHOULD, TermQuery("window")))), 10)),
+    "ft_sharded_facets" -> ((s, d) => // facet counts ACROSS shards: each
+      // shard contributes FULL value counts, the union re-sums per value —
+      // identical to the monolithic ft_facets twin
+      FtQueries.shardedFacetsDF(s, d, BooleanQuery(Seq(
+        BooleanClause(Occur.SHOULD, TermQuery("merge")),
+        BooleanClause(Occur.SHOULD, TermQuery("vector")))), "lang")),
     "ft_sharded_prefix" -> ((s, d) => // multi-term expansion ACROSS shards:
       // `c*` expands against the union of both shard dictionaries, expansion
       // terms score with cross-shard merged df — the oracle is the same
@@ -886,6 +892,16 @@ object SparkEntry {
          |SELECT doc_id, round(score, 4) AS score_r
          |FROM sc WHERE nm > 0
          |ORDER BY doc_id""".stripMargin,
+    "ft_sharded_facets" -> // same whole-corpus twin as ft_facets — the
+      // engine sums per-shard value counts
+      s"""$prelude
+         |SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents d
+         |JOIN docs t ON d.doc_id = t.doc_id
+         |WHERE len(list_filter(t.tk, x -> x = 'merge')) > 0
+         |   OR len(list_filter(t.tk, x -> x = 'vector')) > 0
+         |GROUP BY d.lang
+         |ORDER BY n_docs DESC, lang""".stripMargin,
     "ft_sharded_prefix" -> // same whole-corpus twin as ft_prefix — the
       // engine answers from two shards with union expansion + merged stats
       s"""$prelude, tdf AS (

@@ -172,6 +172,37 @@ final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
     shards.map(_.scoredDocs(q, mode)).reduce(_ union _)
   }
 
+  /** Facet value counts over all matches ACROSS shards: each shard
+    * contributes its FULL value counts (value-cardinality rows, never
+    * corpus rows — per-shard topN truncation would miscount values split
+    * across shards), the union re-sums per value, TakeOrdered topN.
+    */
+  def facetCounts(q0: Query, facetCol: String, topN: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val q = ensureSeeded(q0)
+    shards.map(_.facetCounts(q, facetCol, Int.MaxValue))
+      .reduce(_ union _)
+      .groupBy(col(facetCol))
+      .agg(sum(col("matchCount")).as("matchCount"))
+      .orderBy(col("matchCount").desc, col(facetCol))
+      .limit(topN)
+  }
+
+  /** Sort-by-field top-k across shards: per-shard TakeOrdered top-k (each
+    * shard's local top-k contains its members of the global one), unioned
+    * and re-limited in Spark so sort-value typing/comparison stays native.
+    */
+  def searchSortBy(q0: Query, sortCol: String, k: Int,
+      ascending: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val q = ensureSeeded(q0)
+    val ord = if (ascending) col(sortCol).asc else col(sortCol).desc
+    shards.map(_.searchSortBy(q, sortCol, k, ascending))
+      .reduce(_ union _)
+      .orderBy(ord, col("docId").asc)
+      .limit(k)
+  }
+
   /** Explanation from the shard that owns `docId` (disjoint docId spaces);
     * root value == the merged search score for that doc.
     */

@@ -114,6 +114,22 @@ class MultiSearcherSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("facets and sort-by-field across shards ≡ monolithic") {
+    val q = BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("merge")),
+      BooleanClause(Occur.SHOULD, TermQuery("vector"))))
+    val mf = mono.facetCounts(q, "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sf = multi.facetCounts(q, "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sf == mf)
+    val ms = mono.searchSortBy(q, "repo", 12, ascending = false).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ss = multi.searchSortBy(q, "repo", 12, ascending = false).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(ss == ms)
+  }
+
   test("per-shard deletes apply") {
     val del = Array(1L, 3L, 5L) // all live in shard B (odd ids)
     val multiD = MultiSearcher.of(Seq(
