@@ -21,6 +21,7 @@ import graft.search.{IndexSearcher, MultiSearcher, QueryParser, ScoreMode}
   * sbt "runMain graft.Cli sort <indexDir> <col> <k> <query...>" # matches ordered by a stored column
   * sbt "runMain graft.Cli msearch <dir1,dir2,...> <k> <query...>" # sharded search, merged global stats
   * sbt "runMain graft.Cli hybrid <indexDir> <embParquet> <vecId> <k> <query...>" # RRF lexical+vector fusion
+  * sbt "runMain graft.Cli group <dir[,dir2]> <col> <topGroups> <docsPerGroup> <query...>" # result grouping (sharded with a comma list)
   * }}}
   */
 object Cli {
@@ -91,6 +92,21 @@ object Cli {
         .foreach(r => println(f"  doc=${r.getLong(0)}%6d rrf=${r.getDouble(1)}%.5f " +
           s"lrank=${if (r.isNullAt(2)) "-" else r.getLong(2)} " +
           s"vrank=${if (r.isNullAt(3)) "-" else r.getLong(3)}"))
+    // grouped search (top groups by best hit, top docs per group); a
+    // comma-separated dir list runs it SHARDED with merged global stats
+    case "group" :: indexDirs :: groupCol :: tg :: dpg :: rest if rest.nonEmpty =>
+      val q = new QueryParser(new StandardCodeAnalyzer(), strictFields = false)
+        .parse(rest.mkString(" "))
+      println(s"QUERY: $q")
+      val rows =
+        if (indexDirs.contains(','))
+          MultiSearcher(spark, indexDirs.split(',').toSeq)
+            .groupedSearch(q, groupCol, tg.toInt, dpg.toInt)
+        else new IndexSearcher(spark, indexDirs)
+          .groupedSearch(q, groupCol, tg.toInt, dpg.toInt)
+      rows.orderBy(col("groupTop").desc, col(groupCol), col("rank")).collect()
+        .foreach(r => println(f"  ${r.getString(0)}%-10s top=${r.getDouble(1)}%.4f " +
+          f"rank=${r.getInt(2)} doc=${r.getLong(3)}%6d score=${r.getDouble(4)}%.4f"))
     case "delete" :: indexDir :: field :: term :: Nil =>
       val before = graft.index.Deletes.count(spark, indexDir)
       graft.index.Deletes.deleteByTerm(spark, indexDir, Seq((field, term)))
@@ -150,7 +166,8 @@ object Cli {
         s"expunge <indexDir> [minFrac] | facets <indexDir> <col> <query...> | " +
         s"suggest <indexDir> <term> [maxEdits] | sort <indexDir> <col> <k> <query...> | " +
         s"msearch <dir1,dir2,...> <k> <query...> | " +
-        s"hybrid <indexDir> <embParquet> <queryVecId> <k> <query...> (got: $other)")
+        s"hybrid <indexDir> <embParquet> <queryVecId> <k> <query...> | " +
+        s"group <dir[,dir2]> <col> <topGroups> <docsPerGroup> <query...> (got: $other)")
       sys.exit(2)
   }
 }

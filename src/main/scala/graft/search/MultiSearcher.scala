@@ -203,6 +203,34 @@ final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
       .limit(k)
   }
 
+  /** Grouped search across shards: each shard returns its per-group top
+    * `docsPerGroup` for ALL groups (no per-shard group truncation — a
+    * group's global rank is unknowable shard-locally), then the bounded
+    * union re-ranks within groups and rebuilds the leaderboard. Sound
+    * because within-group ordering is (score desc, docId asc) on
+    * merged-stat scores: each shard's per-group top-d contains its members
+    * of the global per-group top-d.
+    */
+  def groupedSearch(q0: Query, groupCol: String, topGroups: Int,
+      docsPerGroup: Int, mode: ScoreMode = ScoreMode.Ref32): org.apache.spark.sql.DataFrame = {
+    // named imports: functions._ would shadow the `mode` parameter
+    import org.apache.spark.sql.functions.{broadcast, col, max, row_number}
+    val q = ensureSeeded(q0)
+    val union = shards
+      .map(_.groupedSearch(q, groupCol, Int.MaxValue, docsPerGroup, mode))
+      .reduce(_ union _)
+      .drop("groupTop", "rank")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("score").desc, col("docId").asc)
+    val leaders = union.groupBy(col(groupCol))
+      .agg(max(col("score")).as("groupTop"))
+      .orderBy(col("groupTop").desc, col(groupCol)).limit(topGroups)
+    union.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= docsPerGroup)
+      .join(broadcast(leaders), Seq(groupCol))
+      .select(col(groupCol), col("groupTop"), col("rank"), col("docId"), col("score"))
+  }
+
   /** Explanation from the shard that owns `docId` (disjoint docId spaces);
     * root value == the merged search score for that doc.
     */

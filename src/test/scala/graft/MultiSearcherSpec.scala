@@ -128,6 +128,12 @@ class MultiSearcherSpec extends AnyFunSuite with SparkTestBase {
     val ss = multi.searchSortBy(q, "repo", 12, ascending = false).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(ss == ms)
+    def grouped(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getInt(2), x.getLong(3), x.getDouble(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val mg = grouped(mono.groupedSearch(q, "lang", 3, 4, ScoreMode.ExactDouble))
+    val sg = grouped(multi.groupedSearch(q, "lang", 3, 4, ScoreMode.ExactDouble))
+    assert(sg == mg)
   }
 
   test("per-shard deletes apply") {
