@@ -56,12 +56,11 @@ final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
   private val mergedCs =
     scala.collection.concurrent.TrieMap.empty[String, CollectionStats]
 
-  /** Rewrite, validate, and make every shard score `q0` with merged global
-    * statistics. Returns the rewritten query to pass to the shards.
+  /** Merge + seed statistics for `keys` (each key exactly once), returning
+    * the merged stats present in ≥1 shard. Shard caches are overwritten so
+    * subsequent shard-local evaluation scores globally.
     */
-  private def ensureSeeded(q0: Query): Query = {
-    val q = Query.rewrite(expandAcrossShards(q0))
-    val keys = Query.leafKeys(q, field)
+  private def seedStats(keys: Seq[(String, String)]): Map[(String, String), TermStats] = {
     val newKeys = keys.filterNot(mergedTs.contains)
     if (newKeys.nonEmpty) {
       // local fetch per shard (cached point lookups), then sum df/ttf
@@ -73,19 +72,30 @@ final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
             a.totalTermFreq + b.totalTermFreq)))
       }
       val flds = newKeys.map(_._1).distinct.filterNot(mergedCs.contains)
-      flds.foreach { f =>
-        val css = shards.flatMap(_.collectionStatsOpt(f))
-        require(css.nonEmpty, s"field '$f' is indexed in no shard")
-        mergedCs.put(f, CollectionStats(f,
-          maxDoc = css.map(_.maxDoc).sum,
-          docCount = css.map(_.docCount).sum,
-          sumTotalTermFreq = css.map(_.sumTotalTermFreq).sum,
-          sumDocFreq = css.map(_.sumDocFreq).sum))
-      }
+      flds.foreach(mergedCollectionStats)
       val seedTs = newKeys.flatMap(k => mergedTs(k).map(k -> _)).toMap
-      val seedCs = flds.flatMap(f => mergedCs.get(f).map(f -> _)).toMap
+      val seedCs = newKeys.map(_._1).distinct
+        .flatMap(f => mergedCs.get(f).map(f -> _)).toMap
       shards.foreach(_.overrideStats(seedCs, seedTs))
     }
+    keys.flatMap(k => mergedTs(k).map(k -> _)).toMap
+  }
+
+  /** Summed collection stats for a field (cached). */
+  def mergedCollectionStats(f: String): CollectionStats =
+    mergedCs.getOrElseUpdate(f, {
+      val css = shards.flatMap(_.collectionStatsOpt(f))
+      require(css.nonEmpty, s"field '$f' is indexed in no shard")
+      CollectionStats(f,
+        maxDoc = css.map(_.maxDoc).sum,
+        docCount = css.map(_.docCount).sum,
+        sumTotalTermFreq = css.map(_.sumTotalTermFreq).sum,
+        sumDocFreq = css.map(_.sumDocFreq).sum)
+    })
+
+  private def ensureSeeded(q0: Query): Query = {
+    val q = Query.rewrite(expandAcrossShards(q0))
+    seedStats(Query.leafKeys(q, field))
     q
   }
 
@@ -229,6 +239,54 @@ final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
       .where(col("rank") <= docsPerGroup)
       .join(broadcast(leaders), Seq(groupCol))
       .select(col(groupCol), col("groupTop"), col("rank"), col("docId"), col("score"))
+  }
+
+  /** Spell suggestions across shards: every shard contributes its FULL
+    * candidate set (per-shard topN would drop a term whose SUMMED df wins
+    * globally), then union → per-term df sum → (dist, df desc, term) topN.
+    * Candidate sets within ≤2 edits are vocabulary-bounded, never
+    * corpus-sized.
+    */
+  def suggestTerms(input: String, maxEdits: Int = 2, topN: Int = 5,
+      f: String = field): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, min, sum}
+    shards.map(_.suggestTerms(input, maxEdits, Int.MaxValue, f))
+      .reduce(_ union _)
+      .groupBy(col("term"))
+      // (term, docFreq, dist) — the single-index column order
+      .agg(sum(col("docFreq")).as("docFreq"), min(col("dist")).as("dist"))
+      .orderBy(col("dist"), col("docFreq").desc, col("term"))
+      .limit(topN)
+      .select(col("term"), col("docFreq"), col("dist"))
+  }
+
+  /** MoreLikeThis across shards: the same candidate pipeline as the
+    * single-index version but ranked with MERGED df and maxDoc, so the
+    * selected disjunction (and its ultimate scores through [[search]])
+    * matches what a monolithic index would choose.
+    */
+  def moreLikeThisQuery(analyzer: graft.analysis.Analyzer, text: String,
+      maxQueryTerms: Int = 25, minTermFreq: Int = 1, minDocFreq: Int = 1,
+      queryField: Option[String] = None): Query = {
+    require(maxQueryTerms > 0 && maxQueryTerms <= 1024,
+      s"maxQueryTerms must be in 1..1024, got $maxQueryTerms")
+    val fn = queryField.getOrElse(field)
+    val tf = analyzer(text).tokens.iterator.map(_.term)
+      .foldLeft(Map.empty[String, Int]) { (m, t) => m.updated(t, m.getOrElse(t, 0) + 1) }
+    val cand = tf.filter(_._2 >= minTermFreq).keys.toSeq.sorted
+    require(cand.size <= 8192,
+      s"MLT seed text has ${cand.size} distinct terms — cap is 8192 (pass an excerpt)")
+    val stats = seedStats(cand.map(t => (fn, t)))
+    val n = mergedCollectionStats(fn).maxDoc
+    val scored = cand.flatMap { t =>
+      stats.get((fn, t)).filter(_.docFreq >= minDocFreq).map { ts =>
+        (t, tf(t).toDouble * Bm25.idfExact(ts.docFreq, n))
+      }
+    }
+    val top = scored.sortBy { case (t, s) => (-s, t) }.take(maxQueryTerms)
+      .map(_._1).sorted
+    BooleanQuery(top.map(t =>
+      BooleanClause(Occur.SHOULD, TermQuery(t, 1.0f, queryField))).toList)
   }
 
   /** Explanation from the shard that owns `docId` (disjoint docId spaces);

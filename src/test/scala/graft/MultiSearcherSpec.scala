@@ -136,6 +136,23 @@ class MultiSearcherSpec extends AnyFunSuite with SparkTestBase {
     assert(sg == mg)
   }
 
+  test("suggest and MoreLikeThis across shards ≡ monolithic") {
+    def sug(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val msug = sug(mono.suggestTerms("merg", 2, 5))
+    val ssug = sug(multi.suggestTerms("merg", 2, 5))
+    assert(ssug == msug)
+    val an = new StandardCodeAnalyzer()
+    val seed = "merge scorer index buffer"
+    val mq = mono.moreLikeThisQuery(an, seed, maxQueryTerms = 3)
+    val sq = multi.moreLikeThisQuery(an, seed, maxQueryTerms = 3)
+    assert(sq == mq) // merged df/maxDoc rank-selects the same disjunction
+    val m = mono.search(mq, 10, ScoreMode.ExactDouble)
+    val s = multi.search(sq, 10, ScoreMode.ExactDouble)
+    assert(s.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
+      m.scoreDocs.map(d => (d.docId, d.score)).toSeq)
+  }
+
   test("per-shard deletes apply") {
     val del = Array(1L, 3L, 5L) // all live in shard B (odd ids)
     val multiD = MultiSearcher.of(Seq(
