@@ -83,16 +83,27 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  /** Appends the `tables`-element bucket-key array `bs` to a pre-normed
+    * (id, v, nrm) projection — shared by [[bucketed]] and
+    * Dedup.embeddingNearDupPairs (which bands ids WITHOUT the vector payload
+    * so its candidate shuffle carries keys, not vectors).
+    */
+  private[pipeline] def withBucketArray(normed: DataFrame,
+      planes: Int, tables: Int, dim: Int): DataFrame =
+    normed.withColumn("bs",
+      array((0 until tables).map(t => lshKey(col("v"), planes, t, dim)): _*))
+
+  /** Embedding dimensionality probe (one tiny job; plans are per-dim). */
+  private[pipeline] def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).first().getInt(0)
+
   /** (table, bucket) rows for every vector: ONE scan computes all `tables`
     * bucket keys as an array, then posexplode — not `tables` unioned scans.
-    * (Shared with Dedup.embeddingNearDupPairs.)
     */
   private[pipeline] def bucketed(df: DataFrame, idCol: String, vecCol: String,
       planes: Int, tables: Int) = {
-    // embedding dimensionality probe (one tiny job; plans are per-dim)
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
-    withNorm(df, idCol, vecCol)
-      .withColumn("bs", array((0 until tables).map(t => lshKey(col("v"), planes, t, dim)): _*))
+    val dim = dimOf(df, vecCol)
+    withBucketArray(withNorm(df, idCol, vecCol), planes, tables, dim)
       .select(col(idCol), col("v"), col("nrm"),
         posexplode(col("bs")).as(Seq("table", "bucket")))
   }

@@ -26,6 +26,27 @@ final class CappedIdCollect(cap: Int) extends Aggregator[Long, CappedIds, Capped
   def outputEncoder: Encoder[CappedIds] = Encoders.product[CappedIds]
 }
 
+/** [[CappedIdCollect]] over (id, payload) pairs — the simhash banding path
+  * collects each bucket's members WITH their 64-bit hash so the pair
+  * explosion emits hamming-ready rows and no attach join is needed
+  * afterwards (the payload is a pure function of the id, so dedup on the
+  * full row ≡ dedup on the id pair).
+  */
+final case class CappedIdPays(n: Long, ids: Seq[(Long, Long)])
+
+final class CappedIdPayCollect(cap: Int)
+    extends Aggregator[(Long, Long), CappedIdPays, CappedIdPays] {
+  def zero: CappedIdPays = CappedIdPays(0L, Vector.empty)
+  def reduce(b: CappedIdPays, a: (Long, Long)): CappedIdPays =
+    CappedIdPays(b.n + 1, if (b.ids.size <= cap) b.ids :+ a else b.ids)
+  def merge(x: CappedIdPays, y: CappedIdPays): CappedIdPays =
+    CappedIdPays(x.n + y.n,
+      if (x.ids.size >= cap + 1) x.ids else (x.ids ++ y.ids).take(cap + 1))
+  def finish(b: CappedIdPays): CappedIdPays = b
+  def bufferEncoder: Encoder[CappedIdPays] = Encoders.product[CappedIdPays]
+  def outputEncoder: Encoder[CappedIdPays] = Encoders.product[CappedIdPays]
+}
+
 /** Deduplication operators for training-data pipelines.
   *
   * Scale notes (the point of each design):
@@ -120,6 +141,14 @@ object Dedup {
       .agg(cappedCollect(col("id")).as("c"))
       .where(col("c.n") >= 2 && col("c.n") <= maxBucket)
       .select(array_sort(col("c.ids")).as("ids"))
+    explodeIdPairs(buckets)
+  }
+
+  /** All i<j member pairs of capped, sorted bucket arrays (`ids`), deduped —
+    * the single-aggregation candidate shape shared by the MinHash, SimHash
+    * and embedding-LSH banding paths.
+    */
+  private def explodeIdPairs(buckets: DataFrame): DataFrame = {
     val pairExpr = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + lit(2), size(col("ids"))),
         b => struct(a.as("id_a"), b.as("id_b")))))
@@ -210,19 +239,28 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       tau: Double, planes: Int = 0, tables: Int = 4, maxBucket: Int = 5000): DataFrame = {
     val p = if (planes > 0) planes else autoPlanes(df.count())
-    val b = Ann.bucketed(df, idCol, vecCol, p, tables)
+    val dim = Ann.dimOf(df, vecCol)
+    // the normed projection feeds banding AND the two vector-attach joins
+    val all = Ann.withNorm(df, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sized = b.groupBy("table", "bucket").agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") <= maxBucket)
-    val capped = b.join(sized, Seq("table", "bucket"), "left_semi")
-    val a = capped.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"),
-      col("table"), col("bucket"))
-    val c = capped.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
-      col("table"), col("bucket"))
-    a.join(c, Seq("table", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "va", "na", "vb", "nb")
-      .dropDuplicates("id_a", "id_b")
+    // candidate generation moves IDS ONLY (guide-§8 discipline: decide with
+    // small rows, attach payloads once): the former shape self-joined the
+    // bucketed rows WITH their (v, nrm) payloads and dropDuplicates'd them —
+    // array columns force a sort-based dedup, so every candidate paid a
+    // sort+shuffle of 2×dim doubles instead of 16 bytes of ids. One capped
+    // aggregation per bucket (skew cap unchanged: over-cap buckets dropped,
+    // bounded recall loss), i<j explosion, ids-distinct, THEN the two
+    // vector joins attach (v, nrm) to the surviving pairs for exact cosine.
+    val banded = Ann.withBucketArray(all, p, tables, dim)
+      .select(col(idCol).as("id"), posexplode(col("bs")).as(Seq("table", "bucket")))
+    val cappedCollect = udaf(new CappedIdCollect(maxBucket))
+    val buckets = banded.groupBy("table", "bucket")
+      .agg(cappedCollect(col("id")).as("c"))
+      .where(col("c.n") >= 2 && col("c.n") <= maxBucket)
+      .select(array_sort(col("c.ids")).as("ids"))
+    explodeIdPairs(buckets)
+      .join(all.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(all.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("cosine", Ann.cosineCol(col("va"), col("na"), col("vb"), col("nb")))
       .where(col("cosine") >= tau)
       .select("id_a", "id_b", "cosine")
@@ -263,6 +301,33 @@ object Dedup {
           lit(0L), (a, b) => a + b).as("simhash32"))
   }
 
+  /** [[simhash32]] computed by explode + DECLARATIVE aggregation — the
+    * implementation [[simhashPairs]] consumes. The per-row fold above is an
+    * interpreted higher-order-function tree (fine for the count-prunable
+    * standalone operator, zero shuffle); when the full hash column is
+    * actually materialized for banding, one row per token with 32 codegen'd
+    * `sum(substr(h,j,1) >= '8')` partial aggregates is measurably faster
+    * (whole-stage codegen end to end; md5 evaluated once per token). The
+    * shuffle this introduces carries ONE post-partial row per doc per
+    * partition (33 longs) — never token-multiplied. Bit-identical by
+    * integer algebra: vote_j = 2·cnt_j − T ≥ 0 ⟺ 2·cnt_j ≥ T, and a hex
+    * nibble’s high bit is set exactly for chars ≥ '8' ('8','9','a'..'f').
+    * SimhashEquivalenceSpec pins this ≡ [[simhash32]].
+    */
+  private[graft] def simhash32Agg(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val ex = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), md5(col("tok")).as("hh"))
+    val aggs = (0 until 32).map(j =>
+      sum(when(substring(col("hh"), j + 1, 1) >= "8", 1L).otherwise(0L)).as(s"c$j")) :+
+      count(lit(1L)).as("tt")
+    val packed = (0 until 32).map(j =>
+      when(col(s"c$j") * 2 >= col("tt"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), packed.as("simhash32"))
+  }
+
   /** Near-duplicate pairs by SimHash-32 hamming distance ≤ `maxDist`, via
     * the PIGEONHOLE band join: the 32-bit hash splits into maxDist+1 byte
     * bands — any pair within maxDist differs in at most maxDist bands, so
@@ -278,9 +343,8 @@ object Dedup {
     // widening the distance.
     require(maxDist >= 1 && maxDist <= 3,
       s"simhashPairs over a 32-bit hash supports maxDist 1..3, got $maxDist")
-    val sh = simhash32(df, textCol, idCol)
+    val sh = simhash32Agg(df, textCol, idCol)
       .select(col(idCol).as("id"), col("simhash32").as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = maxDist + 1
     val banded = sh
       .select(col("id"), col("h"),
@@ -288,28 +352,61 @@ object Dedup {
       // floor, not cast-truncate: DuckDB's double→BIGINT cast ROUNDS while
       // Spark's truncates — floor is the shape both engines agree on
       .withColumn("bv", floor(col("h") / pow(lit(2.0), col("band") * 8)) % 256)
-    // skew cap BEFORE the self-join (same discipline as the MinHash path):
-    // pre-count buckets, keep only under-cap ones — a pathological band
-    // value can never drive an m² explosion (bounded recall loss, bounded
-    // shuffle always; the cap is far beyond honest near-dup bucket sizes)
-    val underCap = banded.groupBy("band", "bv").count()
-      .where(col("count") <= maxBucket).select("band", "bv")
-    val capped = banded.join(underCap, Seq("band", "bv"), "left_semi")
-    val cand = capped.select(col("band"), col("bv"), col("id").as("id_a"))
-      .join(capped.select(col("band"), col("bv"), col("id").as("id_b")), Seq("band", "bv"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val out = cand
-      .join(sh.select(col("id").as("id_a"), col("h").as("h_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("h").as("h_b")), "id_b")
-      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
-      .where(col("hamming") <= maxDist)
-      .select("id_a", "id_b", "hamming")
-      // materialize (bounded: capped pairs) so the hash cache can be freed
-      // instead of leaking for the caller's lazy lifetime
-      .localCheckpoint(true)
-    sh.unpersist()
-    out
+    // ONE aggregation materializes each band bucket's (id, hash) members via
+    // the capped collector — the same single-shuffle bound as the MinHash
+    // path (buffers ≤ maxBucket+1 entries, over-cap buckets dropped with
+    // bounded recall loss), replacing the former count-agg + semi-join +
+    // self-join pipeline (4 shuffles of the banded table); carrying the
+    // 64-bit hash inside the struct makes the exploded pairs hamming-ready,
+    // so no attach joins either. The hamming filter runs BEFORE the distinct
+    // so the dedup shuffle carries only surviving pairs (hamming is a pure
+    // function of the pair — dedup after ≡ dedup before).
+    val cappedCollect = udaf(new CappedIdPayCollect(maxBucket))
+    val buckets = banded.groupBy("band", "bv")
+      .agg(cappedCollect(col("id"), col("h")).as("c"))
+      .where(col("c.n") >= 2 && col("c.n") <= maxBucket)
+      .select(array_sort(col("c.ids")).as("ms"))
+    // Band buckets are SKEWED (a boilerplate-heavy corpus concentrates one
+    // band value in thousands of docs → m²/2 pairs from ONE bucket): a
+    // per-bucket pair explosion would build a multi-million-struct array in
+    // a single task (straggler + one giant allocation). Instead: chunk the
+    // sorted member array, emit one row per (chunk_i ≤ chunk_j) pair, spread
+    // those rows across cores with a round-robin repartition (they are few
+    // and small — two ≤chunk slices each), and generate + hamming-filter
+    // pairs per row, bounded at chunk² structs. Sorted members mean chunk
+    // order ⟹ id order, so i<j enumeration stays exact.
+    val chunk = 256
+    val pairStruct = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      struct(a.getField("_1").as("id_a"), a.getField("_2").as("h_a"),
+        b.getField("_1").as("id_b"), b.getField("_2").as("h_b"))
+    val chunkRows = buckets
+      .withColumn("nc", ceil(size(col("ms")).cast("double") / chunk).cast("int"))
+      .select(col("ms"), explode(flatten(transform(
+        sequence(lit(0), col("nc") - 1),
+        i => transform(sequence(i, col("nc") - 1),
+          j => struct(i.as("i"), j.as("j")))))).as("cp"))
+      .select(slice(col("ms"), col("cp.i") * chunk + lit(1), lit(chunk)).as("ca"),
+        slice(col("ms"), col("cp.j") * chunk + lit(1), lit(chunk)).as("cb"),
+        (col("cp.i") === col("cp.j")).as("samec"))
+      .repartition()
+    // hamming-filter INSIDE the generation (array filter before the struct
+    // transform): the xor/popcount check runs for every candidate either
+    // way — that IS the pigeonhole verification — but struct rows are only
+    // allocated for survivors (~5% here), not the full m²/2 candidate set
+    val near = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      bit_count(a.getField("_2").bitwiseXOR(b.getField("_2"))) <= maxDist
+    val pairExpr = when(col("samec"),
+      flatten(transform(col("ca"), (a, i) =>
+        transform(filter(slice(col("ca"), i + lit(2), size(col("ca"))), b => near(a, b)),
+          b => pairStruct(a, b)))))
+      .otherwise(
+        flatten(transform(col("ca"), a =>
+          transform(filter(col("cb"), b => near(a, b)), b => pairStruct(a, b)))))
+    chunkRows
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        bit_count(col("p.h_a").bitwiseXOR(col("p.h_b"))).as("hamming"))
+      .distinct()
   }
 
   /** END-TO-END corpus dedup — the composed pipeline a training-data run

@@ -143,4 +143,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }.sum
     assert(got(1L) == expected)
   }
+
+  test("simhash32Agg (explode + declarative agg, the pairs path) ≡ simhash32") {
+    val df = ((0 until 60).map { i =>
+      (i.toLong, (0 to i % 7).map(k => s"w${(i * 31 + k * 7) % 13}").mkString(" "))
+    } ++ Seq((100L, ""))).toDF("doc_id", "text") // empty doc absent from both
+    val a = Dedup.simhash32(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = Dedup.simhash32Agg(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.nonEmpty && a.sameElements(b))
+  }
 }
