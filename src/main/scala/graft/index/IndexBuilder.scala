@@ -147,6 +147,7 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
     // waves folded into a merged wave by TieredMerge: their postings live in
     // the merge output — re-inverting them would duplicate postings
     val retired = if (resume) TieredMerge.retiredWaves(spark, indexPath) else Set.empty[Int]
+    var invertedAny = false
     for ((waveSegs, wave) <- segIds.grouped(config.segmentsPerWave).zipWithIndex) {
       val wavePostings = s"$postingsRoot/wave=$wave"
       val waveDocs = s"$docsPath/wave=$wave"
@@ -155,9 +156,33 @@ final class IndexBuilder(spark: SparkSession, val config: IndexConfig = IndexCon
         val staged = spark.read.parquet(stagedPath)
           .where(col("segId").isin(waveSegs.map(Integer.valueOf): _*)) // partition-pruned
         invertWave(staged, wave, indexPath)
+        invertedAny = true
       }
     }
 
+    // Resume NO-OP fast path: nothing was (re)inverted and the committed
+    // manifest already covers exactly the live wave set under the same
+    // field config — the published dictionary/stats/segments are current,
+    // so the full publish would re-aggregate identical outputs. waves()
+    // still runs (its crash-consistency sweep is the load-time invariant);
+    // any mismatch — uncommitted index, config drift, wave-set drift — falls
+    // through to the full publish exactly as before.
+    if (resume && !invertedAny && exists(s"$indexPath/commit.json")) {
+      val expectedFormat =
+        if (config.withOffsets) IndexManifest.FormatOffsets else IndexManifest.CurrentFormat
+      scala.util.Try(IndexManifest.load(spark, indexPath)).toOption match {
+        case Some(m) if m.publishedWaves.nonEmpty &&
+            m.publishedWaves.toSet ==
+              TieredMerge.waves(spark, indexPath).map(_.wave).toSet &&
+            m.formatVersion == expectedFormat &&
+            m.field == config.field &&
+            m.analyzedFields == config.analyzedFields &&
+            m.keywordFields == config.keywordFields &&
+            m.docsPerRange == config.docsPerRange =>
+          return m
+        case _ => ()
+      }
+    }
     publish(indexPath)
   }
 
@@ -672,27 +697,37 @@ object IndexBuilder {
     * sort is ours: any disagreement at a partition boundary would make
     * docIds depend on the (sampled) boundaries instead of the input alone.
     */
+  /** UTF-8 binary string order expressed over UTF-16 chars (surrogate
+    * adjustment) — matches Spark's UTF8String comparison exactly. Shared by
+    * [[StageKeyOrder]] (stage-1 docId assignment) and
+    * MultiSearcher.expandAcrossShards (cross-shard expansion unions must
+    * sort in the SAME order as the monolithic dictionary scan's
+    * orderBy("term"), or the float64 disjunction sum order diverges for
+    * supplementary-plane vocabularies).
+    */
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
+    if (a == null || b == null) return java.lang.Boolean.compare(b == null, a == null)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i)
+      val cb = b.charAt(i)
+      if (ca != cb) {
+        if (ca >= 0xD800 && cb >= 0xD800) {
+          val fa = if (ca >= 0xE000) ca - 0x800 else ca + 0x2000
+          val fb = if (cb >= 0xE000) cb - 0x800 else cb + 0x2000
+          return fa - fb
+        }
+        return ca - cb
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
+
   private final case class StageKeyOrder(hIdx: Int)
       extends java.util.Comparator[org.apache.spark.sql.Row] with Serializable {
-    private def utf8Cmp(a: String, b: String): Int = {
-      if (a == null || b == null) return java.lang.Boolean.compare(b == null, a == null)
-      val n = math.min(a.length, b.length)
-      var i = 0
-      while (i < n) {
-        val ca = a.charAt(i)
-        val cb = b.charAt(i)
-        if (ca != cb) {
-          if (ca >= 0xD800 && cb >= 0xD800) {
-            val fa = if (ca >= 0xE000) ca - 0x800 else ca + 0x2000
-            val fb = if (cb >= 0xE000) cb - 0x800 else cb + 0x2000
-            return fa - fb
-          }
-          return ca - cb
-        }
-        i += 1
-      }
-      a.length - b.length
-    }
+    private def utf8Cmp(a: String, b: String): Int = IndexBuilder.utf8Cmp(a, b)
     def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
       var c = Integer.compare(a.getInt(0), b.getInt(0))
       if (c == 0) c = utf8Cmp(a.getString(1), b.getString(1))

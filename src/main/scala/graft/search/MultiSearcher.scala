@@ -59,12 +59,21 @@ final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
   /** Merge + seed statistics for `keys` (each key exactly once), returning
     * the merged stats present in ≥1 shard. Shard caches are overwritten so
     * subsequent shard-local evaluation scores globally.
+    *
+    * `synchronized`: two concurrent queries on one MultiSearcher (the SQL
+    * surface caches and shares instances) must not interleave here — thread
+    * B could pass the mergedTs filter, then fetch shard stats AFTER thread
+    * A seeded merged values into the shard caches, durably double-counting
+    * df/ttf. The merge+seed critical section is driver-side metadata work;
+    * the per-shard FETCHES inside it still run concurrently on the shard
+    * pool (each is an independent searcher's bounded point-lookup job).
     */
-  private def seedStats(keys: Seq[(String, String)]): Map[(String, String), TermStats] = {
+  private def seedStats(keys: Seq[(String, String)]): Map[(String, String), TermStats] = synchronized {
     val newKeys = keys.filterNot(mergedTs.contains)
     if (newKeys.nonEmpty) {
-      // local fetch per shard (cached point lookups), then sum df/ttf
-      val perShard = shards.map(_.termStats(newKeys))
+      // local fetch per shard (cached point lookups), then sum df/ttf —
+      // fetched in PARALLEL: latency tracks the slowest shard, not the sum
+      val perShard = inParallel(shards.map(s => () => s.termStats(newKeys)))
       newKeys.foreach { k =>
         val present = perShard.flatMap(_.get(k))
         mergedTs.put(k, present.reduceOption((a, b) =>
@@ -81,10 +90,13 @@ final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
     keys.flatMap(k => mergedTs(k).map(k -> _)).toMap
   }
 
-  /** Summed collection stats for a field (cached). */
-  def mergedCollectionStats(f: String): CollectionStats =
+  /** Summed collection stats for a field (cached; serialized with
+    * [[seedStats]] — same monitor, reentrant from inside it — so a
+    * concurrent query can never observe half-seeded collection stats).
+    */
+  def mergedCollectionStats(f: String): CollectionStats = synchronized {
     mergedCs.getOrElseUpdate(f, {
-      val css = shards.flatMap(_.collectionStatsOpt(f))
+      val css = inParallel(shards.map(s => () => s.collectionStatsOpt(f))).flatten
       require(css.nonEmpty, s"field '$f' is indexed in no shard")
       CollectionStats(f,
         maxDoc = css.map(_.maxDoc).sum,
@@ -92,6 +104,7 @@ final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
         sumTotalTermFreq = css.map(_.sumTotalTermFreq).sum,
         sumDocFreq = css.map(_.sumDocFreq).sum)
     })
+  }
 
   private def ensureSeeded(q0: Query): Query = {
     val q = Query.rewrite(expandAcrossShards(q0))
@@ -113,7 +126,17 @@ final class MultiSearcher private[search] (val shards: Seq[IndexSearcher],
         case TermRangeQuery(_, _, _, _, b, f0) => (b, f0)
         case RegexpQuery(_, b, f0) => (b, f0)
       }
-      val union = shards.flatMap(_.expansionTerms(m)).distinct.sorted
+      // per-shard dictionary scans in parallel (independent bounded jobs);
+      // union sorted in UTF-8 BINARY order (Spark's orderBy("term") order —
+      // Ordering.String is UTF-16 code-unit order, which diverges for
+      // supplementary-plane terms and would reorder the disjunction's
+      // float64 sum vs the monolithic expansion)
+      val union = inParallel(shards.map(s => () => s.expansionTerms(m)))
+        .flatten.distinct
+        .sorted(new Ordering[String] {
+          def compare(a: String, b: String): Int =
+            graft.index.IndexBuilder.utf8Cmp(a, b)
+        })
       require(union.size <= 1024,
         s"$m expands to more than 1024 terms across the shards — raise " +
           "specificity (reference maxClauseCount is the rewrite budget)")

@@ -334,9 +334,24 @@ final class IndexSearcher(
   }
 
   /** A view of this index with additional (non-persisted) deleted docIds. */
+  /** Derived delete views INHERIT a snapshot of this searcher's stats
+    * caches: a delete view does not change statistics (deleted docs keep
+    * counting toward df/ttf/collection stats until a reclaiming merge — the
+    * reference's liveDocs semantics), so re-fetching them in the view would
+    * pay an identical terms-dict job for identical values. A snapshot (not
+    * shared maps): later seeding of the view (MultiSearcher ownership)
+    * must never write through to this searcher.
+    */
+  private def inheritCaches(s: IndexSearcher): IndexSearcher = {
+    s.csCache ++= csCache.snapshot()
+    s.statsCache ++= statsCache.snapshot()
+    s.singletonIds ++= singletonIds.snapshot()
+    s
+  }
+
   def withDeletes(docIds: Array[Long]): IndexSearcher =
-    new IndexSearcher(spark, indexPath, field, similarity,
-      extraDeletes ++ docIds, extraDeletesDF, deleteBroadcastMax)
+    inheritCaches(new IndexSearcher(spark, indexPath, field, similarity,
+      extraDeletes ++ docIds, extraDeletesDF, deleteBroadcastMax))
 
   /** A view with every doc MATCHING `q` deleted (reference delete-by-query
     * buffering, /root/reference/core/index/bufferedDeletes.go): the match
@@ -357,8 +372,8 @@ final class IndexSearcher(
         .union(docIds.select(col(docIds.columns.head).cast("long").as("docId")))
       case None => docIds
     }
-    new IndexSearcher(spark, indexPath, field, similarity, extraDeletes,
-      Some(merged), deleteBroadcastMax)
+    inheritCaches(new IndexSearcher(spark, indexPath, field, similarity,
+      extraDeletes, Some(merged), deleteBroadcastMax))
   }
 
   private lazy val termsDF: DataFrame = spark.read.parquet(manifest.termsLocation)
