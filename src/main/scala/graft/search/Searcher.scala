@@ -267,7 +267,7 @@ private[search] object Eval {
   */
 final class IndexSearcher(
     spark: SparkSession,
-    indexPath: String,
+    private[graft] val indexPath: String,
     val field: String = "content",
     val similarity: Similarity = new Bm25Similarity(),
     extraDeletes: Array[Long] = Array.emptyLongArray,
@@ -342,11 +342,24 @@ final class IndexSearcher(
     * shared maps): later seeding of the view (MultiSearcher ownership)
     * must never write through to this searcher.
     */
-  private def inheritCaches(s: IndexSearcher): IndexSearcher = {
-    s.csCache ++= csCache.snapshot()
-    s.statsCache ++= statsCache.snapshot()
-    s.singletonIds ++= singletonIds.snapshot()
-    s
+  private def inheritCaches(s: IndexSearcher): IndexSearcher =
+    s.inheritStatsFrom(this)
+
+  /** Copy a SNAPSHOT of `parent`'s stats caches into this searcher — sound
+    * whenever both view the same committed index, because df/ttf/collection
+    * stats depend only on the index (not on similarity, and not on delete
+    * views). Snapshot, not shared maps: later seeding of either searcher
+    * (MultiSearcher ownership) must not write through to the other. Do NOT
+    * inherit from a MultiSearcher-owned shard (its caches hold merged
+    * cross-shard values).
+    */
+  private[graft] def inheritStatsFrom(parent: IndexSearcher): IndexSearcher = {
+    require(parent.indexPath == indexPath,
+      s"stats inheritance across different indexes: ${parent.indexPath} vs $indexPath")
+    csCache ++= parent.csCache.snapshot()
+    statsCache ++= parent.statsCache.snapshot()
+    singletonIds ++= parent.singletonIds.snapshot()
+    this
   }
 
   def withDeletes(docIds: Array[Long]): IndexSearcher =
