@@ -82,21 +82,35 @@ object Dedup {
   /** MinHash signatures: for each seed s, min over shingles of
     * md5(s || '|' || shingle). k seeds → k rows per doc.
     *
-    * Plan shape: the k hashes are k partial-min aggregates over ONE
-    * exploded-shingle pass (map-side combine), then an unpivot — not a k×
-    * row explosion; the shuffle carries one row per doc.
+    * Plan shape: ZERO SHUFFLE — each seed's hash is an array_min fold over
+    * the doc's own shingle array (md5 hex is ASCII, so array_min's UTF8
+    * binary order ≡ the former string `min` aggregate), then an unpivot.
+    * The previous shape exploded shingles and re-aggregated by doc id: a
+    * full exchange to regroup data that never needed to leave its row.
+    * Docs with no shingles stay absent (the explode emitted no rows for
+    * them; the size filter keeps that contract).
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 8, shingleSize: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), explode(shingleExpr(textCol, shingleSize)).as("sh"))
-    val aggs = (0 until numHashes).map(s =>
-      min(md5(concat(lit(s.toString), lit("|"), col("sh")))).as(s"m$s"))
-    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val wide = shingledMinhashes(
+      df.select(col(idCol), shingleExpr(textCol, shingleSize).as("shs")),
+      idCol, numHashes)
     val stackExpr =
       s"stack($numHashes, ${(0 until numHashes).map(s => s"$s, m$s").mkString(", ")}) as (seed, minhash)"
     wide.select(col(idCol), expr(stackExpr))
       .select(col(idCol), col("seed").cast("int").as("seed"), col("minhash"))
   }
+
+  /** Per-doc wide minhash row (m0..m{k-1}) from a pre-shingled projection —
+    * in-row folds, no exchange; shared by [[minhashSignatures]] and
+    * [[candidatesFromShingled]].
+    */
+  private def shingledMinhashes(sh: DataFrame, idCol: String,
+      numHashes: Int): DataFrame =
+    sh.where(size(col("shs")) > 0)
+      .select(col(idCol) +: (0 until numHashes).map(s =>
+        array_min(transform(col("shs"),
+          x => md5(concat(lit(s.toString), lit("|"), x)))).as(s"m$s")): _*)
 
   /** One representative (min id) per distinct content. Exact-duplicate
     * collapse BEFORE banding is the LSH scale guard: a group of m identical
@@ -116,10 +130,9 @@ object Dedup {
     */
   private def candidatesFromShingled(sh: DataFrame, numHashes: Int,
       rowsPerBand: Int, maxBucket: Int): DataFrame = {
-    val exploded = sh.select(col("id"), explode(col("shs")).as("sh"))
-    val aggs = (0 until numHashes).map(s =>
-      min(md5(concat(lit(s.toString), lit("|"), col("sh")))).as(s"m$s"))
-    val wide = exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    // in-row signature folds (see shingledMinhashes) — no exchange before
+    // the band aggregation
+    val wide = shingledMinhashes(sh, "id", numHashes)
     // band keys come straight off the wide signature row (comma-join of the
     // band's minhashes in seed order — same key the SQL oracle builds with
     // string_agg ORDER BY seed): no per-(id, band) re-grouping shuffle
