@@ -126,4 +126,16 @@ final case class IndexConfig(
       * own per-doc length/norm and positions — `field:term` queries and
       * fielded phrases route here. Metadata columns or any other input
       * column; disjoint from keywordFields. */
-    analyzedFields: Seq[String] = Nil)
+    analyzedFields: Seq[String] = Nil) {
+
+  // Field names persist in the manifest's hand-rolled JSON field-config
+  // arrays (IndexManifest.commit) whose parser splits on bare commas: a
+  // quote/backslash/comma in a name would write a corrupt commit.json or
+  // round-trip to the wrong field set, which forExisting then republishes
+  // DURABLY. Gate at construction — the one entry point every build path
+  // shares — instead of escaping at serialization.
+  for (f <- (field +: (analyzedFields ++ keywordFields)))
+    require(f.nonEmpty && !f.exists(c => c == '"' || c == ',' || c == '\\'),
+      s"""field name '$f' must be non-empty and contain no '"', ',' or '\\' """ +
+        "(names persist in the manifest field-config JSON)")
+}

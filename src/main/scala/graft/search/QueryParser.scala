@@ -54,12 +54,20 @@ final class QueryParser(analyzer: Analyzer, defaultField: String = "content",
           val stop = if (end < 0) s.length else end
           out += Quoted(s.substring(i + 1, stop))
           i = stop + 1
-        // single-quote phrases, gated to TOKEN BOUNDARIES so apostrophes
-        // inside words (don't, it's) stay ordinary text: shells routinely
-        // eat double quotes before they reach the CLI/sbt arg vector, and a
-        // closing quote must exist or the char is treated as word text
+        // single-quote phrases, gated to TOKEN BOUNDARIES at BOTH ends so
+        // apostrophes inside words (don't, it's) stay ordinary text: shells
+        // routinely eat double quotes before they reach the CLI/sbt arg
+        // vector. The closing quote must sit at a token end (end-of-string,
+        // whitespace, or a break/boost/slop follower — mirroring the bare
+        // regexp gate): without it, free text like "'til o'clock" would lex
+        // the leading-apostrophe word as Quoted("til o") because a LATER
+        // mid-word apostrophe closed it.
         case '\'' if (i == 0 || s.charAt(i - 1).isWhitespace ||
-            "()+-\"".contains(s.charAt(i - 1))) && s.indexOf('\'', i + 1) >= 0 =>
+            "()+-\"".contains(s.charAt(i - 1))) && {
+              val e = s.indexOf('\'', i + 1)
+              e >= 0 && (e + 1 == s.length || s.charAt(e + 1).isWhitespace ||
+                "()+-\"^~".contains(s.charAt(e + 1)))
+            } =>
           val end = s.indexOf('\'', i + 1)
           out += Quoted(s.substring(i + 1, end))
           i = end + 1

@@ -242,6 +242,9 @@ object Wand {
           .map(c => vF(c.query, boost * topBoost)).sum
       case DisMaxQuery(cs0, _, boost) => cs0.map(c => vF(c, boost * topBoost)).sum
       case ConstantScoreQuery(_, _) => 0f // constant never normalized
+      case q1: MatchAllQuery => throw new IllegalArgumentException(
+        s"$q1 inside a BooleanQuery is not supported — use it top-level or " +
+          "as FilteredQuery(MatchAllQuery(), filter)")
       case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
@@ -259,6 +262,9 @@ object Wand {
           .map(c => vD(c.query, boost.toDouble * topBoost)).sum
       case DisMaxQuery(cs0, _, boost) => cs0.map(c => vD(c, boost.toDouble * topBoost)).sum
       case ConstantScoreQuery(_, _) => 0.0 // constant never normalized
+      case q1: MatchAllQuery => throw new IllegalArgumentException(
+        s"$q1 inside a BooleanQuery is not supported — use it top-level or " +
+          "as FilteredQuery(MatchAllQuery(), filter)")
       case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }
@@ -317,6 +323,11 @@ object Wand {
           case BNever => BNever
           case child => BConst(child, s)
         }
+      // same guided error the exhaustive compile path throws (a raw
+      // MatchError here would hide the FilteredQuery guidance)
+      case q1: MatchAllQuery => throw new IllegalArgumentException(
+        s"$q1 inside a BooleanQuery is not supported — use it top-level or " +
+          "as FilteredQuery(MatchAllQuery(), filter)")
       case p: MultiTermQuery => throw new IllegalStateException(
         s"unexpanded $p — expandPrefixes must run before compile")
     }

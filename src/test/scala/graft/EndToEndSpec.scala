@@ -243,4 +243,15 @@ class EndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(after.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
       before.scoreDocs.map(d => (d.docId, d.score)).toSeq)
   }
+
+  test("IndexConfig rejects field names the manifest JSON cannot round-trip") {
+    // quotes/commas/backslashes in field names would corrupt commit.json's
+    // hand-rolled field-config arrays (and forExisting would republish the
+    // corruption durably) — gated at construction
+    for (bad <- Seq("a\"b", "a,b", "a\\b", ""))
+      intercept[IllegalArgumentException] {
+        IndexConfig(analyzedFields = Seq(bad))
+      }
+    IndexConfig(analyzedFields = Seq("perfectly_fine-name")) // sane names pass
+  }
 }

@@ -102,6 +102,11 @@ class SloppyPhraseSpec extends AnyFunSuite with SparkTestBase {
     assert(p.parse("'til gamma") == BooleanQuery(Seq(
       BooleanClause(Occur.SHOULD, TermQuery("til")),
       BooleanClause(Occur.SHOULD, TermQuery("gamma")))))
+    // a LATER mid-word apostrophe must not close a leading-apostrophe word
+    // into a phrase: the closing quote needs a token-end follower too
+    assert(p.parse("'til o'clock") == BooleanQuery(Seq(
+      BooleanClause(Occur.SHOULD, TermQuery("til")),
+      BooleanClause(Occur.SHOULD, TermQuery("o'clock")))))
   }
 
   test("WAND parity on sloppy phrases (first-member bound), both modes") {

@@ -370,4 +370,15 @@ class WandSpec extends AnyFunSuite with SparkTestBase {
         exact.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"PY mixed-corpus parity $mode")
     }
   }
+
+  test("nested MatchAllQuery through WAND throws the guided error, not a MatchError") {
+    val s = new IndexSearcher(spark, indexPath)
+    val q = BooleanQuery(Seq(
+      BooleanClause(Occur.MUST, TermQuery("parser")),
+      BooleanClause(Occur.SHOULD, MatchAllQuery())))
+    val e = intercept[IllegalArgumentException] {
+      Wand.searchTopK(s, q, 10, ScoreMode.Ref32)
+    }
+    assert(e.getMessage.contains("FilteredQuery"))
+  }
 }
