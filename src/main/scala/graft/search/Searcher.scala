@@ -404,6 +404,23 @@ final class IndexSearcher(
       sumDocFreq = r.getAs[Long]("sumDocFreq"))
   })
 
+  /** Batch-fill csCache for every missing field in ONE fieldstats scan —
+    * prepare() runs this concurrently with the terms-dict lookup, so a cold
+    * query pays max(two metadata point jobs), not their sum.
+    */
+  private def warmCollectionStats(fields: Seq[String]): Unit = {
+    val missing = fields.filterNot(csCache.contains)
+    if (missing.nonEmpty)
+      fieldStatsDF.where(col("field").isin(missing: _*)).collect().foreach { r =>
+        csCache.putIfAbsent(r.getAs[String]("field"), CollectionStats(
+          r.getAs[String]("field"),
+          maxDoc = r.getAs[Long]("maxDoc"),
+          docCount = r.getAs[Long]("docCount"),
+          sumTotalTermFreq = r.getAs[Long]("sumTotalTermFreq"),
+          sumDocFreq = r.getAs[Long]("sumDocFreq")))
+      }
+  }
+
   def collectionStats: CollectionStats = collectionStats(field)
 
   /** As [[collectionStats]] but None when this index never indexed `f` —
@@ -798,7 +815,17 @@ final class IndexSearcher(
     val termIdx = keys.zipWithIndex.toMap
     val fields = keys.map(_._1).distinct
     val fieldIdx = fields.zipWithIndex.toMap
+    // the two cold metadata lookups (fieldstats, terms dict) are
+    // independent bounded point jobs — overlap them so a fresh searcher's
+    // first query pays ONE job round trip here, not two
+    val csFut =
+      if (fields.exists(f => !csCache.contains(f)))
+        Some(scala.concurrent.Future(warmCollectionStats(fields))(
+          scala.concurrent.ExecutionContext.global))
+      else None
     val stats = termStats(keys)
+    csFut.foreach(f =>
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     val plan = compile(q, stats, termIdx, fieldIdx)
     val pts = Query.phraseTerms(q, field)
     val needPos = keys.map(pts.contains).toArray
