@@ -953,14 +953,19 @@ final class IndexSearcher(
     * BEST hit (max score desc, group value asc — Lucene's
     * groupSort=relevance), each carrying its top `docsPerGroup` hits
     * (score desc, docId asc). Fully distributed: the scored match set
-    * hash-joins the docs table on docId; within-group ranks are ONE window
-    * (hash-partitioned by the group column — no global sort); the group
-    * leaderboard reuses the same shuffle key as a map-side-partial max and
-    * is topGroups-sized, so it BROADCASTS back onto the ranked rows. Two
-    * key-aligned shuffles total, both bounded by match-set size. Group
-    * ranking compares UNROUNDED scores — legal because exact-double scores
-    * reproduce bit-for-bit (CLAUDE.md raw-score rank-window rule); Ref32
-    * works too when no SQL twin is needed.
+    * hash-joins the docs table on docId; within-group ranks come from ONE
+    * k-bounded per-group HEAP aggregation ([[GroupTopHits]]) computed in the
+    * same pass as the groupTop max — partial aggregation caps every task's
+    * state at groups × docsPerGroup entries, so a skewed group column (one
+    * group owning most of the match set — the 100× hazard of low-cardinality
+    * columns like lang/repo) can never push a group's whole match set
+    * through one task the way the former row_number window did. The
+    * topGroups-sized leaderboard derives from the same aggregation and
+    * BROADCASTS back onto the exploded per-group hits. One key-aligned
+    * shuffle, bounded by groups × docsPerGroup after partial aggregation.
+    * Group ranking compares UNROUNDED scores — legal because exact-double
+    * scores reproduce bit-for-bit (CLAUDE.md raw-score rank-window rule);
+    * Ref32 works too when no SQL twin is needed.
     */
   def groupedSearch(q: Query, groupCol: String, topGroups: Int,
       docsPerGroup: Int, mode: ScoreMode = ScoreMode.Ref32): DataFrame = {
@@ -972,15 +977,19 @@ final class IndexSearcher(
       s"topGroups/docsPerGroup must be positive, got $topGroups/$docsPerGroup")
     val hits = scoredDocs(q, mode).toDF("docId", "score")
       .join(docsDF.select(col("docId"), col(groupCol)), "docId")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col("score").desc, col("docId").asc)
-    val leaders = hits.groupBy(col(groupCol))
-      .agg(max(col("score")).as("groupTop"))
+    val heapAgg = udaf(new GroupTopHits(docsPerGroup))
+    val grouped = hits.groupBy(col(groupCol))
+      .agg(heapAgg(col("docId"), col("score")).as("c"),
+        max(col("score")).as("groupTop"))
+    val leaders = grouped
+      .select(col(groupCol), col("groupTop"))
       .orderBy(col("groupTop").desc, col(groupCol)).limit(topGroups)
-    hits.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= docsPerGroup)
-      .join(broadcast(leaders), Seq(groupCol))
-      .select(col(groupCol), col("groupTop"), col("rank"), col("docId"), col("score"))
+    grouped.join(broadcast(leaders.select(col(groupCol))), Seq(groupCol))
+      .select(col(groupCol), col("groupTop"),
+        posexplode(col("c.hits")).as(Seq("pos", "h")))
+      .select(col(groupCol), col("groupTop"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("h.docId").as("docId"), col("h.score").as("score"))
   }
 
   /** Spelling suggestions — the Lucene suggest/spellchecker analogue (never
@@ -1588,4 +1597,53 @@ object BoundedHitQueue {
       if (a.score != b.score) java.lang.Double.compare(a.score, b.score)
       else java.lang.Long.compare(b.docId, a.docId)
   }
+}
+
+/** One hit inside a per-group bounded heap ([[GroupTopHits]]). */
+final case class GroupHit(docId: Long, score: Double)
+
+/** Buffer/output of [[GroupTopHits]]: hits sorted (score desc, docId asc),
+  * never more than the group's docsPerGroup bound.
+  */
+final case class GroupTopBuf(hits: Seq[GroupHit])
+
+/** Per-group top-d heap AGGREGATOR — the skew-safe replacement for the
+  * row_number window in [[IndexSearcher.groupedSearch]]: partial (map-side)
+  * aggregation bounds every task's state at groups × d entries, so one
+  * low-cardinality group owning most of the match set can never funnel its
+  * whole match set through a single window task. The kept set and its order
+  * are EXACTLY the window's (score desc, docId asc — the BoundedHitQueue
+  * tie-break), so ranks explode identically.
+  */
+final class GroupTopHits(d: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[(Long, Double), GroupTopBuf, GroupTopBuf] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  private def better(a: GroupHit, b: GroupHit): Boolean =
+    a.score > b.score || (a.score == b.score && a.docId < b.docId)
+  def zero: GroupTopBuf = GroupTopBuf(Vector.empty)
+  def reduce(b: GroupTopBuf, x: (Long, Double)): GroupTopBuf = {
+    val h = GroupHit(x._1, x._2)
+    val j = b.hits.indexWhere(e => better(h, e))
+    val i = if (j < 0) b.hits.size else j
+    if (i >= d) b
+    else GroupTopBuf(((b.hits.take(i) :+ h) ++ b.hits.drop(i)).take(d))
+  }
+  def merge(x: GroupTopBuf, y: GroupTopBuf): GroupTopBuf = {
+    val out = Vector.newBuilder[GroupHit]
+    var i = 0
+    var j = 0
+    var n = 0
+    while (n < d && (i < x.hits.size || j < y.hits.size)) {
+      if (j >= y.hits.size || (i < x.hits.size && better(x.hits(i), y.hits(j)))) {
+        out += x.hits(i); i += 1
+      } else {
+        out += y.hits(j); j += 1
+      }
+      n += 1
+    }
+    GroupTopBuf(out.result())
+  }
+  def finish(b: GroupTopBuf): GroupTopBuf = b
+  def bufferEncoder: Encoder[GroupTopBuf] = Encoders.product[GroupTopBuf]
+  def outputEncoder: Encoder[GroupTopBuf] = Encoders.product[GroupTopBuf]
 }

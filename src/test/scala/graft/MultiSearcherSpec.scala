@@ -187,4 +187,37 @@ class MultiSearcherSpec extends AnyFunSuite with SparkTestBase {
         m.scoreDocs.map(d => (d.docId, d.score)).toSeq, s"q=$q mode=$mode")
     }
   }
+
+  test("groupedSearch heap ≡ window reference on a 90%-skewed group column") {
+    import org.apache.spark.sql.functions._
+    // one group owns 90% of the matches — the skew shape the former
+    // row_number window funneled through a single task
+    val rows = (0 until 400).map { i =>
+      val lang = if (i % 10 == 0) s"minor${i % 3}" else "dominant"
+      (i.toLong, "r", s"p$i", s"c$i", lang, s"merge tok$i shared merge words")
+    }.toDF("doc_id", "repo", "path", "commit", "lang", "content")
+    val dir = java.nio.file.Files.createTempDirectory("graft-group-skew").toString
+    new IndexBuilder(spark, cfg).build(rows, dir)
+    val s = new IndexSearcher(spark, dir)
+    val q = TermQuery("merge")
+    def norm(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val got = norm(s.groupedSearch(q, "lang", 10, 3, ScoreMode.ExactDouble).collect())
+    // independent window reference over the same scored match set
+    val hits = s.scoredDocs(q, ScoreMode.ExactDouble).toDF("docId", "score")
+      .join(spark.read.parquet(s"$dir/docs").select(col("docId"), col("lang")), "docId")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc, col("docId").asc)
+    val leaders = hits.groupBy(col("lang")).agg(max(col("score")).as("groupTop"))
+      .orderBy(col("groupTop").desc, col("lang")).limit(10)
+    val ref = norm(hits.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .join(broadcast(leaders), Seq("lang"))
+      .select(col("lang"), col("groupTop"), col("rank"), col("docId"), col("score"))
+      .collect())
+    assert(got == ref)
+    assert(got.count(_._1 == "dominant") == 3) // dominant group capped at docsPerGroup
+    assert(got.nonEmpty && ref.nonEmpty)
+  }
 }
