@@ -463,6 +463,31 @@ final class IndexSearcher(
   private val singletonIds =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 
+  /** True when a rewritten+expanded query can be answered ENTIRELY from the
+    * driver-local caches: every (field, term, needPos) posting-row entry is
+    * in the row cache (absent terms count — their cached entry is the empty
+    * row set) and the cached df/ttf totals stay under the driver-local
+    * bound. Wand.searchTopK consults this to skip its two-phase plan when
+    * the exhaustive driver-local path would run with zero Spark jobs.
+    * Requires the query's stats to be cached already (callers fetch them
+    * first); ranged deletes disable the row cache, so they disable this.
+    */
+  private[search] def servesFromRowCache(q: Query): Boolean = {
+    if (rangedDeletes) return false
+    val keys = Query.leafKeys(q, field)
+    if (keys.isEmpty) return false
+    val pts = Query.phraseTerms(q, field)
+    if (!keys.forall(statsCache.contains)) return false
+    val dfSum = keys.map(k => statsCache(k).map(_.docFreq).getOrElse(0L)).sum
+    val posSum = keys.collect { case k if pts.contains(k) =>
+      statsCache(k).map(_.totalTermFreq).getOrElse(0L)
+    }.sum
+    dfSum <= localSearchMaxPostings && posSum <= localSearchMaxPostings &&
+      rowCache.synchronized {
+        keys.forall(k => rowCache.get((k._1, k._2, pts.contains(k))) != null)
+      }
+  }
+
   /** Driver-side stats lookup for the query's few (field, term) keys
     * (broadcast-join equivalent; the terms table never ships anywhere).
     * Cached per searcher — repeated query terms cost zero jobs (the

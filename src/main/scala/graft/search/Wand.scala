@@ -89,13 +89,24 @@ object Wand {
     * back to exhaustive search except the all-singleton shortcut below.
     */
   def searchTopK(searcher: IndexSearcher, q0: Query, k: Int,
-      mode: ScoreMode = ScoreMode.Ref32, phase1Ranges: Int = 64): TopDocs = {
+      mode: ScoreMode = ScoreMode.Ref32, phase1Ranges: Int = 64,
+      cachedShortcut: Boolean = true): TopDocs = {
     val q = Query.rewrite(searcher.expandPrefixes(q0))
     // every present term df==1 → the searcher's singleton-pulsing path
     // answers with ZERO postings reads; WAND's metadata scan would be
     // strictly more work (stats are cached, so this check is free)
     val keys = Query.leafKeys(q, searcher.field)
     if (keys.isEmpty || searcher.termStats(keys).values.forall(_.docFreq == 1))
+      searcher.search(q, k, mode)
+    // ROW-CACHE shortcut (round 6): when every query key's posting rows are
+    // already in the searcher's row cache (and the driver-local bound
+    // holds), the exhaustive driver-local path answers with ZERO Spark jobs
+    // — WAND's two-phase plan would launch jobs to avoid reads the cache
+    // already paid for. The top-k is identical (pruned ≡ exhaustive is the
+    // pinned invariant); totalHits comes back EXACT (lowerBound = false)
+    // instead of pruned. `cachedShortcut = false` opts out for callers that
+    // pin pruning behavior itself (WandSpec's graded-corpus test).
+    else if (cachedShortcut && searcher.servesFromRowCache(q))
       searcher.search(q, k, mode)
     else pruned(searcher, q, k, mode, phase1Ranges)
   }

@@ -61,7 +61,11 @@ class WandSpec extends AnyFunSuite with SparkTestBase {
     val s = new IndexSearcher(spark, dir)
     val q = TermQuery("graded")
     val exact = s.search(q, 10, ScoreMode.Ref32)
-    val wand = Wand.searchTopK(s, q, 10, ScoreMode.Ref32, phase1Ranges = 2)
+    // cachedShortcut = false: the exact search above populated the row
+    // cache, and this test pins the PRUNING machinery itself — the shortcut
+    // (serve fully-cached queries exhaustively, zero jobs) sits above it
+    val wand = Wand.searchTopK(s, q, 10, ScoreMode.Ref32, phase1Ranges = 2,
+      cachedShortcut = false)
     assert(wand.totalHitsIsLowerBound)
     assert(wand.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
       exact.scoreDocs.map(d => (d.docId, d.score)).toSeq)
