@@ -331,6 +331,7 @@ final class IndexSearcher(
       rowCache.clear()
       rowCacheBytes = 0L
     }
+    suggestCache.clear()
   }
 
   /** A view of this index with additional (non-persisted) deleted docIds. */
@@ -718,6 +719,17 @@ final class IndexSearcher(
     */
   private def regexpTerms(f: String, pattern: String): Seq[String] = {
     require(pattern.nonEmpty, "empty regexp pattern")
+    // cheap insurance on a user-facing query type: the pattern fans out
+    // through rlike over the vocabulary, so a catastrophic-backtracking
+    // pattern would stall every dictionary task. Dictionary-sized input
+    // already caps the blast radius; these guards make the failure a fast
+    // driver-side error instead. (Heuristic: a quantified group whose body
+    // itself contains a quantifier — the classic (a+)+ shape.)
+    require(pattern.length <= 256,
+      s"regexp pattern is ${pattern.length} chars — cap is 256")
+    require(!RegexpNestedQuant.matcher(pattern).find(),
+      s"regexp '/$pattern/' nests a quantifier inside a quantified group " +
+        "(catastrophic-backtracking guard) — rewrite without nested quantifiers")
     java.util.regex.Pattern.compile(pattern) // fail fast on driver with a clear error
     val cached = prefixCache.get((f, "rx " + pattern))
     if (cached.isDefined) return cached.get
@@ -1033,16 +1045,36 @@ final class IndexSearcher(
     require(maxEdits >= 1 && maxEdits <= 2,
       s"suggest maxEdits must be 1..2 (Lucene's classic bound), got $maxEdits")
     require(topN > 0, s"topN must be positive, got $topN")
-    termsDF
-      .where(col("field") === f &&
-        length(col("term")).between(input.length - maxEdits, input.length + maxEdits) &&
-        col("term") =!= input)
-      .select(col("term"), col("docFreq"),
-        levenshtein(col("term"), lit(input)).as("dist"))
-      .where(col("dist") <= maxEdits)
-      .orderBy(col("dist").asc, col("docFreq").desc, col("term").asc)
-      .limit(topN)
+    // cached like the prefix/fuzzy expansions (a searcher is a point-in-time
+    // view, so entries can never go stale within it): the candidate set is
+    // vocabulary-bounded (≤2 edits of one input) and topN-limited, so the
+    // collected rows are tiny — a repeated suggestion costs zero Spark jobs
+    // (the result rebuilds as a LocalRelation). Cleared by close().
+    val sp = spark
+    import sp.implicits._
+    suggestCache.getOrElseUpdate((input, maxEdits, topN, f), {
+      termsDF
+        .where(col("field") === f &&
+          length(col("term")).between(input.length - maxEdits, input.length + maxEdits) &&
+          col("term") =!= input)
+        .select(col("term"), col("docFreq"),
+          levenshtein(col("term"), lit(input)).as("dist"))
+        .where(col("dist") <= maxEdits)
+        .orderBy(col("dist").asc, col("docFreq").desc, col("term").asc)
+        .limit(topN)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    }).toDF("term", "docFreq", "dist")
   }
+
+  private val suggestCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, String), Seq[(String, Long, Int)]]
+
+  /** A quantifier applied to a group whose body already contains a
+    * quantifier — the (a+)+ catastrophic-backtracking shape; see
+    * [[regexpTerms]].
+    */
+  private val RegexpNestedQuant =
+    java.util.regex.Pattern.compile("""\([^()]*[*+][^()]*\)\s*[*+{]""")
 
   /** Structured score breakdown for one document (reference Explain,
     * /root/reference/core/search/explanation.go, term.go:163-193): the

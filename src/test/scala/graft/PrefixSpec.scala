@@ -422,4 +422,18 @@ class PrefixSpec extends AnyFunSuite with SparkTestBase {
     val ok = s.search(PrefixQuery("zz1"), 5, ScoreMode.Ref32)
     assert(ok.totalHits == 1) // all terms live in the single doc
   }
+
+  test("regexp guard: pathological patterns error fast on the driver") {
+    // (a+)+ shape: nested quantifier → rejected before any rlike fan-out
+    val e1 = intercept[IllegalArgumentException](
+      searcher.search(RegexpQuery("(s+)+r"), 5, ScoreMode.Ref32))
+    assert(e1.getMessage.contains("backtracking"))
+    // oversized pattern → rejected
+    val e2 = intercept[IllegalArgumentException](
+      searcher.search(RegexpQuery("s" * 300), 5, ScoreMode.Ref32))
+    assert(e2.getMessage.contains("256"))
+    // the sane oracle-style pattern still works
+    val ok = searcher.search(RegexpQuery("s[ct][a-z]+"), 5, ScoreMode.Ref32)
+    assert(ok.totalHits > 0)
+  }
 }

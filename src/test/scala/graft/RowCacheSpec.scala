@@ -66,4 +66,28 @@ class RowCacheSpec extends AnyFunSuite with SparkTestBase {
     assert(a.scoreDocs.map(d => (d.docId, d.score)).toSeq ==
       b.scoreDocs.map(d => (d.docId, d.score)).toSeq)
   }
+
+  test("suggestTerms caches per (input, edits, topN, field): repeat = zero terms reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-suggcache").toString
+    val cfg = IndexConfig(analyzer = new StandardCodeAnalyzer(),
+      docsPerRange = 128, numSegments = 4, segmentsPerWave = 4)
+    new IndexBuilder(spark, cfg).build(TestCorpus.corpus(400).toDF(), dir)
+    val s = new IndexSearcher(spark, dir)
+    val warm = s.suggestTerms("merg", 2, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(warm.nonEmpty)
+    // physical proof (the RowCacheSpec pattern): delete the terms dictionary
+    // — the repeated call must answer identically from the cache, while an
+    // UNCACHED input must fail loudly (its scan has nothing to read)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(
+      graft.index.IndexManifest.load(spark, dir).termsLocation))
+    val again = s.suggestTerms("merg", 2, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(again == warm)
+    intercept[Exception](s.suggestTerms("sorr", 2, 5).collect())
+  }
 }
